@@ -1,0 +1,111 @@
+"""Integration tests: CG pressure solve + PISO engine physics checks."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpufoam.core.geometry import ChannelCase, channel_case_geometry
+from tpufoam.fv.case import build_channel_case, initial_flow
+from tpufoam.fv.pressure import pressure_coeffs, pressure_matvec
+from tpufoam.piso.engine import (PisoConfig, continuity_error, courant_number,
+                                 piso_step, run_piso)
+from tpufoam.solvers.backends import CGBackend
+from tpufoam.solvers.cg import pcg_fixed_iters, pcg_pressure
+
+
+@pytest.fixture(scope="module")
+def empty_channel():
+    geom = ChannelCase(length=4.0, height=1.0, shape=None, u_mean=1.0, nu=0.05)
+    return geom, build_channel_case(geom, delta=0.05)
+
+
+@pytest.fixture(scope="module")
+def cylinder_channel():
+    geom = channel_case_geometry("cylinder", length=6.0, height=2.0,
+                                 obstacle_size=0.5, nu=8e-3)
+    return geom, build_channel_case(geom, delta=0.05)
+
+
+def test_cg_solves_poisson(empty_channel):
+    _, case = empty_channel
+    rau = jnp.ones(case.grid.shape, dtype=jnp.float32)
+    coef = pressure_coeffs(case, rau)
+    rng = np.random.default_rng(1)
+    x_true = jnp.asarray(rng.standard_normal(case.grid.shape), dtype=jnp.float32)
+    x_true = x_true * case.fluid
+    b = pressure_matvec(coef, x_true)
+    res = pcg_pressure(coef, b, rtol=1e-8, maxiter=2000)
+    err = np.linalg.norm(np.asarray(res.x - x_true)) / np.linalg.norm(np.asarray(x_true))
+    assert err < 1e-4
+    assert float(res.residual) < 1e-7
+
+
+def test_cg_warm_start_converges_faster(empty_channel):
+    _, case = empty_channel
+    rau = jnp.ones(case.grid.shape, dtype=jnp.float32)
+    coef = pressure_coeffs(case, rau)
+    rng = np.random.default_rng(2)
+    x_true = jnp.asarray(rng.standard_normal(case.grid.shape), dtype=jnp.float32) * case.fluid
+    b = pressure_matvec(coef, x_true)
+    cold = pcg_fixed_iters(coef, b, jnp.zeros_like(b), iters=6)
+    warm = pcg_fixed_iters(coef, b, x_true + 0.01 * jnp.ones_like(b) * case.fluid, iters=6)
+    assert float(warm.residual) < float(cold.residual)
+
+
+def test_piso_poiseuille_profile(empty_channel):
+    """Empty channel at Re=20 -> steady parabolic profile, linear p drop."""
+    geom, case = empty_channel
+    flow = initial_flow(case, dt0=5e-3)
+    cfg = PisoConfig(n_correctors=2, momentum_sweeps=5, max_co=0.4, max_dt=0.02)
+    flow = run_piso(case, flow, 600, cfg=cfg, backend=CGBackend(rtol=1e-7))
+
+    u = np.asarray(flow.u)
+    ny = case.grid.ny
+    y = (np.arange(ny) + 0.5) * case.grid.dy
+    u_exact = 6.0 * geom.u_mean * (y / geom.height) * (1 - y / geom.height)
+
+    # downstream profile matches the analytic parabola
+    prof = u[:, int(case.grid.nx * 0.7)]
+    rel = np.abs(prof - u_exact).max() / u_exact.max()
+    assert rel < 0.05, f"profile error {rel:.3f}"
+
+    # pressure drops ~linearly along the channel
+    p = np.asarray(flow.p)
+    p_line = p[ny // 2, :]
+    assert p_line[2] > p_line[-2] > -1e-3  # monotone decrease to outlet 0
+    # analytic dp/dx for plane Poiseuille: -12 nu U_mean / H^2
+    dpdx_exact = -12.0 * geom.nu * geom.u_mean / geom.height**2
+    x = (np.arange(case.grid.nx) + 0.5) * case.grid.dx
+    sl = slice(int(0.25 * case.grid.nx), int(0.9 * case.grid.nx))
+    dpdx_num = np.polyfit(x[sl], p_line[sl], 1)[0]
+    assert abs(dpdx_num - dpdx_exact) / abs(dpdx_exact) < 0.1
+
+    # continuity satisfied
+    assert float(continuity_error(case, flow)) < 1e-6
+
+
+def test_piso_cylinder_stable_and_conservative(cylinder_channel):
+    geom, case = cylinder_channel
+    flow = initial_flow(case, dt0=2e-3)
+    cfg = PisoConfig(n_correctors=2, momentum_sweeps=4, max_co=0.5, max_dt=0.01)
+    flow = run_piso(case, flow, 100, cfg=cfg, backend=CGBackend(rtol=1e-6))
+    u = np.asarray(flow.u)
+    assert np.isfinite(u).all()
+    assert float(continuity_error(case, flow)) < 1e-5
+    co = float(courant_number(case, flow))
+    assert co < 1.0
+    # no-slip respected: obstacle cells zero
+    assert np.abs(u * (1 - np.asarray(case.fluid))).max() == 0.0
+    # mass conservation: inflow == outflow
+    inflow = float(jnp.sum(flow.phi_x[:, 0]))
+    outflow = float(jnp.sum(flow.phi_x[:, -1]))
+    assert abs(inflow - outflow) / inflow < 1e-3
+
+
+def test_piso_step_is_jittable_and_pure(empty_channel):
+    _, case = empty_channel
+    flow = initial_flow(case)
+    f1 = piso_step(case, flow)
+    f2 = piso_step(case, flow)
+    np.testing.assert_array_equal(np.asarray(f1.u), np.asarray(f2.u))
+    assert f1.t > flow.t

@@ -1,0 +1,183 @@
+"""Device-resident case state: static masks + dynamic flow fields.
+
+`Case` is everything fixed for a given geometry: fluid/solid blanking,
+per-direction boundary masks, the SDF feature grid and the inlet profile.
+`Flow` is the dynamic pytree advanced by the PISO engine (the reference
+keeps these inside OpenFOAM's objectRegistry, createFields.H; here they are
+plain JAX arrays so jit/vmap/pjit compose).
+
+Boundary model (matches the reference benchmark case
+Thesis_Work/Chapter5/parallelized/test_case):
+  west  = inlet  (fixed parabolic U, zero-grad p)      0/U:26-45
+  east  = outlet (zero-grad U, fixed p = 0)            0/p
+  north/south + obstacle = no-slip walls, zero-grad p
+Obstacle cells are blanked (fluid mask = 0) — the TPU-friendly equivalent
+of the reference's body-fitted O-grid blocks.
+"""
+
+from __future__ import annotations
+
+import flax.struct
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.geometry import ChannelCase
+from ..core.grid import Grid2D, make_grid
+from ..core.sdf import domain_and_sdf
+
+
+@flax.struct.dataclass
+class Case:
+    # --- static metadata (hashable; not traced) ---
+    grid: Grid2D = flax.struct.field(pytree_node=False)
+    nu: float = flax.struct.field(pytree_node=False)
+    # --- device arrays ---
+    fluid: jnp.ndarray          # (ny, nx) 1.0 fluid / 0.0 solid
+    sdf: jnp.ndarray            # (ny, nx) wall distance, 0 in solids
+    inlet_u: jnp.ndarray        # (ny,) inlet x-velocity profile
+    # per-direction neighbour-openness (1 = internal fluid-fluid face)
+    open_e: jnp.ndarray
+    open_w: jnp.ndarray
+    open_n: jnp.ndarray
+    open_s: jnp.ndarray
+    # boundary-face masks per cell
+    wall_e: jnp.ndarray
+    wall_w: jnp.ndarray
+    wall_n: jnp.ndarray
+    wall_s: jnp.ndarray
+    inlet_w: jnp.ndarray        # (ny, nx) 1 on fluid cells whose west face is the inlet
+    outlet_e: jnp.ndarray       # (ny, nx) 1 on fluid cells whose east face is the outlet
+
+
+@flax.struct.dataclass
+class Flow:
+    u: jnp.ndarray       # (ny, nx)
+    v: jnp.ndarray       # (ny, nx)
+    p: jnp.ndarray       # (ny, nx) kinematic pressure [m^2/s^2]
+    phi_x: jnp.ndarray   # (ny, nx+1) volumetric face fluxes [m^2/s] (unit depth)
+    phi_y: jnp.ndarray   # (ny+1, nx)
+    dt: jnp.ndarray      # () current time step
+    t: jnp.ndarray       # () current time
+
+
+def build_channel_case(geom: ChannelCase, delta: float,
+                       n_boundary: int = 720) -> Case:
+    """Discretize a ChannelCase onto a uniform grid (one-time host setup)."""
+    grid = make_grid(0.0, geom.length, 0.0, geom.height, delta)
+    pts = grid.cell_centers_flat(np)
+
+    top_b = geom.boundary_points_top(4 * n_boundary)
+    if geom.shape is None:
+        # empty channel (e.g. Poiseuille validation case)
+        inside = np.zeros(grid.shape, dtype=bool)
+        obst_b = np.full((4, 2), 1e6, dtype=np.float64)  # no obstacle
+    else:
+        inside = geom.shape.inside(pts).reshape(grid.shape)
+        obst_b = geom.shape.boundary_points(n_boundary)
+    fluid_np = (~inside).astype(np.float32)
+
+    _, sdf = domain_and_sdf(pts, top_b, obst_b,
+                            obst_inside=inside.reshape(-1))
+    sdf = jnp.asarray(sdf).reshape(grid.shape) * fluid_np
+
+    y = grid.y0 + (np.arange(grid.ny) + 0.5) * grid.dy
+    inlet_u = geom.inlet_profile(y).astype(np.float32)
+
+    _validate_connectivity(fluid_np)
+    return _assemble_masks(grid, fluid_np, np.asarray(sdf), inlet_u, geom.nu)
+
+
+def _validate_connectivity(fluid: np.ndarray) -> None:
+    """Reject ill-posed cases where the obstacle seals the channel: a fixed
+    inflow with no path to the outlet has no solution (pressure blows up —
+    the reference would NaN the same way, python_module.py's only guard is
+    a NaN fallback at :494-496; we fail fast at setup instead)."""
+    from scipy import ndimage
+    labels, _ = ndimage.label(fluid > 0)
+    inlet_labels = set(np.unique(labels[:, 0])) - {0}
+    outlet_labels = set(np.unique(labels[:, -1])) - {0}
+    if not (inlet_labels & outlet_labels):
+        raise ValueError(
+            "ill-posed case: no fluid path connects the inlet to the outlet "
+            "(obstacle seals the channel)")
+
+
+def _assemble_masks(grid: Grid2D, fluid: np.ndarray, sdf: np.ndarray,
+                    inlet_u: np.ndarray, nu: float) -> Case:
+    ny, nx = fluid.shape
+    f = fluid
+
+    nbf_e = np.zeros_like(f); nbf_e[:, :-1] = f[:, 1:]
+    nbf_w = np.zeros_like(f); nbf_w[:, 1:] = f[:, :-1]
+    nbf_n = np.zeros_like(f); nbf_n[:-1, :] = f[1:, :]
+    nbf_s = np.zeros_like(f); nbf_s[1:, :] = f[:-1, :]
+
+    interior_e = np.ones_like(f); interior_e[:, -1] = 0
+    interior_w = np.ones_like(f); interior_w[:, 0] = 0
+    interior_n = np.ones_like(f); interior_n[-1, :] = 0
+    interior_s = np.ones_like(f); interior_s[0, :] = 0
+
+    open_e = f * nbf_e * interior_e
+    open_w = f * nbf_w * interior_w
+    open_n = f * nbf_n * interior_n
+    open_s = f * nbf_s * interior_s
+
+    # walls: obstacle faces (interior face to a solid cell) + domain N/S walls
+    wall_e = f * interior_e * (1 - nbf_e)
+    wall_w = f * interior_w * (1 - nbf_w)
+    wall_n = f * ((interior_n * (1 - nbf_n)) + (1 - interior_n))
+    wall_s = f * ((interior_s * (1 - nbf_s)) + (1 - interior_s))
+    wall_n = np.minimum(wall_n, 1.0)
+    wall_s = np.minimum(wall_s, 1.0)
+
+    inlet_w = np.zeros_like(f); inlet_w[:, 0] = f[:, 0]
+    outlet_e = np.zeros_like(f); outlet_e[:, -1] = f[:, -1]
+
+    j = jnp.asarray
+    return Case(
+        grid=grid, nu=float(nu),
+        fluid=j(f), sdf=j(sdf), inlet_u=j(inlet_u),
+        open_e=j(open_e), open_w=j(open_w), open_n=j(open_n), open_s=j(open_s),
+        wall_e=j(wall_e), wall_w=j(wall_w), wall_n=j(wall_n), wall_s=j(wall_s),
+        inlet_w=j(inlet_w), outlet_e=j(outlet_e),
+    )
+
+
+def initial_flow(case: Case, dt0: float = 1e-3) -> Flow:
+    """Quiescent-but-consistent initial state: inlet profile swept through
+    the domain (the reference starts from a potential-ish init via OpenFOAM's
+    0/ directory), zero pressure, fluxes consistent with U."""
+    grid = case.grid
+    u = jnp.broadcast_to(case.inlet_u[:, None], grid.shape) * case.fluid
+    v = jnp.zeros(grid.shape, dtype=jnp.float32)
+    p = jnp.zeros(grid.shape, dtype=jnp.float32)
+    phi_x, phi_y = fluxes_from_velocity(case, u, v)
+    return Flow(u=u, v=v, p=p, phi_x=phi_x, phi_y=phi_y,
+                dt=jnp.float32(dt0), t=jnp.float32(0.0))
+
+
+def fluxes_from_velocity(case: Case, u: jnp.ndarray, v: jnp.ndarray):
+    """Linear face interpolation of U dotted with face areas (fvc::flux).
+
+    x-face j (of nx+1) sits between cells j-1 and j; its openness is
+    open_w[:, j]. Inlet face = fixed profile, outlet face = zero-grad
+    (upwind cell value), wall/solid faces = 0.
+    """
+    grid = case.grid
+    dy, dx = grid.dy, grid.dx
+
+    face_val_x = 0.5 * (u[:, :-1] + u[:, 1:])          # faces j=1..nx-1
+    phi_x = jnp.concatenate([
+        (case.inlet_u * case.fluid[:, 0] * dy)[:, None],
+        face_val_x * case.open_w[:, 1:] * dy,
+        (u[:, -1] * case.fluid[:, -1] * dy)[:, None],
+    ], axis=1)
+
+    face_val_y = 0.5 * (v[:-1, :] + v[1:, :])          # faces i=1..ny-1
+    zrow = jnp.zeros((1, grid.nx), dtype=u.dtype)
+    phi_y = jnp.concatenate([
+        zrow,
+        face_val_y * case.open_s[1:, :] * dx,
+        zrow,
+    ], axis=0)
+    return phi_x, phi_y

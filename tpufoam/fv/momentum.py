@@ -1,0 +1,102 @@
+"""Momentum-predictor finite-volume coefficients (the UEqn).
+
+Implicit FV discretization of
+    ddt(U) + div(phi, U) - laplacian(nu, U) == -grad(p)
+matching UEqn.H:1-23 semantics (Euler ddt, upwind-stabilized convection,
+central diffusion). Coefficients are per-cell stencil weights; the "solve"
+is a fixed number of Jacobi sweeps — each sweep is one fused VPU stencil
+pass, and because a_P is dominated by V/dt in a Courant-limited transient
+run, a handful of sweeps reaches OpenFOAM's smoothSolver tolerances.
+
+Units: integrated FV (a in m^2/s for 2D unit depth); aP/V == UEqn.A(),
+(sum a_nb U_nb + b)/V == UEqn.H() as used by pEqn.H:2-3.
+"""
+
+from __future__ import annotations
+
+import flax.struct
+import jax.numpy as jnp
+from jax import lax
+
+from .case import Case
+from .operators import nb_e, nb_n, nb_s, nb_w
+
+
+@flax.struct.dataclass
+class MomentumCoeffs:
+    a_e: jnp.ndarray
+    a_w: jnp.ndarray
+    a_n: jnp.ndarray
+    a_s: jnp.ndarray
+    a_p: jnp.ndarray
+    b_u: jnp.ndarray  # explicit source for u (ddt old + inlet BC)
+    b_v: jnp.ndarray
+
+
+def momentum_coeffs(case: Case, phi_x: jnp.ndarray, phi_y: jnp.ndarray,
+                    u_old: jnp.ndarray, v_old: jnp.ndarray,
+                    dt: jnp.ndarray) -> MomentumCoeffs:
+    grid = case.grid
+    dx, dy, nu = grid.dx, grid.dy, case.nu
+    vol = dx * dy
+    d_x = nu * dy / dx   # diffusion conductance of x-normal faces
+    d_y = nu * dx / dy
+
+    f_e = phi_x[:, 1:]
+    f_w = phi_x[:, :-1]
+    f_n = phi_y[1:, :]
+    f_s = phi_y[:-1, :]
+
+    a_e = case.open_e * (d_x + jnp.maximum(-f_e, 0.0))
+    a_w = case.open_w * (d_x + jnp.maximum(f_w, 0.0))
+    a_n = case.open_n * (d_y + jnp.maximum(-f_n, 0.0))
+    a_s = case.open_s * (d_y + jnp.maximum(f_s, 0.0))
+
+    # no-slip walls: half-cell diffusion distance, U_wall = 0
+    wall_contrib = 2.0 * d_x * (case.wall_e + case.wall_w) \
+        + 2.0 * d_y * (case.wall_n + case.wall_s)
+
+    # inlet (fixed U): diffusion at half distance + upwinded inflow
+    a_in = case.inlet_w * (2.0 * d_x + jnp.maximum(f_w, 0.0))
+
+    div_f = f_e - f_w + f_n - f_s
+    a_p = (a_e + a_w + a_n + a_s + wall_contrib + a_in + div_f
+           + vol / dt) * case.fluid + (1.0 - case.fluid)
+
+    ddt_u = (vol / dt) * u_old
+    ddt_v = (vol / dt) * v_old
+    b_u = (ddt_u + a_in * case.inlet_u[:, None]) * case.fluid
+    b_v = ddt_v * case.fluid
+
+    return MomentumCoeffs(a_e=a_e, a_w=a_w, a_n=a_n, a_s=a_s, a_p=a_p,
+                          b_u=b_u, b_v=b_v)
+
+
+def h_operator(coef: MomentumCoeffs, u: jnp.ndarray, v: jnp.ndarray):
+    """H(U)*V = sum(a_nb U_nb) + b — the off-diagonal + source part
+    (pEqn.H:3 `UEqn.H()` scaled by volume)."""
+    hu = (coef.a_e * nb_e(u) + coef.a_w * nb_w(u)
+          + coef.a_n * nb_n(u) + coef.a_s * nb_s(u) + coef.b_u)
+    hv = (coef.a_e * nb_e(v) + coef.a_w * nb_w(v)
+          + coef.a_n * nb_n(v) + coef.a_s * nb_s(v) + coef.b_v)
+    return hu, hv
+
+
+def jacobi_momentum(coef: MomentumCoeffs, case: Case,
+                    u0: jnp.ndarray, v0: jnp.ndarray,
+                    src_u: jnp.ndarray, src_v: jnp.ndarray,
+                    sweeps: int = 4):
+    """Solve a_P U - sum a_nb U_nb = b + src by damped Jacobi sweeps.
+
+    `src_*` carries the -grad(p)*V term of `solve(UEqn == -fvc::grad(p))`
+    (UEqn.H:21-23)."""
+    inv_ap = 1.0 / coef.a_p
+
+    def body(_, uv):
+        u, v = uv
+        hu, hv = h_operator(coef, u, v)
+        u_new = (hu + src_u) * inv_ap * case.fluid
+        v_new = (hv + src_v) * inv_ap * case.fluid
+        return (u_new, v_new)
+
+    return lax.fori_loop(0, sweeps, body, (u0, v0))

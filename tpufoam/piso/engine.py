@@ -1,0 +1,139 @@
+"""The PISO timestep engine — one jit-compiled device program per step.
+
+Rebuilds the reference's modified pisoFoam loop (DLPoissonFoam.C:64-136)
+TPU-natively: Courant-limited adaptive dt, optional surrogate pressure
+prediction *before* the momentum predictor (Algorithm 2,
+parallelized/DLPoissonSolver/DLPoissonFoam.C:104-119) or between predictor
+and corrector (Algorithm 1, singleCore/DLPoissonSolver_0), implicit momentum
+predictor (UEqn.H), and nCorrectors PISO pressure corrections (pEqn.H).
+
+Everything inside `piso_step` is traced once; there is no data-dependent
+Python control flow, no host transfer, no embedded interpreter. `vmap` over
+`Flow` gives batched multi-case rollouts; pjit-sharding the fields gives
+multi-chip spatial decomposition (tpufoam.parallel).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..fv.case import Case, Flow
+from ..fv.momentum import h_operator, jacobi_momentum, momentum_coeffs
+from ..fv.pressure import (correct_fluxes, face_fluxes_hbya, pressure_coeffs,
+                           pressure_gradient, pressure_rhs)
+from ..solvers.backends import CGBackend, PressureBackend
+
+
+@dataclasses.dataclass(frozen=True)
+class PisoConfig:
+    """controlDict/fvSolution knobs (parallelized/test_case/system/):
+    nCorrectors 2 (fvSolution:72), maxCo 0.5 (controlDict:57)."""
+    n_correctors: int = 2
+    momentum_sweeps: int = 4
+    max_co: float = 0.5
+    max_dt: float = 0.05
+    adjust_dt: bool = True
+    sm_before_predictor: bool = True  # Algorithm 2 (True) vs Algorithm 1
+
+
+def courant_number(case: Case, flow: Flow) -> jnp.ndarray:
+    """max Courant number from face fluxes (CourantNo.H semantics)."""
+    grid = case.grid
+    vol = grid.dx * grid.dy
+    sum_phi = (jnp.abs(flow.phi_x[:, 1:]) + jnp.abs(flow.phi_x[:, :-1])
+               + jnp.abs(flow.phi_y[1:, :]) + jnp.abs(flow.phi_y[:-1, :]))
+    return 0.5 * jnp.max(sum_phi * case.fluid) / vol * flow.dt
+
+
+def continuity_error(case: Case, flow: Flow) -> jnp.ndarray:
+    """Mean |div phi| over fluid cells — the step's health diagnostic."""
+    from ..fv.operators import divergence
+    div = divergence(flow.phi_x, flow.phi_y) * case.fluid
+    return jnp.sum(jnp.abs(div)) / jnp.maximum(jnp.sum(case.fluid), 1.0)
+
+
+def _next_dt(case: Case, flow: Flow, cfg: PisoConfig) -> jnp.ndarray:
+    """OpenFOAM setDeltaT.H: damped growth toward maxCo, hard caps."""
+    co = courant_number(case, flow) / jnp.maximum(flow.dt, 1e-12)  # Co per unit dt
+    dt_co = cfg.max_co / jnp.maximum(co, 1e-12)
+    new_dt = jnp.minimum(jnp.minimum(dt_co, 1.2 * flow.dt), cfg.max_dt)
+    return new_dt.astype(flow.dt.dtype)
+
+
+@partial(jax.jit, static_argnames=("cfg", "backend", "sm_predict"))
+def piso_step(case: Case, flow: Flow, cfg: PisoConfig = PisoConfig(),
+              backend: PressureBackend = CGBackend(),
+              sm_predict=None) -> Flow:
+    """Advance one PISO timestep.
+
+    `backend` solves the pressure-correction equation each corrector.
+    `sm_predict(case, p_prev, aux) -> p` optionally replaces the *initial*
+    pressure with a surrogate prediction (the DLPoissonFoam coupling: the SM
+    does NOT replace the corrector solve, it warm-starts the step so capped
+    iterations suffice — SURVEY.md §3.3 key semantics).
+    """
+    grid = case.grid
+    vol = grid.dx * grid.dy
+    dt = _next_dt(case, flow, cfg) if cfg.adjust_dt else flow.dt
+
+    u, v, p = flow.u, flow.v, flow.p
+    phi_x, phi_y = flow.phi_x, flow.phi_y
+
+    # --- optional surrogate pressure prediction (Algorithm 2: before UEqn) ---
+    if sm_predict is not None and cfg.sm_before_predictor:
+        aux = dict(u=u, v=v, p=p, dt=dt)
+        p = sm_predict(case, p, aux) * case.fluid
+
+    # --- momentum predictor: solve(UEqn == -grad p) (UEqn.H:21-23) ---
+    coef = momentum_coeffs(case, phi_x, phi_y, u, v, dt)
+    gpx, gpy = pressure_gradient(case, p)
+    u, v = jacobi_momentum(coef, case, u, v, -gpx * vol, -gpy * vol,
+                           sweeps=cfg.momentum_sweeps)
+
+    if sm_predict is not None and not cfg.sm_before_predictor:
+        aux = dict(u=u, v=v, p=p, dt=dt)
+        p = sm_predict(case, p, aux) * case.fluid
+
+    # --- PISO corrector loop (pEqn.H, nCorrectors times) ---
+    for _ in range(cfg.n_correctors):
+        rau = vol * case.fluid / coef.a_p    # rAU = 1/A() = V/a_P  [s]
+        hu, hv = h_operator(coef, u, v)
+        hbya_u = hu * case.fluid / coef.a_p  # HbyA = H()/A() = h/a_P
+        hbya_v = hv * case.fluid / coef.a_p
+        phi_hx, phi_hy = face_fluxes_hbya(case, hbya_u, hbya_v)
+
+        pcoef = pressure_coeffs(case, rau)
+        rhs = pressure_rhs(case, phi_hx, phi_hy)
+        aux = dict(u=u, v=v, p=p, dt=dt)
+        p = backend(case, pcoef, rhs, p, aux)
+
+        phi_x, phi_y = correct_fluxes(case, pcoef, p, phi_hx, phi_hy)
+        gpx, gpy = pressure_gradient(case, p)
+        u = (hbya_u - rau * gpx) * case.fluid
+        v = (hbya_v - rau * gpy) * case.fluid
+
+    return Flow(u=u, v=v, p=p, phi_x=phi_x, phi_y=phi_y,
+                dt=dt, t=flow.t + dt)
+
+
+def run_piso(case: Case, flow: Flow, n_steps: int,
+             cfg: PisoConfig = PisoConfig(),
+             backend: PressureBackend = CGBackend(),
+             sm_predict=None) -> Flow:
+    """Roll out n_steps under one jit via lax.scan (whole rollout = one
+    XLA program; the reference pays a C++->Python->MPI round-trip per step)."""
+    step = partial(piso_step, cfg=cfg, backend=backend, sm_predict=sm_predict)
+
+    @jax.jit
+    def scan_fn(flow0):
+        def body(f, _):
+            f2 = step(case, f)
+            return f2, None
+        out, _ = jax.lax.scan(body, flow0, None, length=n_steps)
+        return out
+
+    return scan_fn(flow)

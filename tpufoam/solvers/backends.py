@@ -1,0 +1,65 @@
+"""Pressure backends behind one interface.
+
+The reference hard-wires its surrogate into the solver via an embedded
+CPython interpreter (PythonComm.H) and keeps the classical solve as a
+warm-started capped GAMG/PCG (fvSolution maxIter 6). Here both are pluggable
+pure functions over device state:
+
+  * CGBackend        — classical PCG to tolerance (fidelity baseline).
+  * SurrogateBackend — PCA+MLP patch surrogate only (pure DL pressure).
+  * HybridBackend    — surrogate predicts, capped CG polishes: the actual
+    Algorithm 1/2 semantics of DLPoissonFoam.C:104-119.
+
+A backend is `(case, coef, rhs, p_prev, aux) -> p`. `aux` carries whatever
+extra fields the surrogate family needs (U, dU, U_max ...).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Protocol
+
+import jax.numpy as jnp
+
+from ..fv.case import Case
+from ..fv.pressure import PressureCoeffs
+from .cg import pcg_fixed_iters, pcg_pressure
+
+
+class PressureBackend(Protocol):
+    def __call__(self, case: Case, coef: PressureCoeffs, rhs: jnp.ndarray,
+                 p_prev: jnp.ndarray, aux: dict) -> jnp.ndarray: ...
+
+
+@dataclasses.dataclass(frozen=True)
+class CGBackend:
+    rtol: float = 1e-6
+    maxiter: int = 1000
+
+    def __call__(self, case, coef, rhs, p_prev, aux):
+        return pcg_pressure(coef, rhs, x0=p_prev, rtol=self.rtol,
+                            maxiter=self.maxiter).x * case.fluid
+
+
+@dataclasses.dataclass(frozen=True)
+class SurrogateBackend:
+    """Pure-surrogate pressure: p = SM(state). `predict` is a jitted pure
+    function built by tpufoam.surrogate.pipeline.make_predictor."""
+    predict: Callable
+
+    def __call__(self, case, coef, rhs, p_prev, aux):
+        return self.predict(case, p_prev, aux) * case.fluid
+
+
+@dataclasses.dataclass(frozen=True)
+class HybridBackend:
+    """Surrogate initial guess + capped-iteration PCG polish — the
+    reference's production mode (SM supplies the initial pressure, the
+    remaining linear solve is cheap because maxIter is capped at 6)."""
+    predict: Callable
+    polish_iters: int = 6
+
+    def __call__(self, case, coef, rhs, p_prev, aux):
+        p_guess = self.predict(case, p_prev, aux) * case.fluid
+        return pcg_fixed_iters(coef, rhs, p_guess,
+                               iters=self.polish_iters).x * case.fluid
