@@ -1,0 +1,110 @@
+"""End-to-end: PISO data production -> surrogate training -> coupled solve.
+
+The round-trip the reference needs OpenFOAM + dask + TF + embedded CPython
+for, exercised entirely in-process on a tiny case.
+"""
+
+import numpy as np
+import pytest
+
+from tpufoam.core.geometry import channel_case_geometry
+from tpufoam.fv.case import build_channel_case, initial_flow
+from tpufoam.piso.engine import PisoConfig, continuity_error, run_piso
+from tpufoam.solvers.backends import CGBackend, HybridBackend
+from tpufoam.surrogate.pipeline import SurrogateBundle, make_predictor
+from tpufoam.train.dataset import build_block_dataset, frames_from_rollout
+from tpufoam.train.trainer import TrainConfig, train_surrogate
+from tpufoam.utils.metrics import error_metrics
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    geom = channel_case_geometry("cylinder", length=6.0, height=1.5,
+                                 obstacle_size=0.4, nu=8e-3)
+    case = build_channel_case(geom, delta=1.5 / 48)   # 48 x 192 grid
+    flow0 = initial_flow(case, dt0=2e-3)
+    cfg = PisoConfig(max_co=0.5, max_dt=0.01)
+
+    # warm up past the initial transient, then collect frames
+    flow = run_piso(case, flow0, 100, cfg=cfg, backend=CGBackend(rtol=1e-6))
+    frames = frames_from_rollout(case, flow, n_frames=12, steps_per_frame=5,
+                                 cfg=cfg)
+
+    ds = build_block_dataset(case, frames, family="deltaU_deltaP",
+                             n_samples_per_frame=120, block_size=32, seed=0)
+    tcfg = TrainConfig(arch="MLP_small", lr=3e-4, batch_size=256,
+                       max_epochs=150, max_num_pc=64, best_after_epoch=10)
+    bundle, state = train_surrogate(ds, "deltaU_deltaP", tcfg,
+                                    overlap_ratio=0.25)
+    path = str(tmp_path_factory.mktemp("bundle") / "sm")
+    bundle.save(path)
+    return geom, case, flow, frames, ds, bundle, state, path
+
+
+def test_dataset_shapes(trained):
+    ds = trained[4]
+    assert ds.x.shape[1:] == (32, 32, 3)
+    assert ds.y.shape[1:] == (32, 32, 1)
+    assert ds.n > 100
+    # zero-mean targets
+    m = ds.mask != 0
+    means = [(ds.y[i, ..., 0][m[i]]).mean() for i in range(0, ds.n, 50)
+             if m[i].any()]
+    assert np.abs(means).max() < 1e-4
+
+
+def test_training_converged(trained):
+    state = trained[6]
+    assert state.history[-1] < state.history[0] * 0.5
+    assert np.isfinite(state.best_val)
+
+
+def test_bundle_roundtrip(trained):
+    bundle, path = trained[5], trained[7]
+    loaded = SurrogateBundle.load(path)
+    assert loaded.family == bundle.family
+    assert loaded.pc_in == bundle.pc_in
+    np.testing.assert_allclose(np.asarray(loaded.maxs_in),
+                               np.asarray(bundle.maxs_in))
+    import jax
+    for a, b in zip(jax.tree.leaves(loaded.params),
+                    jax.tree.leaves(bundle.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("stitch", ["scan", "lstsq"])
+def test_surrogate_predicts_delta_p(trained, stitch):
+    """Offline eval (the reference's evaluation_script role): predicted
+    next-step pressure must beat the persistence baseline p_prev."""
+    geom, case, flow, frames = trained[0], trained[1], trained[2], trained[3]
+    bundle = trained[5]
+    predictor = make_predictor(bundle, stitch=stitch)
+
+    frame = frames[6]
+    aux = {k: np.asarray(v) for k, v in frame.items()}
+    p_prev = aux["p_prev"]
+    p_true = aux["p"]
+    import jax.numpy as jnp
+    p_pred = np.asarray(predictor(case, jnp.asarray(p_prev), aux))
+
+    m = np.asarray(case.fluid) != 0
+    err_pred = error_metrics(p_pred, p_true, m)
+    err_pers = error_metrics(p_prev, p_true, m)
+    assert np.isfinite(p_pred[m]).all()
+    assert err_pred.rmse_pct < err_pers.rmse_pct, \
+        f"SM {err_pred.rmse_pct:.2f}% vs persistence {err_pers.rmse_pct:.2f}%"
+
+
+def test_hybrid_backend_coupled_run(trained):
+    """Algorithm-2 coupling: SM warm start + capped CG keeps the solve
+    stable and divergence-free."""
+    geom, case, flow = trained[0], trained[1], trained[2]
+    bundle = trained[5]
+    predictor = make_predictor(bundle, stitch="lstsq")
+
+    cfg = PisoConfig(max_co=0.5, max_dt=0.01)
+    hybrid = HybridBackend(predict=predictor, polish_iters=8)
+    flow2 = run_piso(case, flow, 20, cfg=cfg, backend=hybrid)
+    u = np.asarray(flow2.u)
+    assert np.isfinite(u).all()
+    assert float(continuity_error(case, flow2)) < 1e-4

@@ -58,6 +58,11 @@ class Flow:
     phi_y: jnp.ndarray   # (ny+1, nx)
     dt: jnp.ndarray      # () current time step
     t: jnp.ndarray       # () current time
+    # previous-step fields: the delta-featured surrogate families consume
+    # dU = U - U_prev, dp = p - p_prev (SM_call.py:389-394)
+    u_prev: jnp.ndarray
+    v_prev: jnp.ndarray
+    p_prev: jnp.ndarray
 
 
 def build_channel_case(geom: ChannelCase, delta: float,
@@ -153,7 +158,8 @@ def initial_flow(case: Case, dt0: float = 1e-3) -> Flow:
     p = jnp.zeros(grid.shape, dtype=jnp.float32)
     phi_x, phi_y = fluxes_from_velocity(case, u, v)
     return Flow(u=u, v=v, p=p, phi_x=phi_x, phi_y=phi_y,
-                dt=jnp.float32(dt0), t=jnp.float32(0.0))
+                dt=jnp.float32(dt0), t=jnp.float32(0.0),
+                u_prev=u, v_prev=v, p_prev=p)
 
 
 def fluxes_from_velocity(case: Case, u: jnp.ndarray, v: jnp.ndarray):

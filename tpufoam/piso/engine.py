@@ -83,10 +83,13 @@ def piso_step(case: Case, flow: Flow, cfg: PisoConfig = PisoConfig(),
     u, v, p = flow.u, flow.v, flow.p
     phi_x, phi_y = flow.phi_x, flow.phi_y
 
+    def _aux():
+        return dict(u=u, v=v, p=p, dt=dt, u_prev=flow.u_prev,
+                    v_prev=flow.v_prev, p_prev=flow.p_prev)
+
     # --- optional surrogate pressure prediction (Algorithm 2: before UEqn) ---
     if sm_predict is not None and cfg.sm_before_predictor:
-        aux = dict(u=u, v=v, p=p, dt=dt)
-        p = sm_predict(case, p, aux) * case.fluid
+        p = sm_predict(case, p, _aux()) * case.fluid
 
     # --- momentum predictor: solve(UEqn == -grad p) (UEqn.H:21-23) ---
     coef = momentum_coeffs(case, phi_x, phi_y, u, v, dt)
@@ -95,8 +98,7 @@ def piso_step(case: Case, flow: Flow, cfg: PisoConfig = PisoConfig(),
                            sweeps=cfg.momentum_sweeps)
 
     if sm_predict is not None and not cfg.sm_before_predictor:
-        aux = dict(u=u, v=v, p=p, dt=dt)
-        p = sm_predict(case, p, aux) * case.fluid
+        p = sm_predict(case, p, _aux()) * case.fluid
 
     # --- PISO corrector loop (pEqn.H, nCorrectors times) ---
     for _ in range(cfg.n_correctors):
@@ -108,8 +110,7 @@ def piso_step(case: Case, flow: Flow, cfg: PisoConfig = PisoConfig(),
 
         pcoef = pressure_coeffs(case, rau)
         rhs = pressure_rhs(case, phi_hx, phi_hy)
-        aux = dict(u=u, v=v, p=p, dt=dt)
-        p = backend(case, pcoef, rhs, p, aux)
+        p = backend(case, pcoef, rhs, p, _aux())
 
         phi_x, phi_y = correct_fluxes(case, pcoef, p, phi_hx, phi_hy)
         gpx, gpy = pressure_gradient(case, p)
@@ -117,7 +118,8 @@ def piso_step(case: Case, flow: Flow, cfg: PisoConfig = PisoConfig(),
         v = (hbya_v - rau * gpy) * case.fluid
 
     return Flow(u=u, v=v, p=p, phi_x=phi_x, phi_y=phi_y,
-                dt=dt, t=flow.t + dt)
+                dt=dt, t=flow.t + dt,
+                u_prev=flow.u, v_prev=flow.v, p_prev=flow.p)
 
 
 def run_piso(case: Case, flow: Flow, n_steps: int,

@@ -1,0 +1,395 @@
+"""Patch decomposition and overlap-stitching of grid fields.
+
+The reference cuts the uniform grid into 128x128 blocks with overlap,
+predicts per-block zero-mean pressure, then reconstructs the global field
+with a *sequential* chain of mean-matching offset corrections anchored to
+the outlet fixed-pressure BC (SM_call.py:182-365 `assemble_prediction`,
+block extraction :458-481; the solver-embedded variant uses 10% overlap,
+python_module.py:303-332).
+
+Two TPU-native reconstructions are provided:
+
+* `assemble_scan`   — a faithful `lax.scan` re-expression of the reference's
+  raster-order corrector (right-to-left within a row, rows top-to-bottom,
+  first-row blocks corrected against the outlet/neighbour, later rows
+  corrected against the stored overlap means `BC_ups`). Bit-comparable
+  semantics, sequential in the block count only (tens of scalar ops).
+* `assemble_lstsq`  — the TPU-first reformulation: per-block offsets solved
+  in closed form from ALL pairwise overlap mismatches (small SPD system,
+  one `jnp.linalg.solve`), then smooth cosine-window blending instead of
+  overwrite. Fully parallel, differentiable, and strictly more accurate
+  than the one-directional chain (error does not accumulate row by row).
+
+Both run entirely on device inside jit.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class BlockLayout:
+    """Static description of the block tiling of an (ny, nx) grid."""
+
+    ny: int
+    nx: int
+    size: int          # block edge S (reference `shape` = 128)
+    overlap: int       # o (25% eval / 10% in-solver)
+    n_x: int           # reference n_x: blocks-1 per row horizontally
+    n_y: int           # last regular row index
+    p_i: int           # uncovered bottom rows (0 => no extra row)
+    izl: int           # overlap width of the clamped leftmost block
+    has_extra_row: bool
+    y0s: tuple         # per-block top-left corners, raster order
+    x0s: tuple
+    idx_i: tuple       # reference [idx_i, idx_j] labels
+    idx_j: tuple
+
+    @property
+    def n_blocks(self) -> int:
+        return len(self.y0s)
+
+
+def build_block_layout(ny: int, nx: int, size: int = 128,
+                       overlap_ratio: float = 0.25) -> BlockLayout:
+    """Reproduce the reference's sliding-window enumeration
+    (SM_call.py:461-479): right-to-left within each row, extra clamped
+    leftmost block, extra bottom row anchored to the domain bottom."""
+    size = int(size)
+    o = int(overlap_ratio * size)
+    step = size - o
+    if ny < size or nx < size:
+        raise ValueError(f"grid {ny}x{nx} smaller than block size {size}")
+
+    n_x = int(np.ceil((nx - size) / step))
+    n_y = int((ny - size) / step)
+    p_i = ny - (step * n_y + size)
+    p_j = nx - (step * n_x + size)   # <= 0
+    izl = o - p_j
+    has_extra_row = p_i > 0
+
+    y0s, x0s, idx_i, idx_j = [], [], [], []
+    n_rows = n_y + 2 if has_extra_row else n_y + 1
+    for i in range(n_rows):
+        y0 = i * step
+        if has_extra_row and i == n_y + 1:
+            y0 = ny - size
+        for j in range(n_x + 1):
+            x0 = nx - j * step - size
+            if j == n_x:
+                x0 = 0
+            y0s.append(y0)
+            x0s.append(x0)
+            idx_i.append(i)
+            idx_j.append(n_x - j)
+
+    return BlockLayout(ny=ny, nx=nx, size=size, overlap=o, n_x=n_x, n_y=n_y,
+                       p_i=p_i, izl=izl, has_extra_row=has_extra_row,
+                       y0s=tuple(y0s), x0s=tuple(x0s),
+                       idx_i=tuple(idx_i), idx_j=tuple(idx_j))
+
+
+def extract_blocks(layout: BlockLayout, field: jnp.ndarray) -> jnp.ndarray:
+    """Gather all blocks in one indexed read: (N, S, S[, C])."""
+    s = layout.size
+    y0 = jnp.asarray(layout.y0s)[:, None, None]
+    x0 = jnp.asarray(layout.x0s)[:, None, None]
+    ar = jnp.arange(s)
+    rows = y0 + ar[None, :, None]
+    cols = x0 + ar[None, None, :]
+    return field[rows, cols]
+
+
+def block_zero_mean(blocks: jnp.ndarray, masks: jnp.ndarray) -> jnp.ndarray:
+    """Remove the per-block masked mean (train.py:269-271 / SM_call.py:488-489:
+    the SM predicts pressure only up to a per-block constant)."""
+    m = (masks != 0).astype(blocks.dtype)
+    cnt = jnp.maximum(m.sum(axis=(-2, -1), keepdims=True), 1.0)
+    mean = (blocks * m).sum(axis=(-2, -1), keepdims=True) / cnt
+    return (blocks - mean) * m
+
+
+def _masked_mean(x: jnp.ndarray, m: jnp.ndarray, axes) -> tuple[jnp.ndarray, jnp.ndarray]:
+    cnt = m.sum(axis=axes)
+    mean = jnp.where(cnt > 0, (x * m).sum(axis=axes) / jnp.maximum(cnt, 1.0), 0.0)
+    return mean, cnt
+
+
+def _strip_means(layout: BlockLayout, blocks: jnp.ndarray, masks: jnp.ndarray):
+    """All strip statistics the raster corrector consumes, vectorized over
+    blocks. Names follow the reference's correction sources."""
+    o, s, p_i, izl = layout.overlap, layout.size, layout.p_i, layout.izl
+    izl = min(izl, s)
+    m = (masks != 0).astype(blocks.dtype)
+    ax = (-2, -1)
+
+    def mm(sl_y, sl_x):
+        return _masked_mean(blocks[:, sl_y, sl_x], m[:, sl_y, sl_x], ax)
+
+    out = {}
+    out["right_col"] = mm(slice(None), slice(-1, None))          # outlet anchor
+    out["right_o"] = mm(slice(None), slice(-o, None))
+    out["left_o"] = mm(slice(None), slice(0, o))
+    out["right_izl"] = mm(slice(None), slice(-izl, None))
+    out["left_izl"] = mm(slice(None), slice(0, izl))
+    out["top_o"] = mm(slice(0, o), slice(None))
+    out["bot_o"] = mm(slice(-o, None), slice(None))
+    if layout.has_extra_row:
+        out["bot_pi"] = mm(slice(-(s - p_i), None), slice(None))
+        out["top_strip_pi"] = mm(slice(-p_i - o, -p_i), slice(None))
+        out["excl_pi"] = mm(slice(0, s - p_i), slice(None))
+        out["up_frac"] = m[:, -p_i - o:-p_i, :].sum(axis=ax) / float(s * s)
+    else:
+        zero = jnp.zeros(blocks.shape[0])
+        out["bot_pi"] = (zero, zero)
+        out["top_strip_pi"] = (zero, zero)
+        out["excl_pi"] = (zero, zero)
+        out["up_frac"] = zero
+    return out
+
+
+def stitch_offsets_scan(layout: BlockLayout, blocks: jnp.ndarray,
+                        masks: jnp.ndarray, ref_bc: float = 0.0) -> jnp.ndarray:
+    """Per-block additive corrections via the reference's sequential raster
+    corrector (SM_call.py:221-330), as a lax.scan over blocks.
+
+    Returns corr (N,) such that corrected block k = blocks[k] - corr[k].
+    """
+    sm = _strip_means(layout, blocks, masks)
+    n_x, n_y = layout.n_x, layout.n_y
+    idx_i = jnp.asarray(layout.idx_i)
+    idx_j = jnp.asarray(layout.idx_j)
+    k_arr = jnp.arange(layout.n_blocks)
+    last_row_i = n_y + 1 if layout.has_extra_row else -1
+
+    xs = dict(
+        k=k_arr, idx_i=idx_i, idx_j=idx_j,
+        right_col=sm["right_col"][0],
+        right_o=sm["right_o"][0], left_o=sm["left_o"][0],
+        right_izl=sm["right_izl"][0], left_izl=sm["left_izl"][0],
+        top_o=sm["top_o"][0],
+        bot_o=sm["bot_o"][0], bot_pi=sm["bot_pi"][0],
+        top_strip_pi=sm["top_strip_pi"][0], excl_pi=sm["excl_pi"][0],
+        up_frac=sm["up_frac"],
+    )
+
+    def body(carry, x):
+        bc_ups, bc_cnt, old_left_o, old_left_izl = carry
+        i, j = x["idx_i"], x["idx_j"]
+
+        # ---- first row (SM_call.py:228-246) ----
+        corr_first = jnp.where(
+            x["k"] == 0,
+            x["right_col"] - ref_bc,
+            x["right_o"] - old_left_o)
+        corr_first = jnp.where(j == 0, x["right_izl"] - old_left_izl, corr_first)
+
+        # ---- middle rows (SM_call.py:249-283) ----
+        ups_ok = bc_cnt[j] > 0
+        corr_side = jnp.where(j == 0, x["right_izl"] - old_left_izl,
+                              x["right_o"] - old_left_o)
+        corr_side = jnp.where(j == n_x, x["top_o"] - bc_ups[j], corr_side)
+        corr_mid = jnp.where(ups_ok, x["top_o"] - bc_ups[j], corr_side)
+
+        # ---- last row (SM_call.py:286-316) ----
+        # Deviation from the reference: for the rightmost block it compares
+        # the sub-strip pred[-p_i-o:-p_i] against BC_ups stored over the
+        # FULL overlap pred[-(S-p_i):] (SM_call.py:283 vs :292) — an
+        # off-by-strip inconsistency that leaves that one block with a
+        # biased offset. We use the consistent full-overlap strip
+        # (excl_pi), which makes ground-truth reconstruction exact.
+        corr_last_side = jnp.where(j == 0, x["right_izl"] - old_left_izl,
+                                   x["right_o"] - old_left_o)
+        corr_last = jnp.where(
+            j == n_x,
+            x["excl_pi"] - bc_ups[j],
+            jnp.where(x["up_frac"] > 0.9, corr_last_side,
+                      x["excl_pi"] - bc_ups[j]))
+
+        corr = jnp.where(i == 0, corr_first,
+                         jnp.where(i == last_row_i, corr_last, corr_mid))
+
+        # ---- store upward overlap mean for the block below ----
+        new_ups_val = jnp.where(i == n_y, x["bot_pi"] - corr,
+                                x["bot_o"] - corr)
+        store = (i != last_row_i)
+        bc_ups = jnp.where(store, bc_ups.at[j].set(new_ups_val), bc_ups)
+        bc_cnt = jnp.where(store, bc_cnt.at[j].set(1.0), bc_cnt)
+
+        carry = (bc_ups, bc_cnt,
+                 x["left_o"] - corr, x["left_izl"] - corr)
+        return carry, corr
+
+    init = (jnp.zeros(n_x + 1), jnp.zeros(n_x + 1), jnp.float32(0.0),
+            jnp.float32(0.0))
+    _, corr = jax.lax.scan(body, init, xs)
+    return corr
+
+
+def _place_blocks(layout: BlockLayout, blocks: jnp.ndarray) -> jnp.ndarray:
+    """Overwrite-placement in raster order (SM_call.py:332-348): later
+    blocks win the overlap; last-row blocks contribute only their bottom
+    p_i rows."""
+    s, p_i = layout.size, layout.p_i
+    last_row_i = layout.n_y + 1 if layout.has_extra_row else -1
+    result = jnp.zeros((layout.ny, layout.nx), dtype=blocks.dtype)
+    for k in range(layout.n_blocks):
+        y0, x0 = layout.y0s[k], layout.x0s[k]
+        if layout.idx_i[k] == last_row_i:
+            result = result.at[y0 + s - p_i:y0 + s, x0:x0 + s].set(
+                blocks[k, s - p_i:, :])
+        else:
+            result = result.at[y0:y0 + s, x0:x0 + s].set(blocks[k])
+    return result
+
+
+def assemble_scan(layout: BlockLayout, blocks: jnp.ndarray,
+                  masks: jnp.ndarray, ref_bc: float = 0.0,
+                  apply_filter: bool = False,
+                  filter_sigma: float = 10.0) -> jnp.ndarray:
+    """Faithful reconstruction: sequential corrections + overwrite placement
+    + global outlet re-anchor (SM_call.py:350) + optional Gaussian filter
+    (:352-356)."""
+    corr = stitch_offsets_scan(layout, blocks, masks, ref_bc)
+    corrected = blocks - corr[:, None, None]
+    result = _place_blocks(layout, corrected)
+    result = result - jnp.mean(3.0 * result[:, -1] - result[:, -2]) / 3.0
+    if apply_filter:
+        result = gaussian_filter2d(result, filter_sigma)
+    return result
+
+
+# ---------------------------------------------------------------------------
+# Least-squares offsets + blended placement (TPU-first mode)
+# ---------------------------------------------------------------------------
+
+def _overlap_pairs(layout: BlockLayout) -> list[tuple[int, int, tuple, tuple]]:
+    """Static list of overlapping block pairs and their shared grid window
+    expressed as per-block local slices ((ys, xs), (ys, xs))."""
+    pairs = []
+    n = layout.n_blocks
+    s = layout.size
+    for a in range(n):
+        for b in range(a + 1, n):
+            ya, xa, yb, xb = layout.y0s[a], layout.x0s[a], layout.y0s[b], layout.x0s[b]
+            y_lo, y_hi = max(ya, yb), min(ya + s, yb + s)
+            x_lo, x_hi = max(xa, xb), min(xa + s, xb + s)
+            if y_hi <= y_lo or x_hi <= x_lo:
+                continue
+            sl_a = (slice(y_lo - ya, y_hi - ya), slice(x_lo - xa, x_hi - xa))
+            sl_b = (slice(y_lo - yb, y_hi - yb), slice(x_lo - xb, x_hi - xb))
+            pairs.append((a, b, sl_a, sl_b))
+    return pairs
+
+
+def stitch_offsets_lstsq(layout: BlockLayout, blocks: jnp.ndarray,
+                         masks: jnp.ndarray, ref_bc: float = 0.0,
+                         anchor_weight: float = 1.0) -> jnp.ndarray:
+    """Solve for per-block offsets minimizing all pairwise overlap-mean
+    mismatches at once (the reformulation SURVEY.md §7 hard-part 2 calls
+    for):
+
+        min_c  sum_pairs w_ab ((m_a - c_a) - (m_b - c_b))^2
+               + anchor_weight * sum_outlet (m_r - c_r - ref_bc)^2
+
+    with m_* the blocks' masked means over the shared window and m_r the
+    outlet-column means of the rightmost blocks. Normal equations form a
+    small SPD graph Laplacian solved with one dense `jnp.linalg.solve`.
+    """
+    n = layout.n_blocks
+    m = (masks != 0).astype(blocks.dtype)
+    pairs = _overlap_pairs(layout)
+
+    rows_a, rows_b, diffs, ws = [], [], [], []
+    for a, b, sl_a, sl_b in pairs:
+        ma, ca = _masked_mean(blocks[a][sl_a], m[a][sl_a], (0, 1))
+        mb, cb = _masked_mean(blocks[b][sl_b], m[b][sl_b], (0, 1))
+        w = jnp.minimum(ca, cb) / float(layout.size**2)
+        rows_a.append(a)
+        rows_b.append(b)
+        diffs.append(ma - mb)
+        ws.append(w)
+
+    diffs = jnp.stack(diffs)
+    ws = jnp.stack(ws)
+    A = jnp.zeros((n, n))
+    rhs = jnp.zeros(n)
+    ia = jnp.asarray(rows_a)
+    ib = jnp.asarray(rows_b)
+    A = A.at[ia, ia].add(ws).at[ib, ib].add(ws)
+    A = A.at[ia, ib].add(-ws).at[ib, ia].add(-ws)
+    # c_a - c_b should equal m_a - m_b
+    rhs = rhs.at[ia].add(ws * diffs).at[ib].add(-ws * diffs)
+
+    # outlet anchor on rightmost (idx_j == n_x) first-row-side blocks
+    for k in range(n):
+        if layout.x0s[k] + layout.size == layout.nx:
+            mr, cr = _masked_mean(blocks[k][:, -1], m[k][:, -1], (0,))
+            w = anchor_weight * (cr > 0)
+            A = A.at[k, k].add(w)
+            rhs = rhs.at[k].add(w * (mr - ref_bc))
+
+    A = A + 1e-6 * jnp.eye(n)
+    return jnp.linalg.solve(A, rhs)
+
+
+def _blend_window(s: int) -> np.ndarray:
+    """Separable raised-cosine weight, >0 everywhere, peaked at centre."""
+    t = (np.arange(s) + 0.5) / s
+    w1 = 0.05 + 0.95 * np.sin(np.pi * t) ** 2
+    return np.outer(w1, w1).astype(np.float32)
+
+
+def assemble_lstsq(layout: BlockLayout, blocks: jnp.ndarray,
+                   masks: jnp.ndarray, ref_bc: float = 0.0) -> jnp.ndarray:
+    """Offset solve + smooth weighted blending (replaces overwrite
+    placement; removes the visible block seams the reference's Gaussian
+    filter exists to hide)."""
+    corr = stitch_offsets_lstsq(layout, blocks, masks, ref_bc)
+    corrected = blocks - corr[:, None, None]
+
+    w = jnp.asarray(_blend_window(layout.size))
+    s = layout.size
+    nb = layout.n_blocks
+    y0 = jnp.asarray(layout.y0s)[:, None, None]
+    x0 = jnp.asarray(layout.x0s)[:, None, None]
+    ar = jnp.arange(s)
+    rows = jnp.broadcast_to(y0 + ar[None, :, None], (nb, s, s)).reshape(-1)
+    cols = jnp.broadcast_to(x0 + ar[None, None, :], (nb, s, s)).reshape(-1)
+
+    num = jnp.zeros((layout.ny, layout.nx), dtype=blocks.dtype)
+    den = jnp.zeros((layout.ny, layout.nx), dtype=blocks.dtype)
+    wb = jnp.broadcast_to(w, corrected.shape)
+    num = num.at[rows, cols].add((corrected * wb).reshape(-1))
+    den = den.at[rows, cols].add(wb.reshape(-1))
+    result = num / jnp.maximum(den, 1e-8)
+    result = result - jnp.mean(3.0 * result[:, -1] - result[:, -2]) / 3.0
+    return result
+
+
+def gaussian_filter2d(field: jnp.ndarray, sigma: float,
+                      truncate: float = 4.0) -> jnp.ndarray:
+    """Separable Gaussian blur matching scipy.ndimage.gaussian_filter
+    defaults (reflect boundary), used by the reference to hide stitch
+    artifacts (SM_call.py:352-356, sigma=(10,10))."""
+    radius = int(truncate * sigma + 0.5)
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (x / sigma) ** 2)
+    k = k / k.sum()
+
+    def conv1d(f, axis):
+        f = jnp.moveaxis(f, axis, -1)
+        pad = [(0, 0)] * (f.ndim - 1) + [(radius, radius)]
+        fp = jnp.pad(f, pad, mode="symmetric")  # scipy 'reflect' == np 'symmetric'
+        out = jax.vmap(lambda row: jnp.convolve(row, k, mode="valid",
+                                                precision="highest"))(
+            fp.reshape(-1, fp.shape[-1]))
+        out = out.reshape(f.shape)
+        return jnp.moveaxis(out, -1, axis)
+
+    return conv1d(conv1d(field, 0), 1)

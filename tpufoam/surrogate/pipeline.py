@@ -1,0 +1,202 @@
+"""End-to-end surrogate inference: grid -> blocks -> PCA -> MLP -> stitch.
+
+One versioned artifact bundle replaces the reference's six loose sidecar
+files that must silently agree between training and serving (`maxs`,
+`maxs_PCA`, `mean_std.npz`, `ipca_input.pkl`, `ipca_p.pkl`, `weights.h5` —
+SURVEY.md §2.4, the `ipca_*_more.pkl` drift hazard of python_module.py:103).
+
+`make_predictor` builds a pure jitted function with the exact reference
+call chain (SM_call.py:421-586 / python_module.py:280-496): feature grid ->
+max-abs rescale -> overlapping blocks -> PCA encode -> standardize -> MLP
+-> de-standardize -> PCA decode -> per-block zero-mean consistency ->
+stitching corrector -> outlet anchor -> redimensionalize by max_abs_p *
+U_max^2 -> near-wall guard + non-finite fallback to the previous pressure.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..fv.case import Case
+from ..models.mlp import ModelDef, apply_model
+from .blocks import (BlockLayout, assemble_lstsq, assemble_scan,
+                     block_zero_mean, build_block_layout, extract_blocks)
+from .features import FAMILIES, FamilyConfig, u_max_norm
+from .pca import PCAModel
+
+
+@dataclasses.dataclass
+class SurrogateBundle:
+    """The train<->serve contract as one object."""
+
+    family: str
+    mdef: ModelDef
+    params: dict
+    pca_in: PCAModel
+    pca_out: PCAModel
+    pc_in: int
+    pc_out: int
+    norm_method: str                  # 'std' | 'min_max' | 'max_abs'
+    norm: dict                        # arrays per method (utils.py:290-329)
+    maxs_in: np.ndarray               # per-input-channel max-abs ('maxs' file)
+    maxs_out: np.ndarray              # per-target-channel max-abs
+    block_size: int = 128
+    overlap_ratio: float = 0.25
+
+    # ---- persistence -----------------------------------------------------
+    def save(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+        manifest = {
+            "version": 1,
+            "family": self.family,
+            "mdef": dataclasses.asdict(self.mdef),
+            "pc_in": self.pc_in,
+            "pc_out": self.pc_out,
+            "norm_method": self.norm_method,
+            "block_size": self.block_size,
+            "overlap_ratio": self.overlap_ratio,
+        }
+        with open(os.path.join(path, "manifest.json"), "w") as f:
+            json.dump(manifest, f, indent=2)
+
+        arrays = {}
+        flat, treedef = jax.tree_util.tree_flatten(self.params)
+        arrays.update({f"param_{i}": np.asarray(x) for i, x in enumerate(flat)})
+        with open(os.path.join(path, "params_tree.json"), "w") as f:
+            json.dump(str(treedef), f)
+        for tag, pca in (("in", self.pca_in), ("out", self.pca_out)):
+            arrays[f"pca_{tag}_mean"] = np.asarray(pca.mean)
+            arrays[f"pca_{tag}_components"] = np.asarray(pca.components)
+            arrays[f"pca_{tag}_ev"] = np.asarray(pca.explained_variance)
+            arrays[f"pca_{tag}_evr"] = np.asarray(pca.explained_variance_ratio)
+        for k, v in self.norm.items():
+            arrays[f"norm_{k}"] = np.asarray(v)
+        arrays["maxs_in"] = np.asarray(self.maxs_in)
+        arrays["maxs_out"] = np.asarray(self.maxs_out)
+        np.savez(os.path.join(path, "arrays.npz"), **arrays)
+
+    @staticmethod
+    def load(path: str) -> "SurrogateBundle":
+        with open(os.path.join(path, "manifest.json")) as f:
+            manifest = json.load(f)
+        data = np.load(os.path.join(path, "arrays.npz"))
+
+        mdef = ModelDef(**{**manifest["mdef"],
+                           "widths": tuple(manifest["mdef"]["widths"])})
+        n_params = len([k for k in data.files if k.startswith("param_")])
+        flat = [jnp.asarray(data[f"param_{i}"]) for i in range(n_params)]
+        # rebuild treedef by re-initializing a skeleton
+        from ..models.mlp import init_model
+        skeleton = init_model(jax.random.PRNGKey(0), mdef)
+        treedef = jax.tree_util.tree_structure(skeleton)
+        params = jax.tree_util.tree_unflatten(treedef, flat)
+
+        def pca(tag):
+            return PCAModel(mean=jnp.asarray(data[f"pca_{tag}_mean"]),
+                            components=jnp.asarray(data[f"pca_{tag}_components"]),
+                            explained_variance=jnp.asarray(data[f"pca_{tag}_ev"]),
+                            explained_variance_ratio=jnp.asarray(data[f"pca_{tag}_evr"]))
+
+        norm = {k[len("norm_"):]: jnp.asarray(data[k])
+                for k in data.files if k.startswith("norm_")}
+        return SurrogateBundle(
+            family=manifest["family"], mdef=mdef, params=params,
+            pca_in=pca("in"), pca_out=pca("out"),
+            pc_in=manifest["pc_in"], pc_out=manifest["pc_out"],
+            norm_method=manifest["norm_method"], norm=norm,
+            maxs_in=data["maxs_in"], maxs_out=data["maxs_out"],
+            block_size=manifest["block_size"],
+            overlap_ratio=manifest["overlap_ratio"],
+        )
+
+    # ---- normalization in PCA space (utils.py:290-329) -------------------
+    def standardize_in(self, z: jnp.ndarray) -> jnp.ndarray:
+        if self.norm_method == "std":
+            return (z - self.norm["mean_in"]) / self.norm["std_in"]
+        if self.norm_method == "min_max":
+            return (z - self.norm["min_in"]) / (self.norm["max_in"] - self.norm["min_in"])
+        return z / self.norm["max_abs_in"]
+
+    def destandardize_out(self, z: jnp.ndarray) -> jnp.ndarray:
+        if self.norm_method == "std":
+            return z * self.norm["std_out"] + self.norm["mean_out"]
+        if self.norm_method == "min_max":
+            return z * (self.norm["max_out"] - self.norm["min_out"]) + self.norm["min_out"]
+        return z * self.norm["max_abs_out"]
+
+
+def surrogate_blocks_forward(bundle: SurrogateBundle, layout: BlockLayout,
+                             input_grid: jnp.ndarray,
+                             mask_grid: jnp.ndarray) -> jnp.ndarray:
+    """Blocks -> PCA -> MLP -> PCA^-1. Returns (N, S, S, n_out) zero-mean
+    block predictions in nondimensional units."""
+    n_out = FAMILIES[bundle.family].n_out
+    scaled = input_grid / jnp.asarray(bundle.maxs_in)
+
+    xb = extract_blocks(layout, scaled)                     # (N, S, S, C)
+    n = xb.shape[0]
+    x_flat = xb.reshape(n, -1)
+
+    z_in = bundle.pca_in.transform(x_flat, bundle.pc_in)
+    z_in = bundle.standardize_in(z_in)
+    z_out = apply_model(bundle.params, bundle.mdef, z_in)
+    z_out = bundle.destandardize_out(z_out)
+    y_flat = bundle.pca_out.inverse_transform(z_out)
+    y = y_flat.reshape(n, layout.size, layout.size, n_out)
+
+    if FAMILIES[bundle.family].target_zero_mean:
+        mb = extract_blocks(layout, mask_grid)
+        y = jnp.stack([block_zero_mean(y[..., c], mb)
+                       for c in range(n_out)], axis=-1)
+    return y
+
+
+def make_predictor(bundle: SurrogateBundle, family: FamilyConfig | None = None,
+                   stitch: str = "scan", apply_filter: bool = False,
+                   near_wall_dist: float = 0.05):
+    """Build `predict(case, p_prev, aux) -> p` for the PISO engine
+    (aux carries u, v, p and prev-step fields; engine.py wires them).
+
+    stitch='scan' reproduces the reference corrector; 'lstsq' uses the
+    parallel offset solve + blended placement.
+    """
+    family = FAMILIES[bundle.family] if family is None else family
+    assemble = assemble_scan if stitch == "scan" else assemble_lstsq
+
+    def predict(case: Case, p_prev: jnp.ndarray, aux: dict) -> jnp.ndarray:
+        layout = build_block_layout(case.grid.ny, case.grid.nx,
+                                    bundle.block_size, bundle.overlap_ratio)
+        fields = dict(aux)
+        fields.setdefault("p", p_prev)
+        u, v = fields["u"], fields["v"]
+        um = u_max_norm(u, v)
+
+        x_grid = family.build_inputs(case, fields)
+        mask = case.sdf
+        y_blocks = surrogate_blocks_forward(bundle, layout, x_grid, mask)
+
+        pred = y_blocks[..., 0]
+        mb = extract_blocks(layout, mask)
+        field = assemble(layout, pred, mb)
+        if apply_filter:
+            from .blocks import gaussian_filter2d
+            field = gaussian_filter2d(field, 10.0)
+
+        # redimensionalize (python_module.py:490: p * max_abs_p * U_max^2)
+        field = field * jnp.asarray(bundle.maxs_out)[0] * um**2
+
+        p_new = p_prev + field if family.predicts_delta else field
+
+        # near-wall guard + non-finite fallback (python_module.py:492-496)
+        guard = (case.sdf < near_wall_dist) | (case.fluid == 0)
+        p_new = jnp.where(guard, p_prev, p_new)
+        p_new = jnp.where(jnp.isfinite(p_new), p_new, p_prev)
+        return p_new
+
+    return predict
