@@ -1,0 +1,89 @@
+"""tpufoam benchmark — one JSON line for the driver.
+
+Headline: PISO timestep throughput on a ~1M-cell 2D channel-with-cylinder
+case (the reference's benchmark geometry class, scaled to 2048x512), with
+the pressure Poisson solve at matched-accuracy CG tolerance, plus the
+surrogate-warm-started capped-iteration mode (the reference's production
+Algorithm 2: DLPoissonFoam.C:104-119).
+
+Baseline: the reference publishes no numbers in-tree (BASELINE.md). We use
+1.0 s/step == 1.0 Mcells/s as the documented estimate of single-core
+OpenFOAM pisoFoam on a 1M-cell 2D case (GAMG-dominated; consistent with the
+repo's CPU-laptop instrumentation context, log.DL). vs_baseline is the
+speedup against that estimate; the north-star target is >= 50x.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import numpy as np
+
+
+def time_rollout(case, flow, n_steps, cfg, backend, sm_predict=None):
+    from tpufoam.piso.engine import run_piso
+    flow2 = run_piso(case, flow, n_steps, cfg=cfg, backend=backend,
+                     sm_predict=sm_predict)
+    jax.block_until_ready(flow2.u)  # compile + warm
+    t0 = time.perf_counter()
+    flow3 = run_piso(case, flow2, n_steps, cfg=cfg, backend=backend,
+                     sm_predict=sm_predict)
+    jax.block_until_ready(flow3.u)
+    dt = time.perf_counter() - t0
+    return dt / n_steps, flow3
+
+
+def main():
+    from tpufoam.core.geometry import channel_case_geometry
+    from tpufoam.fv.case import build_channel_case, initial_flow
+    from tpufoam.piso.engine import PisoConfig, continuity_error
+    from tpufoam.solvers.backends import CGBackend, HybridBackend
+
+    ny, nx = 512, 2048
+    height = 2.0
+    delta = height / ny
+    geom = channel_case_geometry("cylinder", length=nx * delta, height=height,
+                                 obstacle_size=0.5, nu=8e-3)
+    case = build_channel_case(geom, delta=delta)
+    n_cells = case.grid.n_cells
+    flow = initial_flow(case, dt0=5e-4)
+    cfg = PisoConfig(n_correctors=2, max_co=0.5, max_dt=2e-3)
+
+    n_steps = 10
+    cg = CGBackend(rtol=1e-6, maxiter=1500)
+    t_cg, flow_cg = time_rollout(case, flow, n_steps, cfg, cg)
+
+    # surrogate-warm-started capped CG (structural bundle; timing-faithful)
+    from __graft_entry__ import _tiny_bundle
+    from tpufoam.surrogate.pipeline import make_predictor
+    bundle = _tiny_bundle(block_size=128)
+    hybrid = HybridBackend(predict=make_predictor(bundle, stitch="lstsq"),
+                           polish_iters=6)
+    t_hy, flow_hy = time_rollout(case, flow, n_steps, cfg, hybrid)
+
+    mcells_s = n_cells / t_cg / 1e6
+    baseline_mcells_s = 1.0  # est. single-core OpenFOAM pisoFoam, 1M cells
+    result = {
+        "metric": "PISO step throughput (1M-cell channel, CG @ rtol 1e-6)",
+        "value": round(mcells_s, 3),
+        "unit": "Mcells/s",
+        "vs_baseline": round(mcells_s / baseline_mcells_s, 2),
+        "extra": {
+            "n_cells": n_cells,
+            "sec_per_step_cg": round(t_cg, 4),
+            "sec_per_step_hybrid_sm": round(t_hy, 4),
+            "hybrid_mcells_s": round(n_cells / t_hy / 1e6, 3),
+            "continuity_err_cg": float(continuity_error(case, flow_cg)),
+            "device": str(jax.devices()[0]),
+            "baseline_note": "1.0 Mcells/s = est. 1 s/step single-core "
+                             "OpenFOAM pisoFoam @ 1M cells (no in-repo "
+                             "published numbers; see BASELINE.md)",
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,2 @@
+from .mesh import (device_mesh, mlp_partition_specs, shard_flow, shard_case,
+                   make_sharded_train_step, make_sharded_piso_step)
