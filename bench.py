@@ -52,7 +52,8 @@ def main():
     cfg = PisoConfig(n_correctors=2, max_co=0.5, max_dt=2e-3)
 
     n_steps = 10
-    cg = CGBackend(rtol=1e-6, maxiter=1500)
+    from tpufoam.solvers.backends import MGCGBackend
+    cg = MGCGBackend(rtol=1e-6, maxiter=60)
     t_cg, flow_cg = time_rollout(case, flow, n_steps, cfg, cg)
 
     # surrogate-warm-started capped CG (structural bundle; timing-faithful)
@@ -66,7 +67,7 @@ def main():
     mcells_s = n_cells / t_cg / 1e6
     baseline_mcells_s = 1.0  # est. single-core OpenFOAM pisoFoam, 1M cells
     result = {
-        "metric": "PISO step throughput (1M-cell channel, CG @ rtol 1e-6)",
+        "metric": "PISO step throughput (1M-cell channel, MG-PCG @ rtol 1e-6)",
         "value": round(mcells_s, 3),
         "unit": "Mcells/s",
         "vs_baseline": round(mcells_s / baseline_mcells_s, 2),

@@ -1,0 +1,65 @@
+"""Multigrid pressure solver tests: grid-size-independent convergence."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpufoam.core.geometry import ChannelCase, channel_case_geometry
+from tpufoam.fv.case import build_channel_case
+from tpufoam.fv.pressure import pressure_coeffs, pressure_matvec
+from tpufoam.solvers.multigrid import (build_hierarchy, mg_solve,
+                                       mgcg_pressure)
+
+
+def _problem(ny, nx, with_obstacle=False):
+    h = 1.0
+    delta = h / ny
+    if with_obstacle:
+        geom = channel_case_geometry("cylinder", length=nx * delta, height=h,
+                                     obstacle_size=0.3, nu=8e-3)
+    else:
+        geom = ChannelCase(length=nx * delta, height=h, shape=None)
+    case = build_channel_case(geom, delta=delta)
+    rau = jnp.ones(case.grid.shape, dtype=jnp.float32) * case.fluid
+    coef = pressure_coeffs(case, rau)
+    rng = np.random.default_rng(0)
+    x_true = jnp.asarray(rng.standard_normal(case.grid.shape),
+                         dtype=jnp.float32) * case.fluid
+    b = pressure_matvec(coef, x_true)
+    return case, coef, b, x_true
+
+
+def test_hierarchy_depth():
+    _, coef, _, _ = _problem(64, 256)
+    levels = build_hierarchy(coef, min_size=8)
+    assert len(levels) >= 3
+    assert levels[-1].diag.shape[0] >= 8
+
+
+@pytest.mark.parametrize("shape,obst", [((64, 128), False), ((64, 256), True)])
+def test_mgcg_converges_fast(shape, obst):
+    case, coef, b, x_true = _problem(*shape, with_obstacle=obst)
+    res = mgcg_pressure(coef, b, rtol=1e-8, maxiter=60)
+    err = (np.linalg.norm(np.asarray(res.x - x_true) * np.asarray(case.fluid))
+           / np.linalg.norm(np.asarray(x_true)))
+    assert float(res.residual) < 1e-7
+    assert err < 1e-4
+    assert int(res.iters) < 40, f"MGCG took {int(res.iters)} iterations"
+
+
+def test_mgcg_iterations_grid_independent():
+    iters = []
+    for shape in [(32, 64), (64, 128), (128, 256)]:
+        _, coef, b, _ = _problem(*shape)
+        res = mgcg_pressure(coef, b, rtol=1e-6, maxiter=100)
+        iters.append(int(res.iters))
+    # O(1) growth, not O(n): quadrupling the cells adds at most a few iters
+    assert iters[-1] <= iters[0] + 8, f"iters {iters}"
+
+
+def test_mg_fixed_cycles_reduce_residual():
+    case, coef, b, x_true = _problem(64, 128)
+    x = mg_solve(coef, b, jnp.zeros_like(b), cycles=4)
+    r0 = float(jnp.linalg.norm(b))
+    r = float(jnp.linalg.norm(b - pressure_matvec(coef, x)))
+    assert r / r0 < 1e-3, f"4 V-cycles only reduced to {r / r0:.2e}"

@@ -16,6 +16,7 @@ multi-chip spatial decomposition (tpufoam.parallel).
 from __future__ import annotations
 
 import dataclasses
+import functools
 from functools import partial
 
 import jax
@@ -122,20 +123,27 @@ def piso_step(case: Case, flow: Flow, cfg: PisoConfig = PisoConfig(),
                 u_prev=flow.u, v_prev=flow.v, p_prev=flow.p)
 
 
+@functools.lru_cache(maxsize=64)
+def _rollout_fn(n_steps: int, cfg: PisoConfig, backend, sm_predict):
+    """Cached jitted n-step rollout (keyed on the hashable statics, so
+    repeated run_piso calls reuse the compiled scan instead of retracing)."""
+
+    @jax.jit
+    def scan_fn(case, flow0):
+        def body(f, _):
+            f2 = piso_step(case, f, cfg=cfg, backend=backend,
+                           sm_predict=sm_predict)
+            return f2, None
+        out, _ = jax.lax.scan(body, flow0, None, length=n_steps)
+        return out
+
+    return scan_fn
+
+
 def run_piso(case: Case, flow: Flow, n_steps: int,
              cfg: PisoConfig = PisoConfig(),
              backend: PressureBackend = CGBackend(),
              sm_predict=None) -> Flow:
     """Roll out n_steps under one jit via lax.scan (whole rollout = one
     XLA program; the reference pays a C++->Python->MPI round-trip per step)."""
-    step = partial(piso_step, cfg=cfg, backend=backend, sm_predict=sm_predict)
-
-    @jax.jit
-    def scan_fn(flow0):
-        def body(f, _):
-            f2 = step(case, f)
-            return f2, None
-        out, _ = jax.lax.scan(body, flow0, None, length=n_steps)
-        return out
-
-    return scan_fn(flow)
+    return _rollout_fn(n_steps, cfg, backend, sm_predict)(case, flow)

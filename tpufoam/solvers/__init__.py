@@ -1,2 +1,4 @@
 from .cg import CGResult, pcg_pressure, diag_precond
-from .backends import PressureBackend, CGBackend, SurrogateBackend, HybridBackend
+from .multigrid import mg_solve, mgcg_pressure, build_hierarchy
+from .backends import PressureBackend, CGBackend, MGBackend, MGCGBackend, \
+    SurrogateBackend, HybridBackend

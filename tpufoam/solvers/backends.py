@@ -42,6 +42,33 @@ class CGBackend:
 
 
 @dataclasses.dataclass(frozen=True)
+class MGBackend:
+    """Fixed V-cycle geometric multigrid — the GAMG-with-maxIter role
+    (fvSolution:22-41). O(n) per solve; the default production backend."""
+    cycles: int = 4
+    pre: int = 2
+    post: int = 2
+
+    def __call__(self, case, coef, rhs, p_prev, aux):
+        from .multigrid import mg_solve
+        return mg_solve(coef, rhs, p_prev, cycles=self.cycles,
+                        pre=self.pre, post=self.post) * case.fluid
+
+
+@dataclasses.dataclass(frozen=True)
+class MGCGBackend:
+    """V-cycle-preconditioned CG to tolerance — the PCG+GAMG 'pFinal'
+    fidelity config (fvSolution:38-66)."""
+    rtol: float = 1e-6
+    maxiter: int = 60
+
+    def __call__(self, case, coef, rhs, p_prev, aux):
+        from .multigrid import mgcg_pressure
+        return mgcg_pressure(coef, rhs, x0=p_prev, rtol=self.rtol,
+                             maxiter=self.maxiter).x * case.fluid
+
+
+@dataclasses.dataclass(frozen=True)
 class SurrogateBackend:
     """Pure-surrogate pressure: p = SM(state). `predict` is a jitted pure
     function built by tpufoam.surrogate.pipeline.make_predictor."""

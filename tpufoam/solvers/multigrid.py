@@ -1,0 +1,207 @@
+"""Geometric multigrid for the pressure Poisson equation.
+
+The role of OpenFOAM's GAMG in the reference (fvSolution:22-41: GAMG with
+GaussSeidel smoothing, agglomerated coarse levels, tol 1e-8 / maxIter 6):
+the pressure solve must cost O(n) work, not O(n * sqrt(cond)) CG
+iterations. On a structured grid the agglomeration is trivial 2x2 cell
+coarsening and every smoother/transfer is a fused VPU stencil — ideal for
+TPU: no indirection, no sequential Gauss-Seidel dependency (we use damped
+Jacobi, whose extra iterations are nearly free on vector hardware).
+
+Galerkin-lite coarsening: coarse-level face conductances are built by
+summing the fine conductances across each coarse face (exact for piecewise-
+constant interpolation — the same energetic agglomeration GAMG uses), so
+solid-blanked cells and Dirichlet outlet coefficients coarsen correctly
+without re-discretization.
+
+Used either standalone (V-cycles to tolerance) or as a preconditioner for
+CG (`mgcg_pressure`) — the TPU analogue of the reference's PCG-with-GAMG-
+preconditioner 'pFinal' stage.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..fv.pressure import PressureCoeffs, pressure_matvec
+from .cg import CGResult
+
+
+def _can_coarsen(ny: int, nx: int, min_size: int = 8) -> bool:
+    return ny % 2 == 0 and nx % 2 == 0 and ny >= 2 * min_size and nx >= 2 * min_size
+
+
+def coarsen_coeffs(coef: PressureCoeffs) -> PressureCoeffs:
+    """Agglomerate 2x2 fine cells into one coarse cell.
+
+    Coarse face conductance = sum of fine conductances crossing that face;
+    conductances interior to an agglomerate vanish (their rows sum out).
+    The Dirichlet (outlet) conductance sums like an external face.
+    """
+    def csum_faces_x(c):   # conductances on x-normal faces: sum over the 2 rows
+        return c[0::2, :] + c[1::2, :]
+
+    def csum_faces_y(c):
+        return c[:, 0::2] + c[:, 1::2]
+
+    # east faces of a coarse cell = east faces of its right fine column.
+    # The 0.5 rediscretizes to the doubled spacing: a coarse face is twice
+    # as wide (sum of 2 fine conductances) but twice as long in the normal
+    # direction, so c_c = sum/2 — using the raw sum (pure agglomeration)
+    # leaves the coarse operator 2x too stiff and the V-cycle degrades to
+    # ~0.7/cycle asymptotically.
+    c_e = 0.5 * csum_faces_x(coef.c_e[:, 1::2])
+    c_w = 0.5 * csum_faces_x(coef.c_w[:, 0::2])
+    c_n = 0.5 * csum_faces_y(coef.c_n[1::2, :])
+    c_s = 0.5 * csum_faces_y(coef.c_s[0::2, :])
+    c_out = 0.5 * (coef.c_out[0::2, 0::2] + coef.c_out[0::2, 1::2]
+                   + coef.c_out[1::2, 0::2] + coef.c_out[1::2, 1::2])
+
+    interior = c_e + c_w + c_n + c_s + c_out
+    solid = interior <= 0.0
+    diag = jnp.where(solid, 1.0, interior)
+    z = jnp.zeros_like(diag)
+    return PressureCoeffs(
+        c_e=jnp.where(solid, z, c_e), c_w=jnp.where(solid, z, c_w),
+        c_n=jnp.where(solid, z, c_n), c_s=jnp.where(solid, z, c_s),
+        c_out=jnp.where(solid, z, c_out), diag=diag)
+
+
+def _prolong1d(e: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Cell-centred linear interpolation along one axis (weights 3/4, 1/4;
+    edge-replicated at boundaries — Neumann-consistent)."""
+    e = jnp.moveaxis(e, axis, 0)
+    up = jnp.concatenate([e[:1], e[:-1]], axis=0)      # e[I-1]
+    dn = jnp.concatenate([e[1:], e[-1:]], axis=0)      # e[I+1]
+    even = 0.75 * e + 0.25 * up
+    odd = 0.75 * e + 0.25 * dn
+    out = jnp.stack([even, odd], axis=1).reshape(2 * e.shape[0], *e.shape[1:])
+    return jnp.moveaxis(out, 0, axis)
+
+
+def _restrict1d(r: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Exact adjoint of `_prolong1d` (row sums 2 — pairs with the summed
+    coarse operator). Keeping R = P^T keeps the V-cycle symmetric so it is
+    a valid CG preconditioner."""
+    r = jnp.moveaxis(r, axis, 0)
+    r_even, r_odd = r[0::2], r[1::2]
+    rm = jnp.concatenate([jnp.zeros_like(r_odd[:1]), r_odd[:-1]], axis=0)
+    rp = jnp.concatenate([r_even[1:], jnp.zeros_like(r_even[:1])], axis=0)
+    out = 0.75 * (r_even + r_odd) + 0.25 * (rm + rp)
+    out = out.at[0].add(0.25 * r_even[0])
+    out = out.at[-1].add(0.25 * r_odd[-1])
+    return jnp.moveaxis(out, 0, axis)
+
+
+def restrict(r: jnp.ndarray) -> jnp.ndarray:
+    """Full-weighting restriction = adjoint of bilinear prolongation."""
+    return _restrict1d(_restrict1d(r, 0), 1)
+
+
+def prolong(e: jnp.ndarray) -> jnp.ndarray:
+    """Cell-centred bilinear prolongation (9/16, 3/16, 3/16, 1/16)."""
+    return _prolong1d(_prolong1d(e, 0), 1)
+
+
+def jacobi_smooth(coef: PressureCoeffs, x: jnp.ndarray, b: jnp.ndarray,
+                  iters: int, omega: float = 0.8) -> jnp.ndarray:
+    inv_d = 1.0 / coef.diag
+
+    def body(_, x):
+        r = b - pressure_matvec(coef, x)
+        return x + omega * inv_d * r
+
+    return lax.fori_loop(0, iters, body, x)
+
+
+def build_hierarchy(coef: PressureCoeffs, min_size: int = 8,
+                    max_levels: int = 12) -> list[PressureCoeffs]:
+    levels = [coef]
+    while len(levels) < max_levels:
+        c = levels[-1]
+        ny, nx = c.diag.shape
+        if not _can_coarsen(ny, nx, min_size):
+            break
+        levels.append(coarsen_coeffs(c))
+    return levels
+
+
+def v_cycle(levels: list[PressureCoeffs], b: jnp.ndarray,
+            x: jnp.ndarray, pre: int = 2, post: int = 2,
+            coarse_iters: int = 40) -> jnp.ndarray:
+    """One V(pre, post) cycle. Unrolled over the (static) level count."""
+    def fluid_mask(coef: PressureCoeffs) -> jnp.ndarray:
+        return ((coef.c_e + coef.c_w + coef.c_n + coef.c_s + coef.c_out)
+                > 0).astype(b.dtype)
+
+    def cycle(lvl: int, b: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        coef = levels[lvl]
+        if lvl == len(levels) - 1:
+            return jacobi_smooth(coef, x, b, coarse_iters)
+        x = jacobi_smooth(coef, x, b, pre)
+        r = b - pressure_matvec(coef, x)
+        rc = restrict(r)
+        ec = cycle(lvl + 1, rc, jnp.zeros_like(rc))
+        # mask the interpolated correction so it cannot leak into blanked
+        # (solid) cells; the diagonal mask keeps the cycle symmetric
+        x = x + prolong(ec) * fluid_mask(coef)
+        return jacobi_smooth(coef, x, b, post)
+
+    return cycle(0, b, x)
+
+
+@partial(jax.jit, static_argnames=("cycles", "pre", "post", "min_size"))
+def mg_solve(coef: PressureCoeffs, b: jnp.ndarray, x0: jnp.ndarray,
+             cycles: int = 4, pre: int = 2, post: int = 2,
+             min_size: int = 8) -> jnp.ndarray:
+    """Fixed number of V-cycles (the capped-iteration 'p' solve mode,
+    fvSolution maxIter 6 semantics)."""
+    levels = build_hierarchy(coef, min_size=min_size)
+    x = x0
+    for _ in range(cycles):
+        x = v_cycle(levels, b, x, pre, post)
+    return x
+
+
+@partial(jax.jit, static_argnames=("maxiter", "pre", "post", "min_size"))
+def mgcg_pressure(coef: PressureCoeffs, b: jnp.ndarray,
+                  x0: jnp.ndarray | None = None,
+                  rtol: float = 1e-6, atol: float = 1e-12,
+                  maxiter: int = 60, pre: int = 1, post: int = 1,
+                  min_size: int = 8) -> CGResult:
+    """CG preconditioned by one V-cycle — the GAMG-preconditioned-PCG
+    fidelity config (fvSolution:38-66). Converges in O(10) iterations
+    independent of grid size."""
+    levels = build_hierarchy(coef, min_size=min_size)
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+
+    def precond(r):
+        return v_cycle(levels, r, jnp.zeros_like(r), pre, post)
+
+    r = b - pressure_matvec(coef, x0)
+    z = precond(r)
+    rz = jnp.vdot(r, z)
+    b_norm = jnp.maximum(jnp.linalg.norm(b), atol)
+
+    def cond(state):
+        _, r, _, _, k = state
+        return (jnp.linalg.norm(r) > jnp.maximum(rtol * b_norm, atol)) & (k < maxiter)
+
+    def body(state):
+        x, r, p, rz, k = state
+        ap = pressure_matvec(coef, p)
+        alpha = rz / jnp.maximum(jnp.vdot(p, ap), 1e-30)
+        x = x + alpha * p
+        r = r - alpha * ap
+        z = precond(r)
+        rz_new = jnp.vdot(r, z)
+        beta = rz_new / jnp.maximum(rz, 1e-30)
+        p = z + beta * p
+        return (x, r, p, rz_new, k + 1)
+
+    x, r, _, _, k = lax.while_loop(cond, body, (x0, r, z, rz, jnp.int32(0)))
+    return CGResult(x=x, iters=k, residual=jnp.linalg.norm(r) / b_norm)
