@@ -1,0 +1,268 @@
+"""Command-line entry points.
+
+Mirrors the reference's console_scripts surface (setup.py:8-14,
+entry_point.py:5-122: train_script / evaluation_script) plus the solver and
+dataset drivers that the reference runs as shell pipelines
+(make_dataset.py, sim_cmd.sh, DLPoissonFoam):
+
+  tpufoam-datagen  — parametric case sweep -> PISO rollouts -> HDF5 dataset
+  tpufoam-train    — dataset -> trained surrogate bundle
+  tpufoam-eval     — bundle + dataset -> BIAS/STDE/RMSE report (+ plots)
+  tpufoam-piso     — run a coupled simulation with a chosen pressure
+                     backend (cg | mg | mgcg | sm | hybrid), timed per step
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def _add_case_flags(p):
+    p.add_argument("--shape", default="cylinder",
+                   choices=["cylinder", "rectangle", "triangle", "ellipse",
+                            "plate"])
+    p.add_argument("--length", type=float, default=8.0)
+    p.add_argument("--height", type=float, default=2.0)
+    p.add_argument("--obstacle-size", type=float, default=0.5)
+    p.add_argument("--nu", type=float, default=8e-3)
+    p.add_argument("--delta", type=float, default=None,
+                   help="grid spacing (default height/128)")
+
+
+def _build_case(args):
+    from .core.geometry import channel_case_geometry
+    from .fv.case import build_channel_case
+    delta = args.delta or args.height / 128
+    geom = channel_case_geometry(args.shape, length=args.length,
+                                 height=args.height,
+                                 obstacle_size=args.obstacle_size, nu=args.nu)
+    return geom, build_channel_case(geom, delta=delta)
+
+
+def _backend(name, bundle_path=None, stitch="lstsq", polish=6):
+    from .solvers.backends import (CGBackend, HybridBackend, MGBackend,
+                                   MGCGBackend, SurrogateBackend)
+    if name == "cg":
+        return CGBackend(rtol=1e-6, maxiter=2000)
+    if name == "mg":
+        return MGBackend(cycles=4)
+    if name == "mgcg":
+        return MGCGBackend(rtol=1e-6)
+    from .surrogate.pipeline import SurrogateBundle, make_predictor
+    bundle = SurrogateBundle.load(bundle_path)
+    predictor = make_predictor(bundle, stitch=stitch)
+    if name == "sm":
+        return SurrogateBackend(predict=predictor)
+    if name == "hybrid":
+        return HybridBackend(predict=predictor, polish_iters=polish)
+    raise ValueError(name)
+
+
+# ---------------------------------------------------------------------------
+
+def piso_main(argv=None):
+    ap = argparse.ArgumentParser("tpufoam-piso",
+                                 description="Run a PISO simulation "
+                                 "(DLPoissonFoam.C role)")
+    _add_case_flags(ap)
+    ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--dt0", type=float, default=1e-3)
+    ap.add_argument("--max-co", type=float, default=0.5)
+    ap.add_argument("--n-correctors", type=int, default=2)
+    ap.add_argument("--backend", default="mgcg",
+                    choices=["cg", "mg", "mgcg", "sm", "hybrid"])
+    ap.add_argument("--bundle", default=None, help="surrogate bundle dir")
+    ap.add_argument("--stitch", default="lstsq", choices=["scan", "lstsq"])
+    ap.add_argument("--out", default=None, help=".npz output for final fields")
+    args = ap.parse_args(argv)
+
+    import numpy as np
+
+    from .fv.case import initial_flow
+    from .piso.engine import PisoConfig, continuity_error, courant_number, run_piso
+
+    geom, case = _build_case(args)
+    flow = initial_flow(case, dt0=args.dt0)
+    cfg = PisoConfig(n_correctors=args.n_correctors, max_co=args.max_co)
+    backend = _backend(args.backend, args.bundle, args.stitch)
+
+    chunk = max(1, min(50, args.steps))
+    done = 0
+    t0 = time.perf_counter()
+    while done < args.steps:
+        n = min(chunk, args.steps - done)
+        flow = run_piso(case, flow, n, cfg=cfg, backend=backend)
+        done += n
+        el = time.perf_counter() - t0
+        print(f"step {done}/{args.steps} t={float(flow.t):.4f} "
+              f"dt={float(flow.dt):.2e} Co={float(courant_number(case, flow)):.3f} "
+              f"contErr={float(continuity_error(case, flow)):.2e} "
+              f"[{el / done * 1000:.2f} ms/step]", flush=True)
+
+    if args.out:
+        np.savez(args.out, u=np.asarray(flow.u), v=np.asarray(flow.v),
+                 p=np.asarray(flow.p), t=float(flow.t))
+        print(f"saved fields to {args.out}")
+
+
+def datagen_main(argv=None):
+    ap = argparse.ArgumentParser("tpufoam-datagen",
+                                 description="Case sweep -> PISO -> HDF5 "
+                                 "(make_dataset.py + sim_cmd.sh + "
+                                 "data_generation.py roles)")
+    _add_case_flags(ap)
+    ap.add_argument("--n-sims", type=int, default=3)
+    ap.add_argument("--n-frames", type=int, default=20)
+    ap.add_argument("--steps-per-frame", type=int, default=10)
+    ap.add_argument("--warmup-steps", type=int, default=100)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", required=True, help="output .h5 path")
+    args = ap.parse_args(argv)
+
+    import numpy as np
+
+    from .core.geometry import channel_case_geometry
+    from .fv.case import build_channel_case, initial_flow
+    from .piso.engine import PisoConfig, run_piso
+    from .solvers.backends import MGCGBackend
+    from .train.dataset import frames_from_rollout
+    from .utils.hdf5_io import CH_DELTAS, rollout_to_records, write_dataset
+
+    rng = np.random.default_rng(args.seed)
+    delta = args.delta or args.height / 128
+    sims = []
+    for s in range(args.n_sims):
+        # stratified size sweep like make_dataset.py:45-65
+        size = float(rng.uniform(0.5, 1.2)) * args.obstacle_size
+        cy = args.height * float(rng.uniform(0.4, 0.6))
+        geom = channel_case_geometry(args.shape, length=args.length,
+                                     height=args.height, obstacle_size=size,
+                                     cy=cy, nu=args.nu)
+        case = build_channel_case(geom, delta=delta)
+        flow = initial_flow(case, dt0=1e-3)
+        cfg = PisoConfig()
+        flow = run_piso(case, flow, args.warmup_steps, cfg=cfg,
+                        backend=MGCGBackend())
+        frames = frames_from_rollout(case, flow, args.n_frames,
+                                     args.steps_per_frame, cfg=cfg,
+                                     backend=MGCGBackend())
+        cells = rollout_to_records(case, frames)
+        top = geom.boundary_points_top(2000)
+        obst = geom.shape.boundary_points(720)
+        sims.append([dict(cells=c, top=top, obst=obst) for c in cells])
+        print(f"sim {s}: size={size:.3f} frames={len(cells)}", flush=True)
+
+    write_dataset(args.out, sims, channels=CH_DELTAS)
+    print(f"wrote {args.out}")
+
+
+def train_main(argv=None):
+    ap = argparse.ArgumentParser("tpufoam-train",
+                                 description="Train a surrogate "
+                                 "(train_script role, entry_point.py:5-68)")
+    ap.add_argument("--dataset", required=True, help=".h5 dataset path")
+    ap.add_argument("--family", default="deltaU_deltaP",
+                    choices=["deltaU_deltaP", "poisson", "M_u", "M_fU",
+                             "U_gradP"])
+    ap.add_argument("--delta", type=float, default=5e-3,
+                    help="grid spacing (reference default 5e-3)")
+    ap.add_argument("--block-size", type=int, default=128)
+    ap.add_argument("--overlap", type=float, default=0.25)
+    ap.add_argument("--n-samples", type=int, default=int(1e4),
+                    help="blocks per sim (reference default 1e4)")
+    ap.add_argument("--num-sims", type=int, default=None)
+    ap.add_argument("--first-t", type=int, default=0)
+    ap.add_argument("--last-t", type=int, default=None)
+    ap.add_argument("--var-in", type=float, default=0.95)
+    ap.add_argument("--var-p", type=float, default=0.95)
+    ap.add_argument("--max-num-pc", type=int, default=512)
+    ap.add_argument("--arch", default="MLP_small")
+    ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--beta1", type=float, default=0.9)
+    ap.add_argument("--batch-size", type=int, default=1024)
+    ap.add_argument("--epochs", type=int, default=5000)
+    ap.add_argument("--dropout", type=float, default=None)
+    ap.add_argument("--regularization", type=float, default=None)
+    ap.add_argument("--standardization", default="std",
+                    choices=["std", "min_max", "max_abs"])
+    ap.add_argument("--out", required=True, help="bundle output dir")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    from .eval.evaluation import UnstructuredCase
+    from .train.dataset import build_block_dataset
+    from .train.trainer import TrainConfig, train_surrogate
+    from .utils.hdf5_io import dataset_shape, read_frame
+
+    n_sims, n_t = dataset_shape(args.dataset)
+    n_sims = min(n_sims, args.num_sims or n_sims)
+    last_t = min(n_t, args.last_t or n_t)
+
+    all_frames = []
+    ucase = None
+    for s in range(n_sims):
+        ucase = UnstructuredCase.from_hdf5(args.dataset, s, args.delta)
+        for t in range(args.first_t, last_t):
+            fr = read_frame(args.dataset, s, t)
+            all_frames.append(ucase.fields_from_frame(fr))
+        print(f"prepared sim {s} ({last_t - args.first_t} frames)", flush=True)
+
+    n_per_frame = max(args.n_samples // (2 * max(last_t - args.first_t, 1)), 8)
+    ds = build_block_dataset(ucase.case, all_frames, family=args.family,
+                             n_samples_per_frame=n_per_frame,
+                             block_size=args.block_size, seed=args.seed)
+    print(f"dataset: {ds.n} blocks of {args.block_size}^2", flush=True)
+
+    cfg = TrainConfig(arch=args.arch, lr=args.lr, beta1=args.beta1,
+                      batch_size=args.batch_size, max_epochs=args.epochs,
+                      var_in=args.var_in, var_out=args.var_p,
+                      max_num_pc=args.max_num_pc, dropout=args.dropout,
+                      l2=args.regularization,
+                      standardization=args.standardization, seed=args.seed)
+    bundle, state = train_surrogate(ds, args.family, cfg,
+                                    overlap_ratio=args.overlap, verbose=True)
+    bundle.save(args.out)
+    print(json.dumps({"best_val": state.best_val,
+                      "best_epoch": state.best_epoch,
+                      "epochs_run": len(state.history),
+                      "pc_in": bundle.pc_in, "pc_out": bundle.pc_out,
+                      "bundle": args.out}))
+
+
+def eval_main(argv=None):
+    ap = argparse.ArgumentParser("tpufoam-eval",
+                                 description="Evaluate a surrogate bundle "
+                                 "(evaluation_script role, entry_point.py:71-122)")
+    ap.add_argument("--dataset", required=True)
+    ap.add_argument("--bundle", required=True)
+    ap.add_argument("--delta", type=float, default=5e-3)
+    ap.add_argument("--num-sims", type=int, default=None)
+    ap.add_argument("--first-t", type=int, default=0)
+    ap.add_argument("--last-t", type=int, default=None)
+    ap.add_argument("--stitch", default="scan", choices=["scan", "lstsq"])
+    ap.add_argument("--apply-filter", action="store_true")
+    ap.add_argument("--save-plots", action="store_true")
+    ap.add_argument("--plots-dir", default="plots")
+    args = ap.parse_args(argv)
+
+    from .eval.evaluation import UnstructuredCase, evaluate_bundle
+    from .surrogate.pipeline import SurrogateBundle
+    from .utils.hdf5_io import dataset_shape, read_frame
+
+    bundle = SurrogateBundle.load(args.bundle)
+    n_sims, n_t = dataset_shape(args.dataset)
+    n_sims = min(n_sims, args.num_sims or n_sims)
+    last_t = min(n_t, args.last_t or n_t)
+
+    for s in range(n_sims):
+        ucase = UnstructuredCase.from_hdf5(args.dataset, s, args.delta)
+        frames = [ucase.fields_from_frame(read_frame(args.dataset, s, t))
+                  for t in range(args.first_t, last_t)]
+        rep = evaluate_bundle(bundle, ucase.case, frames, stitch=args.stitch,
+                              apply_filter=args.apply_filter)
+        print(f"===== sim {s} =====\n{rep.summary()}\n", flush=True)
+        if args.save_plots:
+            from .utils.plotting import save_eval_plots
+            save_eval_plots(ucase.case, bundle, frames, args.plots_dir, sim=s)

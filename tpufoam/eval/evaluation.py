@@ -1,0 +1,202 @@
+"""Offline evaluation engine — the reference's `Evaluation`/`call_SM_main`
+(source/pressureSM_deltas/SM_call.py:26-945).
+
+Flow per simulation: one-time mesh prep (`computeOnlyOnce`, SM_call.py:89-180:
+grid build, Delaunay weights, SDF, cell-index map) then per-timestep
+inference + reconstruction + BIAS/STDE/RMSE on (a) raw blocks, (b) the
+stitched delta-p field, (c) the reconstructed p field — with the
+irrelevant-timestep skip (SM_call.py:407-415) and per-sim/global aggregates
+(SM_call.py:820-918).
+
+Two data sources:
+  * UnstructuredCase — reference HDF5 datasets (unstructured cell records
+    resampled onto the uniform grid, both directions precomputed);
+  * native tpufoam rollout frames (already on the grid).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.grid import make_grid
+from ..core.interp import build_resample
+from ..core.sdf import domain_and_sdf
+from ..fv.case import Case, _assemble_masks
+from ..surrogate.blocks import build_block_layout, extract_blocks, block_zero_mean
+from ..surrogate.features import FAMILIES, u_max_norm
+from ..surrogate.pipeline import SurrogateBundle, make_predictor, \
+    surrogate_blocks_forward
+from ..utils.hdf5_io import SimFrame, read_frame, dataset_shape
+from ..utils.metrics import ErrorReport, error_metrics
+
+
+@dataclasses.dataclass
+class UnstructuredCase:
+    """Mesh prep for one simulation of a reference-format dataset."""
+
+    case: Case
+    resample: object          # mesh -> grid
+    resample_back: object     # grid -> mesh (python_module.py:210-211)
+    indices: np.ndarray       # (n_grid_cells_in_domain, 2)
+    channels: tuple
+
+    @staticmethod
+    def from_hdf5(path: str, sim: int, delta: float,
+                  nu: float = 8e-3) -> "UnstructuredCase":
+        fr = read_frame(path, sim, 0)
+        return UnstructuredCase.from_frame(fr, delta, nu)
+
+    @staticmethod
+    def from_frame(fr: SimFrame, delta: float, nu: float = 8e-3) -> "UnstructuredCase":
+        ci = fr.channels.index
+        pts = fr.data[:, [ci("Cx"), ci("Cy")]].astype(np.float64)
+        x_min, x_max = round(pts[:, 0].min(), 2), round(pts[:, 0].max(), 2)
+        y_min, y_max = round(pts[:, 1].min(), 2), round(pts[:, 1].max(), 2)
+        grid = make_grid(x_min, x_max, y_min, y_max, delta)
+        gpts = grid.cell_centers_flat(np)
+
+        domain, sdf = domain_and_sdf(gpts, fr.top, fr.obst)
+        domain = np.asarray(domain)
+        sdf = np.asarray(sdf).reshape(grid.shape)
+        fluid = domain.reshape(grid.shape).astype(np.float32)
+
+        op = build_resample(pts, gpts)
+        op_back = build_resample(gpts, pts)
+
+        y = grid.y0 + (np.arange(grid.ny) + 0.5) * grid.dy
+        h = y_max - y_min
+        inlet_u = (6.0 * (y - y_min) / h * (1 - (y - y_min) / h)).astype(np.float32)
+
+        case = _assemble_masks(grid, fluid, sdf * fluid, inlet_u, nu)
+        indices = np.argwhere(fluid > 0)
+        return UnstructuredCase(case=case, resample=op, resample_back=op_back,
+                                indices=indices, channels=fr.channels)
+
+    def grid_field(self, cell_values: np.ndarray) -> jnp.ndarray:
+        """Interpolate one cell-wise field onto the (ny, nx) grid."""
+        vals = self.resample(jnp.asarray(cell_values), fill_value=0.0)
+        return jnp.nan_to_num(vals).reshape(self.case.grid.shape) * self.case.fluid
+
+    def fields_from_frame(self, fr: SimFrame) -> dict:
+        ci = fr.channels.index
+        d = fr.data
+
+        def g(name):
+            return self.grid_field(d[:, ci(name)])
+
+        fields = dict(u=g("Ux"), v=g("Uy"), p=g("p"))
+        if "dUx" in fr.channels:
+            fields["u_prev"] = fields["u"] - g("dUx")
+            fields["v_prev"] = fields["v"] - g("dUy")
+            fields["p_prev"] = fields["p"] - g("dp")
+        else:
+            fields["u_prev"] = fields["u"]
+            fields["v_prev"] = fields["v"]
+            fields["p_prev"] = fields["p"]
+        return fields
+
+
+@dataclasses.dataclass
+class EvalReport:
+    per_frame: list
+    block: ErrorReport | None
+    field: ErrorReport | None
+    p_field: ErrorReport | None
+
+    def summary(self) -> str:
+        lines = []
+        if self.block:
+            lines.append(f"** Error in blocks **\n{self.block}")
+        if self.field:
+            lines.append(f"** Error in delta field **\n{self.field}")
+        if self.p_field:
+            lines.append(f"** Error in p **\n{self.p_field}")
+        return "\n\n".join(lines)
+
+
+def _relevant(fields, threshold=1e-4) -> bool:
+    du = np.asarray(fields["u"] - fields["u_prev"])
+    dv = np.asarray(fields["v"] - fields["v_prev"])
+    um = float(np.max(np.hypot(np.asarray(fields["u"]), np.asarray(fields["v"]))))
+    dum = float(np.max(np.hypot(du, dv)))
+    return um > 1e-12 and (dum / um) >= threshold
+
+
+def evaluate_bundle(bundle: SurrogateBundle, case: Case, frames: list[dict],
+                    stitch: str = "scan", apply_filter: bool = False) -> EvalReport:
+    """Run the surrogate over evaluation frames and report the reference's
+    three error tiers. `frames` are grid-space field dicts."""
+    import jax
+
+    family = FAMILIES[bundle.family]
+    layout = build_block_layout(case.grid.ny, case.grid.nx,
+                                bundle.block_size, bundle.overlap_ratio)
+    predictor = make_predictor(bundle, stitch=stitch,
+                               apply_filter=apply_filter)
+
+    @jax.jit  # one dispatch per frame (tunneled-device latency)
+    def frame_eval(fields):
+        um = u_max_norm(fields["u"], fields["v"])
+        x_grid = family.build_inputs(case, fields)
+        y_grid = family.build_targets(case, fields)
+        yb_pred = surrogate_blocks_forward(bundle, layout, x_grid, case.sdf)
+        yb_true = extract_blocks(layout, y_grid)
+        mb = extract_blocks(layout, case.sdf)
+        if family.target_zero_mean:
+            yb_true = jnp.stack(
+                [block_zero_mean(yb_true[..., c], mb)
+                 for c in range(yb_true.shape[-1])], axis=-1)
+        p_hat = predictor(case, fields["p_prev"], fields)
+        return yb_pred, yb_true, p_hat, um
+
+    per_frame = []
+    blk_pred, blk_true = [], []
+    fld_pred, fld_true = [], []
+    p_pred_all, p_true_all = [], []
+    mask = np.asarray(case.fluid) != 0
+
+    for fields in frames:
+        if not _relevant(fields):
+            per_frame.append(None)  # irrelevant-ts skip (SM_call.py:407-415)
+            continue
+        # block-level error (before assembly, SM_call.py:553-557) + full
+        # predictor, one fused device dispatch
+        yb_pred, yb_true, p_hat, um = frame_eval(fields)
+        um = float(um)
+        p_hat = np.asarray(p_hat)
+
+        # pred blocks are in maxs_out-scaled nondim units, true blocks in
+        # family nondim units (dp/U^2) — redimensionalize both to physical
+        redim = float(np.asarray(bundle.maxs_out)[0]) * um**2
+        blk_pred.append(np.asarray(yb_pred[..., 0]) * redim)
+        blk_true.append(np.asarray(yb_true[..., 0]) * um**2)
+
+        p_prev = np.asarray(fields["p_prev"])
+        p_true = np.asarray(fields["p"])
+        fld_pred.append((p_hat - p_prev)[mask])
+        fld_true.append((p_true - p_prev)[mask])
+        p_pred_all.append(p_hat[mask])
+        p_true_all.append(p_true[mask])
+
+        per_frame.append(dict(
+            field=error_metrics(p_hat - p_prev, p_true - p_prev, mask),
+            p=error_metrics(p_hat, p_true, mask)))
+
+    if not fld_pred:
+        return EvalReport(per_frame=per_frame, block=None, field=None,
+                          p_field=None)
+
+    mask_blocks = np.asarray(extract_blocks(layout, case.sdf)) != 0
+    mb_all = np.concatenate([mask_blocks] * len(blk_pred))
+    block_rep = error_metrics(np.concatenate(blk_pred),
+                              np.concatenate(blk_true),
+                              mb_all)
+    field_rep = error_metrics(np.concatenate(fld_pred),
+                              np.concatenate(fld_true))
+    p_rep = error_metrics(np.concatenate(p_pred_all),
+                          np.concatenate(p_true_all))
+    return EvalReport(per_frame=per_frame, block=block_rep, field=field_rep,
+                      p_field=p_rep)

@@ -287,6 +287,41 @@ def _overlap_pairs(layout: BlockLayout) -> list[tuple[int, int, tuple, tuple]]:
     return pairs
 
 
+def _pair_index_tables(layout: BlockLayout):
+    """Static (numpy) gather tables for all overlap pairs: per pair, the
+    flattened local indices of the shared window in each block, padded to
+    the max overlap area. Built once per layout; turns the offset solve
+    into a handful of large gathers instead of one op per pair."""
+    pairs = _overlap_pairs(layout)
+    s = layout.size
+    areas = []
+    for _, _, sl_a, _ in pairs:
+        areas.append((sl_a[0].stop - sl_a[0].start)
+                     * (sl_a[1].stop - sl_a[1].start))
+    max_area = max(areas)
+
+    n_p = len(pairs)
+    ia = np.zeros(n_p, np.int32)
+    ib = np.zeros(n_p, np.int32)
+    idx_a = np.zeros((n_p, max_area), np.int32)
+    idx_b = np.zeros((n_p, max_area), np.int32)
+    valid = np.zeros((n_p, max_area), np.float32)
+    for p, (a, b, sl_a, sl_b) in enumerate(pairs):
+        ia[p], ib[p] = a, b
+
+        def flat(sl):
+            yy, xx = np.meshgrid(np.arange(sl[0].start, sl[0].stop),
+                                 np.arange(sl[1].start, sl[1].stop),
+                                 indexing="ij")
+            return (yy * s + xx).reshape(-1)
+
+        fa, fb = flat(sl_a), flat(sl_b)
+        idx_a[p, :len(fa)] = fa
+        idx_b[p, :len(fb)] = fb
+        valid[p, :len(fa)] = 1.0
+    return ia, ib, idx_a, idx_b, valid
+
+
 def stitch_offsets_lstsq(layout: BlockLayout, blocks: jnp.ndarray,
                          masks: jnp.ndarray, ref_bc: float = 0.0,
                          anchor_weight: float = 1.0) -> jnp.ndarray:
@@ -303,36 +338,38 @@ def stitch_offsets_lstsq(layout: BlockLayout, blocks: jnp.ndarray,
     """
     n = layout.n_blocks
     m = (masks != 0).astype(blocks.dtype)
-    pairs = _overlap_pairs(layout)
+    ia_np, ib_np, idx_a, idx_b, valid = _pair_index_tables(layout)
+    ia = jnp.asarray(ia_np)
+    ib = jnp.asarray(ib_np)
 
-    rows_a, rows_b, diffs, ws = [], [], [], []
-    for a, b, sl_a, sl_b in pairs:
-        ma, ca = _masked_mean(blocks[a][sl_a], m[a][sl_a], (0, 1))
-        mb, cb = _masked_mean(blocks[b][sl_b], m[b][sl_b], (0, 1))
-        w = jnp.minimum(ca, cb) / float(layout.size**2)
-        rows_a.append(a)
-        rows_b.append(b)
-        diffs.append(ma - mb)
-        ws.append(w)
+    bf = blocks.reshape(n, -1)
+    mf = m.reshape(n, -1)
+    va = jnp.take_along_axis(bf[ia_np], jnp.asarray(idx_a), axis=1)
+    vb = jnp.take_along_axis(bf[ib_np], jnp.asarray(idx_b), axis=1)
+    ma_m = jnp.take_along_axis(mf[ia_np], jnp.asarray(idx_a), axis=1) * valid
+    mb_m = jnp.take_along_axis(mf[ib_np], jnp.asarray(idx_b), axis=1) * valid
 
-    diffs = jnp.stack(diffs)
-    ws = jnp.stack(ws)
+    ca = ma_m.sum(axis=1)
+    cb = mb_m.sum(axis=1)
+    mean_a = jnp.where(ca > 0, (va * ma_m).sum(axis=1) / jnp.maximum(ca, 1.0), 0.0)
+    mean_b = jnp.where(cb > 0, (vb * mb_m).sum(axis=1) / jnp.maximum(cb, 1.0), 0.0)
+    diffs = mean_a - mean_b
+    ws = jnp.minimum(ca, cb) / float(layout.size**2)
+
     A = jnp.zeros((n, n))
     rhs = jnp.zeros(n)
-    ia = jnp.asarray(rows_a)
-    ib = jnp.asarray(rows_b)
     A = A.at[ia, ia].add(ws).at[ib, ib].add(ws)
     A = A.at[ia, ib].add(-ws).at[ib, ia].add(-ws)
     # c_a - c_b should equal m_a - m_b
     rhs = rhs.at[ia].add(ws * diffs).at[ib].add(-ws * diffs)
 
-    # outlet anchor on rightmost (idx_j == n_x) first-row-side blocks
-    for k in range(n):
-        if layout.x0s[k] + layout.size == layout.nx:
-            mr, cr = _masked_mean(blocks[k][:, -1], m[k][:, -1], (0,))
-            w = anchor_weight * (cr > 0)
-            A = A.at[k, k].add(w)
-            rhs = rhs.at[k].add(w * (mr - ref_bc))
+    # outlet anchor on rightmost (touching the fixed-p boundary) blocks
+    anchor = np.asarray([layout.x0s[k] + layout.size == layout.nx
+                         for k in range(n)], np.float32)
+    mr, cr = _masked_mean(blocks[:, :, -1], m[:, :, -1], (1,))
+    w_anchor = anchor_weight * anchor * (cr > 0)
+    A = A + jnp.diag(w_anchor)
+    rhs = rhs + w_anchor * (mr - ref_bc)
 
     A = A + 1e-6 * jnp.eye(n)
     return jnp.linalg.solve(A, rhs)

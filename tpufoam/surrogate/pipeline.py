@@ -169,6 +169,9 @@ def make_predictor(bundle: SurrogateBundle, family: FamilyConfig | None = None,
     family = FAMILIES[bundle.family] if family is None else family
     assemble = assemble_scan if stitch == "scan" else assemble_lstsq
 
+    @jax.jit  # jit at the predictor boundary: on a tunneled TPU device,
+    # eager per-op dispatch latency dwarfs the compute (one compile per
+    # grid shape, then a single dispatch per call)
     def predict(case: Case, p_prev: jnp.ndarray, aux: dict) -> jnp.ndarray:
         layout = build_block_layout(case.grid.ny, case.grid.nx,
                                     bundle.block_size, bundle.overlap_ratio)
