@@ -1,0 +1,57 @@
+/* tpufoam host bridge — C API for coupling external CFD solvers to the
+ * tpufoam TPU serving process.
+ *
+ * Native-parity component for the reference's embedded-CPython coupling
+ * (Thesis_Work/Chapter5/parallelized/DLPoissonSolver/PythonComm_init.H:1-96
+ * and PythonComm.H:1-37): the reference links libpython into the OpenFOAM
+ * binary, keeps a persistent double[n_cells][5] buffer, and calls
+ * init_func(cells, top, obst, rank) once and py_func(cells, rank) -> p
+ * every timestep, zero-copy via PyArray_SimpleNewFromData.
+ *
+ * Here the solver process stays Python-free: it talks to a persistent
+ * tpufoam server (tpufoam.bridge.server) over a Unix-domain socket, with
+ * all field payloads living in a POSIX shared-memory arena — the same
+ * zero-copy buffer contract, minus the embedded interpreter, the GIL, and
+ * the per-rank MPI gather (state is device-resident on the server side).
+ *
+ * Field layout per cell matches PythonComm_init.H:58-66: [Ux, Uy, Cx, Cy, p].
+ */
+
+#ifndef TPUFOAM_BRIDGE_H
+#define TPUFOAM_BRIDGE_H
+
+#include <stddef.h>
+
+#ifdef __cplusplus
+extern "C" {
+#endif
+
+typedef struct tb_handle tb_handle;
+
+/* Connect to the serving socket and register a case.
+ *   cells: n_cells x 5 doubles [Ux, Uy, Cx, Cy, p]
+ *   top:   n_top  x 2 doubles (outer-wall boundary coordinates)
+ *   obst:  n_obst x 2 doubles (obstacle boundary coordinates)
+ * Returns NULL on failure. Blocks until the server finishes its one-time
+ * mesh preparation (the init_func role). */
+tb_handle *tb_init(const char *socket_path,
+                   const double *cells, size_t n_cells,
+                   const double *top, size_t n_top,
+                   const double *obst, size_t n_obst);
+
+/* One pressure prediction: writes the current cells (n_cells x 5, same
+ * layout) and receives p (n_cells doubles) — the py_func contract.
+ * Returns 0 on success. */
+int tb_step(tb_handle *h, const double *cells, double *p_out);
+
+/* Wall-clock of the last tb_step in milliseconds (the reference's
+ * clock_gettime instrumentation, DLPoissonFoam.C:106-111). */
+double tb_last_step_ms(const tb_handle *h);
+
+void tb_close(tb_handle *h);
+
+#ifdef __cplusplus
+}
+#endif
+
+#endif /* TPUFOAM_BRIDGE_H */

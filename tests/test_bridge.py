@@ -1,0 +1,74 @@
+"""C++ host-bridge integration: compile the native client, run it against
+an in-process server, verify the zero-copy transport and the Poisson
+pressure model end to end."""
+
+import os
+import shutil
+import subprocess
+import threading
+import time
+
+import numpy as np
+import pytest
+
+BRIDGE_DIR = os.path.join(os.path.dirname(__file__), "..", "bridge")
+
+pytestmark = pytest.mark.skipif(shutil.which("g++") is None,
+                                reason="no C++ toolchain")
+
+
+@pytest.fixture(scope="module")
+def built_bridge(tmp_path_factory):
+    build = tmp_path_factory.mktemp("bridge_build")
+    for f in ("tpufoam_bridge.h", "tpufoam_bridge.cpp", "demo_solver.cpp",
+              "Makefile"):
+        shutil.copy(os.path.join(BRIDGE_DIR, f), build)
+    subprocess.run(["make", "-C", str(build)], check=True,
+                   capture_output=True)
+    return build
+
+
+def _run_server(sock_path, model, delta=0.05):
+    from tpufoam.bridge.server import BridgeServer
+    srv = BridgeServer(str(sock_path), model=model, delta=delta)
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    deadline = time.time() + 10
+    while not os.path.exists(sock_path) and time.time() < deadline:
+        time.sleep(0.05)
+    return srv, th
+
+
+def test_bridge_identity_roundtrip(built_bridge, tmp_path):
+    sock = tmp_path / "tb.sock"
+    srv, th = _run_server(sock, model="identity")
+    try:
+        out = subprocess.run([str(built_bridge / "demo_solver"), str(sock), "3"],
+                             capture_output=True, text=True, timeout=120)
+        assert out.returncode == 0, out.stderr
+        assert "bridge ready" in out.stdout
+        assert out.stdout.count("DL pressure prediction") == 3
+        assert "demo done" in out.stdout
+    finally:
+        srv.stop()
+        th.join(timeout=5)
+
+
+def test_bridge_poisson_model(built_bridge, tmp_path):
+    """The server actually solves a pressure field for the C++ client."""
+    sock = tmp_path / "tb2.sock"
+    srv, th = _run_server(sock, model="poisson", delta=0.05)
+    try:
+        out = subprocess.run([str(built_bridge / "demo_solver"), str(sock), "2"],
+                             capture_output=True, text=True, timeout=600)
+        assert out.returncode == 0, out.stderr
+        # pressure range must be finite and non-degenerate
+        import re
+        ranges = re.findall(r"p in \[([-\d.eg+]+), ([-\d.eg+]+)\]", out.stdout)
+        assert len(ranges) == 2
+        lo, hi = map(float, ranges[-1])
+        assert np.isfinite([lo, hi]).all()
+        assert hi > lo
+    finally:
+        srv.stop()
+        th.join(timeout=5)
