@@ -55,8 +55,13 @@ def _band_spec(nx: int, tile_y: int):
 
 
 def _shift_ew(xc: jnp.ndarray):
-    xe = jnp.pad(xc[:, 1:], ((0, 0), (0, 1)))
-    xw = jnp.pad(xc[:, :-1], ((0, 0), (1, 0)))
+    # lane shifts via circular roll (Mosaic-lowerable, unlike pad+concat);
+    # the wrapped-around boundary columns are multiplied by zero
+    # conductances (c_e on the last column / c_w on the first are 0), so
+    # no masking is needed.
+    n = xc.shape[1]
+    xe = pltpu.roll(xc, shift=n - 1, axis=1)   # value from column j+1
+    xw = pltpu.roll(xc, shift=1, axis=1)       # value from column j-1
     return xe, xw
 
 
@@ -98,8 +103,9 @@ def _make_jacobi_kernel(tile_y):
     return kernel
 
 
-@jax.jit
-def stencil_matvec_pallas(coef, x: jnp.ndarray) -> jnp.ndarray:
+@partial(jax.jit, static_argnames=("interpret",))
+def stencil_matvec_pallas(coef, x: jnp.ndarray,
+                          interpret: bool = False) -> jnp.ndarray:
     """Fused A @ x. `coef` is a fv.pressure.PressureCoeffs."""
     ny, nx = x.shape
     t = _tile_y(ny)
@@ -114,12 +120,14 @@ def stencil_matvec_pallas(coef, x: jnp.ndarray) -> jnp.ndarray:
         out_shape=jax.ShapeDtypeStruct((ny, nx), x.dtype),
         scratch_shapes=[pltpu.VMEM((t + 2, nx), x.dtype),
                         pltpu.SemaphoreType.DMA],
+        interpret=interpret,
     )(xp, coef.c_e, coef.c_w, coef.c_n, coef.c_s, coef.diag)
 
 
-@partial(jax.jit, static_argnames=("iters",))
+@partial(jax.jit, static_argnames=("iters", "interpret"))
 def jacobi_sweep_pallas(coef, x: jnp.ndarray, b: jnp.ndarray,
-                        iters: int = 2, omega: float = 0.8) -> jnp.ndarray:
+                        iters: int = 2, omega: float = 0.8,
+                        interpret: bool = False) -> jnp.ndarray:
     """`iters` fused damped-Jacobi sweeps (multigrid.jacobi_smooth
     equivalent, one HBM round trip of x per sweep)."""
     ny, nx = x.shape
@@ -137,6 +145,7 @@ def jacobi_sweep_pallas(coef, x: jnp.ndarray, b: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((ny, nx), x.dtype),
         scratch_shapes=[pltpu.VMEM((t + 2, nx), x.dtype),
                         pltpu.SemaphoreType.DMA],
+        interpret=interpret,
     )
 
     def body(_, x):
