@@ -1,0 +1,128 @@
+"""Multi-chip sharding + batched-rollout + resume tests (8 virtual CPU
+devices from conftest)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+
+def test_sharded_train_step_matches_single_device():
+    from tpufoam.models.mlp import ModelDef, apply_model, init_model
+    from tpufoam.parallel.mesh import device_mesh, make_sharded_train_step
+
+    mdef = ModelDef.from_arch("MLP_small", in_dim=32, out_dim=16,
+                              compute_dtype="float32")
+    params = init_model(jax.random.PRNGKey(0), mdef)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+    xb = jax.random.normal(jax.random.PRNGKey(1), (64, 32))
+    yb = jax.random.normal(jax.random.PRNGKey(2), (64, 16))
+
+    # single-device reference step
+    def loss_fn(p):
+        return 1e6 * jnp.mean((apply_model(p, mdef, xb) - yb) ** 2)
+    l_ref, g = jax.value_and_grad(loss_fn)(params)
+    upd, _ = opt.update(g, opt_state, params)
+    p_ref = optax.apply_updates(params, upd)
+
+    mesh = device_mesh(8)
+    step, shard = make_sharded_train_step(mesh, mdef, opt)
+    with mesh:
+        p_s, o_s, x_s, y_s = shard(params, opt_state, xb, yb)
+        p_out, _, l_out = step(p_s, o_s, x_s, y_s)
+        jax.block_until_ready(l_out)
+
+    assert abs(float(l_out) - float(l_ref)) / float(l_ref) < 1e-4
+    for a, b in zip(jax.tree.leaves(p_out), jax.tree.leaves(p_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_sharded_piso_matches_single_device():
+    from tpufoam.core.geometry import channel_case_geometry
+    from tpufoam.fv.case import build_channel_case, initial_flow
+    from tpufoam.parallel.mesh import (device_mesh, make_sharded_piso_step,
+                                       shard_case, shard_flow)
+    from tpufoam.piso.engine import PisoConfig, piso_step
+    from tpufoam.solvers.backends import CGBackend
+
+    geom = channel_case_geometry("cylinder", length=4.0, height=1.0,
+                                 obstacle_size=0.3)
+    case = build_channel_case(geom, delta=1.0 / 32)
+    flow = initial_flow(case, dt0=2e-3)
+    cfg = PisoConfig(n_correctors=1)
+    backend = CGBackend(rtol=1e-7, maxiter=400)
+
+    ref = piso_step(case, flow, cfg=cfg, backend=backend)
+
+    mesh = device_mesh(8)
+    step = make_sharded_piso_step(mesh, cfg, backend)
+    with mesh:
+        out = step(shard_case(mesh, case), shard_flow(mesh, flow))
+        jax.block_until_ready(out.u)
+
+    # sharded CG sums in a different order -> iterates differ within the
+    # solver tolerance; compare at physics level
+    np.testing.assert_allclose(np.asarray(out.u), np.asarray(ref.u),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out.p), np.asarray(ref.p),
+                               atol=5e-3)
+
+
+def test_batched_multi_geometry_rollout():
+    from tpufoam.core.geometry import channel_case_geometry
+    from tpufoam.fv.case import build_channel_case, initial_flow
+    from tpufoam.piso.batched import run_piso_batched, stack_cases, stack_flows
+    from tpufoam.piso.engine import PisoConfig
+    from tpufoam.solvers.backends import CGBackend
+
+    cases, flows = [], []
+    for shape_name, size in [("cylinder", 0.3), ("rectangle", 0.25),
+                             ("triangle", 0.3)]:
+        geom = channel_case_geometry(shape_name, length=3.0, height=1.0,
+                                     obstacle_size=size)
+        c = build_channel_case(geom, delta=1.0 / 24)
+        cases.append(c)
+        flows.append(initial_flow(c, dt0=2e-3))
+
+    batch_c = stack_cases(cases)
+    batch_f = stack_flows(flows)
+    out = run_piso_batched(batch_c, batch_f, 5, cfg=PisoConfig(n_correctors=1),
+                           backend=CGBackend(rtol=1e-5, maxiter=300))
+    u = np.asarray(out.u)
+    assert u.shape[0] == 3
+    assert np.isfinite(u).all()
+    # geometries differ -> flows differ
+    assert np.abs(u[0] - u[1]).max() > 1e-3
+
+
+def test_train_checkpoint_resume(tmp_path):
+    from tpufoam.train.dataset import BlockDataset
+    from tpufoam.train.trainer import TrainConfig, train_surrogate
+
+    rng = np.random.default_rng(0)
+    n, b = 256, 16
+    x = rng.standard_normal((n, b, b, 3)).astype(np.float32)
+    y = rng.standard_normal((n, b, b, 1)).astype(np.float32) * 0.1
+    mask = np.ones((n, b, b), np.float32)
+    ds = BlockDataset(x=x, y=y, mask=mask,
+                      maxs_in=np.abs(x).max((0, 1, 2)),
+                      maxs_out=np.abs(y).max((0, 1, 2)))
+    cfg = TrainConfig(arch="MLP_small", max_epochs=30, batch_size=64,
+                      max_num_pc=16, best_after_epoch=2,
+                      early_stop_patience=1000)
+    ck = str(tmp_path / "ck.pkl")
+
+    # run 30 epochs straight
+    _, s_full = train_surrogate(ds, "deltaU_deltaP", cfg)
+
+    # run 0-20 with checkpointing, then resume to 30
+    cfg20 = TrainConfig(**{**cfg.__dict__, "max_epochs": 20})
+    train_surrogate(ds, "deltaU_deltaP", cfg20, checkpoint_path=ck,
+                    checkpoint_every=10)
+    _, s_res = train_surrogate(ds, "deltaU_deltaP", cfg, checkpoint_path=ck,
+                               checkpoint_every=10)
+    assert len(s_res.history) == 30
+    # resumed run reaches a comparable loss
+    assert s_res.history[-1] < s_full.history[0]

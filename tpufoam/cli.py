@@ -189,10 +189,18 @@ def train_main(argv=None):
                     choices=["std", "min_max", "max_abs"])
     ap.add_argument("--out", required=True, help="bundle output dir")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cache", default=None,
+                    help=".npz block-dataset cache (skip reprocessing if it "
+                         "exists — the reference's outarray.h5 gate)")
+    ap.add_argument("--checkpoint", default=None,
+                    help="training checkpoint path for resume")
     args = ap.parse_args(argv)
 
+    import os
+
     from .eval.evaluation import UnstructuredCase
-    from .train.dataset import build_block_dataset
+    from .train.dataset import (build_block_dataset, load_block_dataset,
+                                save_block_dataset)
     from .train.trainer import TrainConfig, train_surrogate
     from .utils.hdf5_io import dataset_shape, read_frame
 
@@ -200,19 +208,26 @@ def train_main(argv=None):
     n_sims = min(n_sims, args.num_sims or n_sims)
     last_t = min(n_t, args.last_t or n_t)
 
-    all_frames = []
-    ucase = None
-    for s in range(n_sims):
-        ucase = UnstructuredCase.from_hdf5(args.dataset, s, args.delta)
-        for t in range(args.first_t, last_t):
-            fr = read_frame(args.dataset, s, t)
-            all_frames.append(ucase.fields_from_frame(fr))
-        print(f"prepared sim {s} ({last_t - args.first_t} frames)", flush=True)
+    if args.cache and os.path.exists(args.cache):
+        ds = load_block_dataset(args.cache)
+        print(f"loaded cached dataset: {ds.n} blocks", flush=True)
+    else:
+        all_frames = []
+        ucase = None
+        for s in range(n_sims):
+            ucase = UnstructuredCase.from_hdf5(args.dataset, s, args.delta)
+            for t in range(args.first_t, last_t):
+                fr = read_frame(args.dataset, s, t)
+                all_frames.append(ucase.fields_from_frame(fr))
+            print(f"prepared sim {s} ({last_t - args.first_t} frames)",
+                  flush=True)
 
-    n_per_frame = max(args.n_samples // (2 * max(last_t - args.first_t, 1)), 8)
-    ds = build_block_dataset(ucase.case, all_frames, family=args.family,
-                             n_samples_per_frame=n_per_frame,
-                             block_size=args.block_size, seed=args.seed)
+        n_per_frame = max(args.n_samples // (2 * max(last_t - args.first_t, 1)), 8)
+        ds = build_block_dataset(ucase.case, all_frames, family=args.family,
+                                 n_samples_per_frame=n_per_frame,
+                                 block_size=args.block_size, seed=args.seed)
+        if args.cache:
+            save_block_dataset(args.cache, ds)
     print(f"dataset: {ds.n} blocks of {args.block_size}^2", flush=True)
 
     cfg = TrainConfig(arch=args.arch, lr=args.lr, beta1=args.beta1,
@@ -222,7 +237,9 @@ def train_main(argv=None):
                       l2=args.regularization,
                       standardization=args.standardization, seed=args.seed)
     bundle, state = train_surrogate(ds, args.family, cfg,
-                                    overlap_ratio=args.overlap, verbose=True)
+                                    overlap_ratio=args.overlap,
+                                    checkpoint_path=args.checkpoint,
+                                    verbose=True)
     bundle.save(args.out)
     print(json.dumps({"best_val": state.best_val,
                       "best_epoch": state.best_epoch,

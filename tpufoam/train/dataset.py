@@ -128,6 +128,19 @@ def build_block_dataset(case: Case, frames: Iterable[dict],
     return BlockDataset(x=x, y=y, mask=m, maxs_in=maxs_in, maxs_out=maxs_out)
 
 
+def save_block_dataset(path: str, ds: BlockDataset) -> None:
+    """Stage cache — the reference's file-existence-gated restart for the
+    raw-processing stage (train.py:506-523, outarray.h5 + maxs)."""
+    np.savez_compressed(path, x=ds.x.astype(np.float16), y=ds.y, mask=ds.mask,
+                        maxs_in=ds.maxs_in, maxs_out=ds.maxs_out)
+
+
+def load_block_dataset(path: str) -> BlockDataset:
+    d = np.load(path)
+    return BlockDataset(x=d["x"].astype(np.float32), y=d["y"], mask=d["mask"],
+                        maxs_in=d["maxs_in"], maxs_out=d["maxs_out"])
+
+
 def frames_from_rollout(case: Case, flow0, n_frames: int, steps_per_frame: int,
                         cfg=None, backend=None) -> list[dict]:
     """Self-contained data production: run the PISO engine and snapshot

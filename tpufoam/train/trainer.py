@@ -13,6 +13,7 @@ over shuffled batches — no per-batch host round trip.
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 
 import jax
@@ -121,12 +122,42 @@ def relative_change_early_stop(losses: list, patience: int,
     return abs((recent - prev) / prev) < min_delta
 
 
+def save_checkpoint(path: str, params, opt_state, epoch: int,
+                    history: list, val_history: list,
+                    best_val: float, best_epoch: int, best_params) -> None:
+    """Epoch-level resume state (the reference only checkpoints the model,
+    not the optimizer — SURVEY.md §5 'No optimizer-state checkpointing';
+    we keep both)."""
+    import pickle
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        pickle.dump(dict(
+            params=jax.tree.map(np.asarray, params),
+            opt_state=jax.tree.map(np.asarray, opt_state),
+            epoch=epoch, history=history, val_history=val_history,
+            best_val=best_val, best_epoch=best_epoch,
+            best_params=jax.tree.map(np.asarray, best_params)), f)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str):
+    import pickle
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
 def train_surrogate(ds: BlockDataset, family: str,
                     cfg: TrainConfig = TrainConfig(),
                     block_size: int | None = None,
                     overlap_ratio: float = 0.25,
+                    checkpoint_path: str | None = None,
+                    checkpoint_every: int = 50,
                     verbose: bool = False) -> tuple[SurrogateBundle, TrainState]:
-    """Full training pipeline -> serving-ready SurrogateBundle."""
+    """Full training pipeline -> serving-ready SurrogateBundle.
+
+    If `checkpoint_path` exists, training resumes from it (the reference's
+    new_model=false resume, train.py:573-575, upgraded with optimizer
+    state)."""
     pca_in, pca_out, pc_in, pc_out = fit_pcas(ds, cfg)
     z_in, z_out = encode_dataset(ds, pca_in, pca_out, pc_in, pc_out)
     x, y, norm = normalize_pc_space(z_in, z_out, cfg.standardization)
@@ -180,7 +211,20 @@ def train_surrogate(ds: BlockDataset, family: str,
 
     history, val_history = [], []
     best_val, best_params, best_epoch = np.inf, params, -1
-    for epoch in range(cfg.max_epochs):
+    start_epoch = 0
+    if checkpoint_path and os.path.exists(checkpoint_path):
+        ck = load_checkpoint(checkpoint_path)
+        params = jax.tree.map(jnp.asarray, ck["params"])
+        opt_state = jax.tree.map(jnp.asarray, ck["opt_state"])
+        history, val_history = ck["history"], ck["val_history"]
+        best_val, best_epoch = ck["best_val"], ck["best_epoch"]
+        best_params = jax.tree.map(jnp.asarray, ck["best_params"])
+        start_epoch = ck["epoch"] + 1
+        if verbose:
+            print(f"resumed from {checkpoint_path} at epoch {start_epoch}",
+                  flush=True)
+
+    for epoch in range(start_epoch, cfg.max_epochs):
         params, opt_state, tr_loss, key = epoch_step(params, opt_state, key)
         vl = float(val_loss(params))
         history.append(float(tr_loss))
@@ -190,6 +234,10 @@ def train_surrogate(ds: BlockDataset, family: str,
         if verbose and epoch % 20 == 0:
             print(f"epoch {epoch}: train {float(tr_loss):.4f} val {vl:.4f}",
                   flush=True)
+        if checkpoint_path and (epoch + 1) % checkpoint_every == 0:
+            save_checkpoint(checkpoint_path, params, opt_state, epoch,
+                            history, val_history, best_val, best_epoch,
+                            best_params)
         if relative_change_early_stop(history, cfg.early_stop_patience,
                                       cfg.early_stop_delta):
             break
