@@ -194,6 +194,12 @@ def train_main(argv=None):
                          "exists — the reference's outarray.h5 gate)")
     ap.add_argument("--checkpoint", default=None,
                     help="training checkpoint path for resume")
+    ap.add_argument("--phis", default=None,
+                    help="per-sim characteristic-length file for the "
+                         "poisson family (one float per line, the "
+                         "reference's phis.txt)")
+    ap.add_argument("--k-smooth", type=float, default=2.0,
+                    help="arcsinh smoothing std multiplier (poisson family)")
     args = ap.parse_args(argv)
 
     import os
@@ -208,6 +214,11 @@ def train_main(argv=None):
     n_sims = min(n_sims, args.num_sims or n_sims)
     last_t = min(n_t, args.last_t or n_t)
 
+    phis = None
+    if args.phis:
+        import numpy as _np
+        phis = _np.loadtxt(args.phis).reshape(-1)
+
     if args.cache and os.path.exists(args.cache):
         ds = load_block_dataset(args.cache)
         print(f"loaded cached dataset: {ds.n} blocks", flush=True)
@@ -218,7 +229,13 @@ def train_main(argv=None):
             ucase = UnstructuredCase.from_hdf5(args.dataset, s, args.delta)
             for t in range(args.first_t, last_t):
                 fr = read_frame(args.dataset, s, t)
-                all_frames.append(ucase.fields_from_frame(fr))
+                fields = ucase.fields_from_frame(fr)
+                # per-sim characteristic length + smoothing k for the
+                # poisson feature family (pressureSM_Poisson/train.py:682-684)
+                fields["length_scale"] = (float(phis[s]) if phis is not None
+                                          else 1.0)
+                fields["k_smooth"] = args.k_smooth
+                all_frames.append(fields)
             print(f"prepared sim {s} ({last_t - args.first_t} frames)",
                   flush=True)
 
@@ -241,6 +258,12 @@ def train_main(argv=None):
                                     checkpoint_path=args.checkpoint,
                                     verbose=True)
     bundle.save(args.out)
+    try:
+        from .utils.plotting import plot_loss_history
+        plot_loss_history(state.history, state.val_history,
+                          os.path.join(args.out, "training"))
+    except Exception as e:  # matplotlib optional at runtime
+        print(f"loss-curve plot skipped: {e}", flush=True)
     print(json.dumps({"best_val": state.best_val,
                       "best_epoch": state.best_epoch,
                       "epochs_run": len(state.history),

@@ -81,6 +81,22 @@ def create_gif(png_paths: list[str], out_path: str,
                    duration=duration_ms, loop=0)
 
 
+def plot_loss_history(history, val_history, out_prefix: str) -> None:
+    """Loss curves as PNG + txt (train.py:622-631)."""
+    np.savetxt(out_prefix + "_loss.txt",
+               np.column_stack([history, val_history]),
+               header="train val")
+    plt = _plt()
+    fig, ax = plt.subplots(figsize=(8, 5))
+    ax.semilogy(history, label="train")
+    ax.semilogy(val_history, label="validation")
+    ax.set_xlabel("epoch")
+    ax.set_ylabel("loss (MSE x 1e6)")
+    ax.legend()
+    fig.savefig(out_prefix + "_loss.png", dpi=120, bbox_inches="tight")
+    plt.close(fig)
+
+
 def save_eval_plots(case, bundle, frames: list[dict], out_dir: str,
                     sim: int = 0, stitch: str = "scan") -> None:
     """Per-frame SM-vs-CFD field panels + GIF — the SM_call.py:592-692
