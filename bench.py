@@ -39,7 +39,7 @@ def main():
     from tpufoam.core.geometry import channel_case_geometry
     from tpufoam.fv.case import build_channel_case, initial_flow
     from tpufoam.piso.engine import PisoConfig, continuity_error
-    from tpufoam.solvers.backends import CGBackend, HybridBackend
+    from tpufoam.solvers.backends import CGBackend
 
     ny, nx = 512, 2048
     height = 2.0
@@ -56,13 +56,15 @@ def main():
     cg = MGCGBackend(rtol=1e-6, maxiter=60)
     t_cg, flow_cg = time_rollout(case, flow, n_steps, cfg, cg)
 
-    # surrogate-warm-started capped CG (structural bundle; timing-faithful)
+    # Algorithm-2 coupling (structural bundle; timing-faithful): SM predicts
+    # once per step, correctors run capped multigrid cycles
     from __graft_entry__ import _tiny_bundle
+    from tpufoam.solvers.backends import MGBackend
     from tpufoam.surrogate.pipeline import make_predictor
     bundle = _tiny_bundle(block_size=128)
-    hybrid = HybridBackend(predict=make_predictor(bundle, stitch="lstsq"),
-                           polish_iters=6)
-    t_hy, flow_hy = time_rollout(case, flow, n_steps, cfg, hybrid)
+    predictor = make_predictor(bundle, stitch="lstsq")
+    t_hy, flow_hy = time_rollout(case, flow, n_steps, cfg,
+                                 MGBackend(cycles=2), sm_predict=predictor)
 
     mcells_s = n_cells / t_cg / 1e6
     baseline_mcells_s = 1.0  # est. single-core OpenFOAM pisoFoam, 1M cells

@@ -19,6 +19,18 @@ import json
 import time
 
 
+def _add_platform_flag(p):
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
+                   help="force the JAX backend (the axon TPU plugin ignores "
+                        "JAX_PLATFORMS; this sets jax.config directly)")
+
+
+def _apply_platform(args):
+    if getattr(args, "platform", None):
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+
+
 def _add_case_flags(p):
     p.add_argument("--shape", default="cylinder",
                    choices=["cylinder", "rectangle", "triangle", "ellipse",
@@ -42,21 +54,25 @@ def _build_case(args):
 
 
 def _backend(name, bundle_path=None, stitch="lstsq", polish=6):
-    from .solvers.backends import (CGBackend, HybridBackend, MGBackend,
-                                   MGCGBackend, SurrogateBackend)
+    """Returns (corrector_backend, sm_predict). 'hybrid' is the reference's
+    Algorithm 2 (DLPoissonFoam.C:104-119): the SM predicts the pressure
+    ONCE per timestep before the momentum predictor, and the corrector
+    solves are capped multigrid cycles (the fvSolution maxIter-6 role)."""
+    from .solvers.backends import (CGBackend, MGBackend, MGCGBackend,
+                                   SurrogateBackend)
     if name == "cg":
-        return CGBackend(rtol=1e-6, maxiter=2000)
+        return CGBackend(rtol=1e-6, maxiter=2000), None
     if name == "mg":
-        return MGBackend(cycles=4)
+        return MGBackend(cycles=4), None
     if name == "mgcg":
-        return MGCGBackend(rtol=1e-6)
+        return MGCGBackend(rtol=1e-6), None
     from .surrogate.pipeline import SurrogateBundle, make_predictor
     bundle = SurrogateBundle.load(bundle_path)
     predictor = make_predictor(bundle, stitch=stitch)
     if name == "sm":
-        return SurrogateBackend(predict=predictor)
+        return SurrogateBackend(predict=predictor), None
     if name == "hybrid":
-        return HybridBackend(predict=predictor, polish_iters=polish)
+        return MGBackend(cycles=max(polish // 3, 1)), predictor
     raise ValueError(name)
 
 
@@ -76,7 +92,9 @@ def piso_main(argv=None):
     ap.add_argument("--bundle", default=None, help="surrogate bundle dir")
     ap.add_argument("--stitch", default="lstsq", choices=["scan", "lstsq"])
     ap.add_argument("--out", default=None, help=".npz output for final fields")
+    _add_platform_flag(ap)
     args = ap.parse_args(argv)
+    _apply_platform(args)
 
     import numpy as np
 
@@ -86,14 +104,15 @@ def piso_main(argv=None):
     geom, case = _build_case(args)
     flow = initial_flow(case, dt0=args.dt0)
     cfg = PisoConfig(n_correctors=args.n_correctors, max_co=args.max_co)
-    backend = _backend(args.backend, args.bundle, args.stitch)
+    backend, sm_predict = _backend(args.backend, args.bundle, args.stitch)
 
     chunk = max(1, min(50, args.steps))
     done = 0
     t0 = time.perf_counter()
     while done < args.steps:
         n = min(chunk, args.steps - done)
-        flow = run_piso(case, flow, n, cfg=cfg, backend=backend)
+        flow = run_piso(case, flow, n, cfg=cfg, backend=backend,
+                        sm_predict=sm_predict)
         done += n
         el = time.perf_counter() - t0
         print(f"step {done}/{args.steps} t={float(flow.t):.4f} "
@@ -119,7 +138,9 @@ def datagen_main(argv=None):
     ap.add_argument("--warmup-steps", type=int, default=100)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", required=True, help="output .h5 path")
+    _add_platform_flag(ap)
     args = ap.parse_args(argv)
+    _apply_platform(args)
 
     import numpy as np
 
@@ -200,7 +221,9 @@ def train_main(argv=None):
                          "reference's phis.txt)")
     ap.add_argument("--k-smooth", type=float, default=2.0,
                     help="arcsinh smoothing std multiplier (poisson family)")
+    _add_platform_flag(ap)
     args = ap.parse_args(argv)
+    _apply_platform(args)
 
     import os
 
@@ -271,6 +294,43 @@ def train_main(argv=None):
                       "bundle": args.out}))
 
 
+def pinn_main(argv=None):
+    ap = argparse.ArgumentParser("tpufoam-pinn",
+                                 description="Train a steady-NS PINN "
+                                 "(Chapter-3 PINN_steady.py role)")
+    ap.add_argument("--formulation", type=int, default=1, choices=[1, 2, 3, 4])
+    ap.add_argument("--beta", type=float, default=1.0,
+                    help="BC-loss weight (the beta* directory sweep)")
+    ap.add_argument("--nu", type=float, default=0.02)
+    ap.add_argument("--n-colloc", type=int, default=20000)
+    ap.add_argument("--adam-steps", type=int, default=5000)
+    ap.add_argument("--lbfgs-steps", type=int, default=1000)
+    ap.add_argument("--lr", type=float, default=1e-3)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", required=True, help="output .pkl for params")
+    _add_platform_flag(ap)
+    args = ap.parse_args(argv)
+    _apply_platform(args)
+
+    import pickle
+
+    import numpy as np
+
+    from .models.pinn import PinnConfig, make_training_points, train_pinn
+
+    cfg = PinnConfig(formulation=args.formulation, beta=args.beta, nu=args.nu)
+    batch = make_training_points(cfg, n_colloc=args.n_colloc, seed=args.seed)
+    params, history = train_pinn(cfg, batch, adam_steps=args.adam_steps,
+                                 lbfgs_steps=args.lbfgs_steps, lr=args.lr,
+                                 seed=args.seed, verbose=True)
+    with open(args.out, "wb") as f:
+        import jax
+        pickle.dump(dict(cfg=cfg.__dict__,
+                         params=jax.tree.map(np.asarray, params),
+                         history=history), f)
+    print(json.dumps({"final_loss": history[-1], "out": args.out}))
+
+
 def eval_main(argv=None):
     ap = argparse.ArgumentParser("tpufoam-eval",
                                  description="Evaluate a surrogate bundle "
@@ -285,7 +345,9 @@ def eval_main(argv=None):
     ap.add_argument("--apply-filter", action="store_true")
     ap.add_argument("--save-plots", action="store_true")
     ap.add_argument("--plots-dir", default="plots")
+    _add_platform_flag(ap)
     args = ap.parse_args(argv)
+    _apply_platform(args)
 
     from .eval.evaluation import UnstructuredCase, evaluate_bundle
     from .surrogate.pipeline import SurrogateBundle
