@@ -149,7 +149,21 @@ def evaluate_bundle(bundle: SurrogateBundle, case: Case, frames: list[dict],
             yb_true = jnp.stack(
                 [block_zero_mean(yb_true[..., c], mb)
                  for c in range(yb_true.shape[-1])], axis=-1)
-        p_hat = predictor(case, fields["p_prev"], fields)
+        if family.name == "U_gradP":
+            # gradient-family reconstruction: stitch each gradient
+            # component, then line-integrate to pressure
+            # (Eval_dual_Dense_onlycil.py:371-416,597-628)
+            from ..surrogate.blocks import assemble_lstsq
+            from ..surrogate.gradp_integrate import integrate_gradp
+            lx = case.grid.nx * case.grid.dx
+            ly = case.grid.ny * case.grid.dy
+            gx = assemble_lstsq(layout, yb_pred[..., 0], mb) * um**2 / lx
+            gy = assemble_lstsq(layout, yb_pred[..., 1], mb) * um**2 / ly
+            gx = gx * jnp.asarray(bundle.maxs_out)[0]
+            gy = gy * jnp.asarray(bundle.maxs_out)[1]
+            p_hat = integrate_gradp(case, gx, gy)
+        else:
+            p_hat = predictor(case, fields["p_prev"], fields)
         return yb_pred, yb_true, p_hat, um
 
     per_frame = []
