@@ -56,15 +56,32 @@ def main():
     cg = MGCGBackend(rtol=1e-6, maxiter=60)
     t_cg, flow_cg = time_rollout(case, flow, n_steps, cfg, cg)
 
-    # Algorithm-2 coupling (structural bundle; timing-faithful): SM predicts
-    # once per step, correctors run capped multigrid cycles
-    from __graft_entry__ import _tiny_bundle
+    # Algorithm-2 coupling: SM predicts once per step, correctors run capped
+    # multigrid cycles. Uses the trained in-repo bundle when present
+    # (scripts/train_bench_bundle.py), else a structural random bundle
+    # (timing-faithful either way).
+    import os
+
     from tpufoam.solvers.backends import MGBackend
-    from tpufoam.surrogate.pipeline import make_predictor
-    bundle = _tiny_bundle(block_size=128)
+    from tpufoam.surrogate.pipeline import SurrogateBundle, make_predictor
+    bundle_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "artifacts", "sm_cyl128")
+    trained = os.path.isdir(bundle_dir)
+    if trained:
+        bundle = SurrogateBundle.load(bundle_dir)
+    else:
+        from __graft_entry__ import _tiny_bundle
+        bundle = _tiny_bundle(block_size=128)
     predictor = make_predictor(bundle, stitch="lstsq")
     t_hy, flow_hy = time_rollout(case, flow, n_steps, cfg,
                                  MGBackend(cycles=2), sm_predict=predictor)
+
+    # matched-accuracy check: hybrid rollout vs the CG-tolerance rollout
+    import jax.numpy as jnp
+    m = case.fluid > 0
+    u_ref = jnp.where(m, flow_cg.u, 0.0)
+    l2_u = float(jnp.linalg.norm(flow_hy.u * case.fluid - u_ref)
+                 / jnp.maximum(jnp.linalg.norm(u_ref), 1e-12))
 
     mcells_s = n_cells / t_cg / 1e6
     baseline_mcells_s = 1.0  # est. single-core OpenFOAM pisoFoam, 1M cells
@@ -78,6 +95,8 @@ def main():
             "sec_per_step_cg": round(t_cg, 4),
             "sec_per_step_hybrid_sm": round(t_hy, 4),
             "hybrid_mcells_s": round(n_cells / t_hy / 1e6, 3),
+            "hybrid_vs_cg_rel_l2_u": round(l2_u, 5),
+            "hybrid_bundle": "trained" if trained else "random-structural",
             "continuity_err_cg": float(continuity_error(case, flow_cg)),
             "device": str(jax.devices()[0]),
             "baseline_note": "1.0 Mcells/s = est. 1 s/step single-core "

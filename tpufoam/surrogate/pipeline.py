@@ -49,6 +49,19 @@ class SurrogateBundle:
     block_size: int = 128
     overlap_ratio: float = 0.25
 
+    def trimmed(self) -> "SurrogateBundle":
+        """Drop PCA components beyond the selected pc counts (serving
+        bundles don't need the full fitted basis)."""
+        import dataclasses as _dc
+
+        def cut(pca: PCAModel, k: int) -> PCAModel:
+            return PCAModel(mean=pca.mean, components=pca.components[:k],
+                            explained_variance=pca.explained_variance[:k],
+                            explained_variance_ratio=pca.explained_variance_ratio[:k])
+
+        return _dc.replace(self, pca_in=cut(self.pca_in, self.pc_in),
+                           pca_out=cut(self.pca_out, self.pc_out))
+
     # ---- persistence -----------------------------------------------------
     def save(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
