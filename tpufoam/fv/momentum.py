@@ -33,9 +33,30 @@ class MomentumCoeffs:
     b_v: jnp.ndarray
 
 
+def _deferred_central_correction(case: Case, f_e, f_w, f_n, f_s,
+                                 phi: jnp.ndarray, gamma: float) -> jnp.ndarray:
+    """Explicit deferred correction toward central differencing:
+    -sum_f F_f (phi_f^central - phi_f^upwind) * gamma, per cell. This is
+    how the reference's limitedLinearV convection (fvSchemes:20) exceeds
+    first order while the implicit matrix stays upwind-stable."""
+    def face_corr(f_flux, nb, open_mask):
+        central = 0.5 * (phi + nb)
+        upwind = jnp.where(f_flux > 0, phi, nb)
+        return open_mask * f_flux * (central - upwind)
+
+    out = (face_corr(f_e, nb_e(phi), case.open_e)        # outgoing east
+           - face_corr(f_w, nb_w(phi), case.open_w)      # incoming west
+           + face_corr(f_n, nb_n(phi), case.open_n)
+           - face_corr(f_s, nb_s(phi), case.open_s))
+    return -gamma * out
+
+
 def momentum_coeffs(case: Case, phi_x: jnp.ndarray, phi_y: jnp.ndarray,
                     u_old: jnp.ndarray, v_old: jnp.ndarray,
-                    dt: jnp.ndarray) -> MomentumCoeffs:
+                    dt: jnp.ndarray,
+                    convection_blend: float = 0.0) -> MomentumCoeffs:
+    """convection_blend: 0 = pure upwind, 1 = deferred-correction central
+    (OpenFOAM limitedLinearV sits in between, limiter-dependent)."""
     grid = case.grid
     dx, dy, nu = grid.dx, grid.dy, case.nu
     vol = dx * dy
@@ -67,6 +88,11 @@ def momentum_coeffs(case: Case, phi_x: jnp.ndarray, phi_y: jnp.ndarray,
     ddt_v = (vol / dt) * v_old
     b_u = (ddt_u + a_in * case.inlet_u[:, None]) * case.fluid
     b_v = ddt_v * case.fluid
+    if convection_blend > 0.0:
+        b_u = b_u + _deferred_central_correction(
+            case, f_e, f_w, f_n, f_s, u_old, convection_blend) * case.fluid
+        b_v = b_v + _deferred_central_correction(
+            case, f_e, f_w, f_n, f_s, v_old, convection_blend) * case.fluid
 
     return MomentumCoeffs(a_e=a_e, a_w=a_w, a_n=a_n, a_s=a_s, a_p=a_p,
                           b_u=b_u, b_v=b_v)

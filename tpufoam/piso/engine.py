@@ -39,6 +39,8 @@ class PisoConfig:
     max_dt: float = 0.05
     adjust_dt: bool = True
     sm_before_predictor: bool = True  # Algorithm 2 (True) vs Algorithm 1
+    convection_blend: float = 0.0     # 0 upwind .. 1 deferred central
+                                      # (limitedLinearV role, fvSchemes:20)
 
 
 def courant_number(case: Case, flow: Flow) -> jnp.ndarray:
@@ -93,7 +95,8 @@ def piso_step(case: Case, flow: Flow, cfg: PisoConfig = PisoConfig(),
         p = sm_predict(case, p, _aux()) * case.fluid
 
     # --- momentum predictor: solve(UEqn == -grad p) (UEqn.H:21-23) ---
-    coef = momentum_coeffs(case, phi_x, phi_y, u, v, dt)
+    coef = momentum_coeffs(case, phi_x, phi_y, u, v, dt,
+                           convection_blend=cfg.convection_blend)
     gpx, gpy = pressure_gradient(case, p)
     u, v = jacobi_momentum(coef, case, u, v, -gpx * vol, -gpy * vol,
                            sweeps=cfg.momentum_sweeps)
