@@ -363,16 +363,15 @@ def stitch_offsets_lstsq(layout: BlockLayout, blocks: jnp.ndarray,
     # c_a - c_b should equal m_a - m_b
     rhs = rhs.at[ia].add(ws * diffs).at[ib].add(-ws * diffs)
 
-    # outlet anchor on rightmost (touching the fixed-p boundary) blocks
-    anchor = np.asarray([layout.x0s[k] + layout.size == layout.nx
-                         for k in range(n)], np.float32)
-    mr, cr = _masked_mean(blocks[:, :, -1], m[:, :, -1], (1,))
-    w_anchor = anchor_weight * anchor * (cr > 0)
-    A = A + jnp.diag(w_anchor)
-    rhs = rhs + w_anchor * (mr - ref_bc)
-
+    # Gauge: the pair graph only fixes offsets up to one global constant.
+    # Do NOT anchor each outlet-column block to ref_bc individually — their
+    # column means legitimately differ row to row, and conflicting anchors
+    # corrupt the whole solve. The small ridge term fixes the gauge; the
+    # global outlet anchor is applied after assembly exactly like the
+    # reference (SM_call.py:350).
     A = A + 1e-6 * jnp.eye(n)
-    return jnp.linalg.solve(A, rhs)
+    c = jnp.linalg.solve(A, rhs)
+    return c - jnp.mean(c)   # remove the (unconstrained) global mode
 
 
 def _blend_window(s: int) -> np.ndarray:
