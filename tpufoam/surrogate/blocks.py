@@ -95,7 +95,16 @@ def build_block_layout(ny: int, nx: int, size: int = 128,
 
 
 def extract_blocks(layout: BlockLayout, field: jnp.ndarray) -> jnp.ndarray:
-    """Gather all blocks in one indexed read: (N, S, S[, C])."""
+    """All blocks as (N, S, S[, C]) via static slices + stack (XLA lowers
+    these to cheap copies; a generic advanced-indexing gather of the same
+    elements is several times slower on TPU)."""
+    s = layout.size
+    return jnp.stack([field[y0:y0 + s, x0:x0 + s]
+                      for y0, x0 in zip(layout.y0s, layout.x0s)])
+
+
+def extract_blocks_gather(layout: BlockLayout, field: jnp.ndarray) -> jnp.ndarray:
+    """Gather-based variant (one indexed read); kept for comparison."""
     s = layout.size
     y0 = jnp.asarray(layout.y0s)[:, None, None]
     x0 = jnp.asarray(layout.x0s)[:, None, None]
@@ -287,74 +296,69 @@ def _overlap_pairs(layout: BlockLayout) -> list[tuple[int, int, tuple, tuple]]:
     return pairs
 
 
-def _pair_index_tables(layout: BlockLayout):
-    """Static (numpy) gather tables for all overlap pairs: per pair, the
-    flattened local indices of the shared window in each block, padded to
-    the max overlap area. Built once per layout; turns the offset solve
-    into a handful of large gathers instead of one op per pair."""
-    pairs = _overlap_pairs(layout)
-    s = layout.size
-    areas = []
-    for _, _, sl_a, _ in pairs:
-        areas.append((sl_a[0].stop - sl_a[0].start)
-                     * (sl_a[1].stop - sl_a[1].start))
-    max_area = max(areas)
-
-    n_p = len(pairs)
-    ia = np.zeros(n_p, np.int32)
-    ib = np.zeros(n_p, np.int32)
-    idx_a = np.zeros((n_p, max_area), np.int32)
-    idx_b = np.zeros((n_p, max_area), np.int32)
-    valid = np.zeros((n_p, max_area), np.float32)
-    for p, (a, b, sl_a, sl_b) in enumerate(pairs):
-        ia[p], ib[p] = a, b
-
-        def flat(sl):
-            yy, xx = np.meshgrid(np.arange(sl[0].start, sl[0].stop),
-                                 np.arange(sl[1].start, sl[1].stop),
-                                 indexing="ij")
-            return (yy * s + xx).reshape(-1)
-
-        fa, fb = flat(sl_a), flat(sl_b)
-        idx_a[p, :len(fa)] = fa
-        idx_b[p, :len(fb)] = fb
-        valid[p, :len(fa)] = 1.0
-    return ia, ib, idx_a, idx_b, valid
+def _neighbor_pairs(layout: BlockLayout):
+    """Static neighbour-pair list with the strip-mean names to compare:
+    (a, b, strip_of_a, strip_of_b). Horizontal neighbours compare
+    right/left overlap strips (izl-wide for the clamped leftmost block),
+    vertical neighbours compare bottom/top strips (the thick overlap for
+    the extra row). This is the scan corrector's constraint set, solved
+    globally instead of sequentially — and computable entirely from the
+    vectorized `_strip_means` slices (no generic gathers, which dominate
+    runtime on TPU)."""
+    pos = {(layout.idx_i[k], layout.idx_j[k]): k
+           for k in range(layout.n_blocks)}
+    last_row_i = layout.n_y + 1 if layout.has_extra_row else None
+    pairs = []
+    for (i, j), k in pos.items():
+        right = pos.get((i, j + 1))
+        if right is not None:
+            if j == 0:
+                pairs.append((k, right, "right_izl", "left_izl"))
+            else:
+                pairs.append((k, right, "right_o", "left_o"))
+        below = pos.get((i + 1, j))
+        if below is not None:
+            if layout.has_extra_row and i + 1 == last_row_i:
+                pairs.append((k, below, "bot_pi", "excl_pi"))
+            else:
+                pairs.append((k, below, "bot_o", "top_o"))
+    return pairs
 
 
 def stitch_offsets_lstsq(layout: BlockLayout, blocks: jnp.ndarray,
                          masks: jnp.ndarray, ref_bc: float = 0.0,
                          anchor_weight: float = 1.0) -> jnp.ndarray:
-    """Solve for per-block offsets minimizing all pairwise overlap-mean
+    """Solve for per-block offsets minimizing all neighbour overlap-mean
     mismatches at once (the reformulation SURVEY.md §7 hard-part 2 calls
     for):
 
         min_c  sum_pairs w_ab ((m_a - c_a) - (m_b - c_b))^2
-               + anchor_weight * sum_outlet (m_r - c_r - ref_bc)^2
 
-    with m_* the blocks' masked means over the shared window and m_r the
-    outlet-column means of the rightmost blocks. Normal equations form a
-    small SPD graph Laplacian solved with one dense `jnp.linalg.solve`.
+    with m_* the blocks' masked strip means over the shared window.
+    Normal equations form a small SPD graph Laplacian solved with one
+    dense `jnp.linalg.solve`.
     """
     n = layout.n_blocks
-    m = (masks != 0).astype(blocks.dtype)
-    ia_np, ib_np, idx_a, idx_b, valid = _pair_index_tables(layout)
-    ia = jnp.asarray(ia_np)
-    ib = jnp.asarray(ib_np)
+    sm = _strip_means(layout, blocks, masks)
+    pairs = _neighbor_pairs(layout)
 
-    bf = blocks.reshape(n, -1)
-    mf = m.reshape(n, -1)
-    va = jnp.take_along_axis(bf[ia_np], jnp.asarray(idx_a), axis=1)
-    vb = jnp.take_along_axis(bf[ib_np], jnp.asarray(idx_b), axis=1)
-    ma_m = jnp.take_along_axis(mf[ia_np], jnp.asarray(idx_a), axis=1) * valid
-    mb_m = jnp.take_along_axis(mf[ib_np], jnp.asarray(idx_b), axis=1) * valid
-
-    ca = ma_m.sum(axis=1)
-    cb = mb_m.sum(axis=1)
-    mean_a = jnp.where(ca > 0, (va * ma_m).sum(axis=1) / jnp.maximum(ca, 1.0), 0.0)
-    mean_b = jnp.where(cb > 0, (vb * mb_m).sum(axis=1) / jnp.maximum(cb, 1.0), 0.0)
-    diffs = mean_a - mean_b
-    ws = jnp.minimum(ca, cb) / float(layout.size**2)
+    # group pairs by strip class so each class is one vectorized gather
+    ia_l, ib_l, mean_a_l, cnt_a_l, mean_b_l, cnt_b_l = [], [], [], [], [], []
+    classes = sorted({(p[2], p[3]) for p in pairs})
+    for sa, sb in classes:
+        ka = np.asarray([p[0] for p in pairs if (p[2], p[3]) == (sa, sb)])
+        kb = np.asarray([p[1] for p in pairs if (p[2], p[3]) == (sa, sb)])
+        ia_l.append(ka)
+        ib_l.append(kb)
+        mean_a_l.append(sm[sa][0][ka])
+        cnt_a_l.append(sm[sa][1][ka])
+        mean_b_l.append(sm[sb][0][kb])
+        cnt_b_l.append(sm[sb][1][kb])
+    ia = jnp.asarray(np.concatenate(ia_l))
+    ib = jnp.asarray(np.concatenate(ib_l))
+    diffs = jnp.concatenate(mean_a_l) - jnp.concatenate(mean_b_l)
+    ws = jnp.minimum(jnp.concatenate(cnt_a_l), jnp.concatenate(cnt_b_l)) \
+        / float(layout.size**2)
 
     A = jnp.zeros((n, n))
     rhs = jnp.zeros(n)
@@ -391,18 +395,15 @@ def assemble_lstsq(layout: BlockLayout, blocks: jnp.ndarray,
 
     w = jnp.asarray(_blend_window(layout.size))
     s = layout.size
-    nb = layout.n_blocks
-    y0 = jnp.asarray(layout.y0s)[:, None, None]
-    x0 = jnp.asarray(layout.x0s)[:, None, None]
-    ar = jnp.arange(s)
-    rows = jnp.broadcast_to(y0 + ar[None, :, None], (nb, s, s)).reshape(-1)
-    cols = jnp.broadcast_to(x0 + ar[None, None, :], (nb, s, s)).reshape(-1)
-
+    # static per-block slice-adds: XLA lowers these to cheap pad+add
+    # fusions, unlike a generic 2M-element overlapping scatter-add which
+    # serializes badly on TPU
     num = jnp.zeros((layout.ny, layout.nx), dtype=blocks.dtype)
     den = jnp.zeros((layout.ny, layout.nx), dtype=blocks.dtype)
-    wb = jnp.broadcast_to(w, corrected.shape)
-    num = num.at[rows, cols].add((corrected * wb).reshape(-1))
-    den = den.at[rows, cols].add(wb.reshape(-1))
+    for k in range(layout.n_blocks):
+        y0, x0 = layout.y0s[k], layout.x0s[k]
+        num = num.at[y0:y0 + s, x0:x0 + s].add(corrected[k] * w)
+        den = den.at[y0:y0 + s, x0:x0 + s].add(w)
     result = num / jnp.maximum(den, 1e-8)
     result = result - jnp.mean(3.0 * result[:, -1] - result[:, -2]) / 3.0
     return result
