@@ -92,17 +92,26 @@ def piso_main(argv=None):
     ap.add_argument("--bundle", default=None, help="surrogate bundle dir")
     ap.add_argument("--stitch", default="lstsq", choices=["scan", "lstsq"])
     ap.add_argument("--out", default=None, help=".npz output for final fields")
+    ap.add_argument("--state", default=None,
+                    help="solver-state .npz: resumed from if present, "
+                         "written on completion (startFrom latestTime role)")
     _add_platform_flag(ap)
     args = ap.parse_args(argv)
     _apply_platform(args)
 
+    import os
+
     import numpy as np
 
-    from .fv.case import initial_flow
+    from .fv.case import initial_flow, load_flow, save_flow
     from .piso.engine import PisoConfig, continuity_error, courant_number, run_piso
 
     geom, case = _build_case(args)
-    flow = initial_flow(case, dt0=args.dt0)
+    if args.state and os.path.exists(args.state):
+        flow = load_flow(args.state)
+        print(f"resumed from {args.state} at t={float(flow.t):.4f}", flush=True)
+    else:
+        flow = initial_flow(case, dt0=args.dt0)
     cfg = PisoConfig(n_correctors=args.n_correctors, max_co=args.max_co)
     backend, sm_predict = _backend(args.backend, args.bundle, args.stitch)
 
@@ -124,6 +133,9 @@ def piso_main(argv=None):
         np.savez(args.out, u=np.asarray(flow.u), v=np.asarray(flow.v),
                  p=np.asarray(flow.p), t=float(flow.t))
         print(f"saved fields to {args.out}")
+    if args.state:
+        save_flow(args.state, flow)
+        print(f"saved solver state to {args.state}")
 
 
 def datagen_main(argv=None):

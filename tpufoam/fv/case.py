@@ -162,6 +162,19 @@ def initial_flow(case: Case, dt0: float = 1e-3) -> Flow:
                 u_prev=u, v_prev=v, p_prev=p)
 
 
+def save_flow(path: str, flow: Flow) -> None:
+    """Persist the full solver state for restart (the reference relies on
+    OpenFOAM's `startFrom latestTime`, controlDict:20)."""
+    np.savez(path, **{f: np.asarray(getattr(flow, f))
+                      for f in ("u", "v", "p", "phi_x", "phi_y", "dt", "t",
+                                "u_prev", "v_prev", "p_prev")})
+
+
+def load_flow(path: str) -> Flow:
+    d = np.load(path)
+    return Flow(**{k: jnp.asarray(d[k]) for k in d.files})
+
+
 def fluxes_from_velocity(case: Case, u: jnp.ndarray, v: jnp.ndarray):
     """Linear face interpolation of U dotted with face areas (fvc::flux).
 
