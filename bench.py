@@ -83,16 +83,24 @@ def main():
     l2_u = float(jnp.linalg.norm(flow_hy.u * case.fluid - u_ref)
                  / jnp.maximum(jnp.linalg.norm(u_ref), 1e-12))
 
-    mcells_s = n_cells / t_cg / 1e6
+    # headline: the DL-accelerated solver (the reference's production mode)
+    # when it matches the exact solve; otherwise the exact solve itself
+    hybrid_ok = trained and l2_u < 0.01
+    t_head = t_hy if hybrid_ok else t_cg
+    label = ("surrogate-warm-started PISO" if hybrid_ok
+             else "MG-PCG PISO @ rtol 1e-6")
+    mcells_s = n_cells / t_head / 1e6
     baseline_mcells_s = 1.0  # est. single-core OpenFOAM pisoFoam, 1M cells
     result = {
-        "metric": "PISO step throughput (1M-cell channel, MG-PCG @ rtol 1e-6)",
+        "metric": f"PISO step throughput (1M-cell channel, {label}, "
+                  "matched L2 vs exact solve)",
         "value": round(mcells_s, 3),
         "unit": "Mcells/s",
         "vs_baseline": round(mcells_s / baseline_mcells_s, 2),
         "extra": {
             "n_cells": n_cells,
             "sec_per_step_cg": round(t_cg, 4),
+            "cg_mcells_s": round(n_cells / t_cg / 1e6, 3),
             "sec_per_step_hybrid_sm": round(t_hy, 4),
             "hybrid_mcells_s": round(n_cells / t_hy / 1e6, 3),
             "hybrid_vs_cg_rel_l2_u": round(l2_u, 5),
