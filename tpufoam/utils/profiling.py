@@ -70,3 +70,26 @@ def trace(log_dir: str):
 def annotate(name: str):
     """Named region visible in profiler timelines (TraceAnnotation)."""
     return jax.profiler.TraceAnnotation(name)
+
+
+def memory_report() -> dict:
+    """Host + device memory snapshot (the reference probes /proc/meminfo,
+    python_module.py:136-151; we add per-device HBM stats)."""
+    out = {}
+    try:
+        with open("/proc/meminfo") as f:
+            info = dict(line.split(":")[0:1] + [line.split()[1]]
+                        for line in f if ":" in line)
+        out["host_total_kb"] = int(info.get("MemTotal", 0))
+        out["host_available_kb"] = int(info.get("MemAvailable", 0))
+    except OSError:
+        pass
+    for d in jax.devices():
+        stats = getattr(d, "memory_stats", lambda: None)()
+        if stats:
+            out[f"device_{d.id}"] = {
+                "bytes_in_use": stats.get("bytes_in_use"),
+                "bytes_limit": stats.get("bytes_limit"),
+                "peak_bytes_in_use": stats.get("peak_bytes_in_use"),
+            }
+    return out
