@@ -12,10 +12,11 @@ matvec alone, but fusing the smoother keeps all 7 operands resident per
 tile and avoids an extra round trip of x through HBM).
 
 Tiling: row bands of TILE_Y x nx. The x operand lives in HBM (zero-padded
-to ny+2 rows) and each program DMAs its haloed (TILE_Y+2)-row window into
-VMEM scratch — the standard overlapping-window pattern (blocked BlockSpec
-index maps cannot express overlap). East/west neighbours stay within the
-band and are formed with in-register shifts; boundary columns are safe
+by 8 rows top/bottom) and each program DMAs its haloed (TILE_Y+16)-row
+window into VMEM scratch — the overlapping-window pattern with an 8-row
+halo so every DMA window is (8,128)-sublane aligned (Mosaic cannot slice
+HBM memrefs at non-tile-aligned extents). East/west neighbours stay within
+the band and are formed with in-register shifts; boundary columns are safe
 because their conductances are zero.
 
 Requires nx % 128 == 0 and ny divisible by the row tile (the f32 VPU tile
@@ -65,20 +66,23 @@ def _shift_ew(xc: jnp.ndarray):
     return xe, xw
 
 
+HALO = 8  # sublane-aligned halo rows on each side
+
+
 def _load_halo_band(xp_hbm, scratch, sem, tile_y):
-    """DMA rows [i*t, i*t + t + 2) of the padded x into VMEM scratch."""
+    """DMA rows [i*t, i*t + t + 2*HALO) of the 8-padded x into scratch."""
     i = pl.program_id(0)
     row0 = pl.multiple_of(i * tile_y, 8)
     dma = pltpu.make_async_copy(
-        xp_hbm.at[pl.ds(row0, tile_y + 2), :], scratch, sem)
+        xp_hbm.at[pl.ds(row0, tile_y + 2 * HALO), :], scratch, sem)
     dma.start()
     dma.wait()
 
 
-def _stencil(xp, ce, cw, cn, cs, diag):
-    xc = xp[1:-1, :]
-    xn = xp[2:, :]
-    xs = xp[:-2, :]
+def _stencil(xp, ce, cw, cn, cs, diag, t):
+    xc = xp[HALO:HALO + t, :]
+    xn = xp[HALO + 1:HALO + 1 + t, :]
+    xs = xp[HALO - 1:HALO - 1 + t, :]
     xe, xw = _shift_ew(xc)
     return diag * xc - ce * xe - cw * xw - cn * xn - cs * xs
 
@@ -88,7 +92,8 @@ def _make_matvec_kernel(tile_y):
                scratch, sem):
         _load_halo_band(xp_ref, scratch, sem, tile_y)
         out_ref[:, :] = _stencil(scratch[:, :], ce_ref[:, :], cw_ref[:, :],
-                                 cn_ref[:, :], cs_ref[:, :], diag_ref[:, :])
+                                 cn_ref[:, :], cs_ref[:, :], diag_ref[:, :],
+                                 tile_y)
     return kernel
 
 
@@ -98,8 +103,9 @@ def _make_jacobi_kernel(tile_y):
         _load_halo_band(xp_ref, scratch, sem, tile_y)
         diag = diag_ref[:, :]
         ax = _stencil(scratch[:, :], ce_ref[:, :], cw_ref[:, :],
-                      cn_ref[:, :], cs_ref[:, :], diag)
-        out_ref[:, :] = scratch[1:-1, :] + omega_ref[0] * (b_ref[:, :] - ax) / diag
+                      cn_ref[:, :], cs_ref[:, :], diag, tile_y)
+        out_ref[:, :] = (scratch[HALO:HALO + tile_y, :]
+                         + omega_ref[0] * (b_ref[:, :] - ax) / diag)
     return kernel
 
 
@@ -109,16 +115,16 @@ def stencil_matvec_pallas(coef, x: jnp.ndarray,
     """Fused A @ x. `coef` is a fv.pressure.PressureCoeffs."""
     ny, nx = x.shape
     t = _tile_y(ny)
-    xp = jnp.pad(x, ((1, 1), (0, 0)))
+    xp = jnp.pad(x, ((HALO, HALO), (0, 0)))
     band = _band_spec(nx, t)
     return pl.pallas_call(
         _make_matvec_kernel(t),
         grid=(ny // t,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
                   band, band, band, band, band],
         out_specs=band,
         out_shape=jax.ShapeDtypeStruct((ny, nx), x.dtype),
-        scratch_shapes=[pltpu.VMEM((t + 2, nx), x.dtype),
+        scratch_shapes=[pltpu.VMEM((t + 2 * HALO, nx), x.dtype),
                         pltpu.SemaphoreType.DMA],
         interpret=interpret,
     )(xp, coef.c_e, coef.c_w, coef.c_n, coef.c_s, coef.diag)
@@ -139,17 +145,17 @@ def jacobi_sweep_pallas(coef, x: jnp.ndarray, b: jnp.ndarray,
         _make_jacobi_kernel(t),
         grid=(ny // t,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pltpu.HBM),
                   band, band, band, band, band, band],
         out_specs=band,
         out_shape=jax.ShapeDtypeStruct((ny, nx), x.dtype),
-        scratch_shapes=[pltpu.VMEM((t + 2, nx), x.dtype),
+        scratch_shapes=[pltpu.VMEM((t + 2 * HALO, nx), x.dtype),
                         pltpu.SemaphoreType.DMA],
         interpret=interpret,
     )
 
     def body(_, x):
-        xp = jnp.pad(x, ((1, 1), (0, 0)))
+        xp = jnp.pad(x, ((HALO, HALO), (0, 0)))
         return call(om, xp, coef.c_e, coef.c_w, coef.c_n, coef.c_s,
                     coef.diag, b)
 

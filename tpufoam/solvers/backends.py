@@ -44,7 +44,11 @@ class CGBackend:
 @dataclasses.dataclass(frozen=True)
 class MGBackend:
     """Fixed V-cycle geometric multigrid — the GAMG-with-maxIter role
-    (fvSolution:22-41). O(n) per solve; the default production backend."""
+    (fvSolution:22-41). O(n) per solve; the default production backend.
+
+    pre/post are clamped to >= 2: V(1,1) with damped Jacobi is NOT a
+    contraction on this operator when used as a standalone solver (it
+    diverged in coupled runs); it is only safe inside MGCG."""
     cycles: int = 4
     pre: int = 2
     post: int = 2
@@ -52,7 +56,8 @@ class MGBackend:
     def __call__(self, case, coef, rhs, p_prev, aux):
         from .multigrid import mg_solve
         return mg_solve(coef, rhs, p_prev, cycles=self.cycles,
-                        pre=self.pre, post=self.post) * case.fluid
+                        pre=max(self.pre, 2),
+                        post=max(self.post, 2)) * case.fluid
 
 
 @dataclasses.dataclass(frozen=True)
