@@ -35,31 +35,40 @@ def _can_coarsen(ny: int, nx: int, min_size: int = 8) -> bool:
     return ny % 2 == 0 and nx % 2 == 0 and ny >= 2 * min_size and nx >= 2 * min_size
 
 
+def _pool2x2(f: jnp.ndarray) -> jnp.ndarray:
+    return lax.reduce_window(f, 0.0, lax.add, (2, 2), (2, 2), "VALID")
+
+
 def coarsen_coeffs(coef: PressureCoeffs) -> PressureCoeffs:
     """Agglomerate 2x2 fine cells into one coarse cell.
 
     Coarse face conductance = sum of fine conductances crossing that face;
     conductances interior to an agglomerate vanish (their rows sum out).
     The Dirichlet (outlet) conductance sums like an external face.
+
+    The 0.5 rediscretizes to the doubled spacing: a coarse face is twice
+    as wide (sum of 2 fine conductances) but twice as long in the normal
+    direction, so c_c = sum/2 — using the raw sum (pure agglomeration)
+    leaves the coarse operator 2x too stiff and the V-cycle degrades to
+    ~0.7/cycle asymptotically.
+
+    Implementation: masked 2x2 sum-pools. Selecting "the right fine
+    column" with stride-2 slicing (c[:, 1::2]) is a lane shuffle that
+    costs ~10 ms per hierarchy build at 1M cells on TPU; a parity mask +
+    reduce_window is one cheap fused pass per array.
     """
-    def csum_faces_x(c):   # conductances on x-normal faces: sum over the 2 rows
-        return c[0::2, :] + c[1::2, :]
+    ny, nx = coef.diag.shape
+    col_odd = (lax.broadcasted_iota(jnp.int32, (ny, nx), 1) % 2
+               ).astype(coef.diag.dtype)
+    row_odd = (lax.broadcasted_iota(jnp.int32, (ny, nx), 0) % 2
+               ).astype(coef.diag.dtype)
 
-    def csum_faces_y(c):
-        return c[:, 0::2] + c[:, 1::2]
-
-    # east faces of a coarse cell = east faces of its right fine column.
-    # The 0.5 rediscretizes to the doubled spacing: a coarse face is twice
-    # as wide (sum of 2 fine conductances) but twice as long in the normal
-    # direction, so c_c = sum/2 — using the raw sum (pure agglomeration)
-    # leaves the coarse operator 2x too stiff and the V-cycle degrades to
-    # ~0.7/cycle asymptotically.
-    c_e = 0.5 * csum_faces_x(coef.c_e[:, 1::2])
-    c_w = 0.5 * csum_faces_x(coef.c_w[:, 0::2])
-    c_n = 0.5 * csum_faces_y(coef.c_n[1::2, :])
-    c_s = 0.5 * csum_faces_y(coef.c_s[0::2, :])
-    c_out = 0.5 * (coef.c_out[0::2, 0::2] + coef.c_out[0::2, 1::2]
-                   + coef.c_out[1::2, 0::2] + coef.c_out[1::2, 1::2])
+    # east faces of a coarse cell = east faces of its right (odd) column
+    c_e = 0.5 * _pool2x2(coef.c_e * col_odd)
+    c_w = 0.5 * _pool2x2(coef.c_w * (1.0 - col_odd))
+    c_n = 0.5 * _pool2x2(coef.c_n * row_odd)
+    c_s = 0.5 * _pool2x2(coef.c_s * (1.0 - row_odd))
+    c_out = 0.5 * _pool2x2(coef.c_out)
 
     interior = c_e + c_w + c_n + c_s + c_out
     solid = interior <= 0.0
