@@ -70,6 +70,33 @@ def test_sharded_piso_matches_single_device():
                                atol=5e-3)
 
 
+def test_sharded_piso_with_multigrid_backend():
+    """The production MG backend under spatial sharding: reduce_window
+    coarsening + transfers must partition cleanly (GSPMD halos)."""
+    from tpufoam.core.geometry import channel_case_geometry
+    from tpufoam.fv.case import build_channel_case, initial_flow
+    from tpufoam.parallel.mesh import (device_mesh, make_sharded_piso_step,
+                                       shard_case, shard_flow)
+    from tpufoam.piso.engine import PisoConfig, piso_step
+    from tpufoam.solvers.backends import MGCGBackend
+
+    geom = channel_case_geometry("cylinder", length=4.0, height=1.0,
+                                 obstacle_size=0.3)
+    case = build_channel_case(geom, delta=1.0 / 32)
+    flow = initial_flow(case, dt0=2e-3)
+    cfg = PisoConfig(n_correctors=1)
+    backend = MGCGBackend(rtol=1e-7)
+
+    ref = piso_step(case, flow, cfg=cfg, backend=backend)
+    mesh = device_mesh(8)
+    step = make_sharded_piso_step(mesh, cfg, backend)
+    with mesh:
+        out = step(shard_case(mesh, case), shard_flow(mesh, flow))
+        jax.block_until_ready(out.u)
+    np.testing.assert_allclose(np.asarray(out.u), np.asarray(ref.u),
+                               atol=2e-3)
+
+
 def test_batched_multi_geometry_rollout():
     from tpufoam.core.geometry import channel_case_geometry
     from tpufoam.fv.case import build_channel_case, initial_flow
