@@ -41,3 +41,12 @@ def test_build_and_train_pointcloud(tiny_h5):
     model, params, hist = train_pointcloud(ds, epochs=2, batch_size=2)
     assert np.isfinite(hist).all()
     assert hist[-1] < hist[0]
+
+
+def test_pointcloud_cli_train_and_rollout(tiny_h5, tmp_path):
+    from tpufoam.cli import pointcloud_main
+    out = str(tmp_path / "pc.pkl")
+    pointcloud_main(["train", "--dataset", tiny_h5, "--n-pts", "320",
+                     "--epochs", "2", "--batch-size", "2", "--out", out])
+    pointcloud_main(["rollout", "--dataset", tiny_h5, "--params", out,
+                     "--sim", "0", "--steps", "2"])

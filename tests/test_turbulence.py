@@ -1,0 +1,105 @@
+"""k-omega SST turbulence model (createFields.H:66-71 runtime-selectable
+turbulence parity; the For_kwSST case family)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpufoam.core.geometry import channel_case_geometry
+from tpufoam.fv.case import build_channel_case, initial_flow
+from tpufoam.fv.turbulence import (BETA1, BETA_STAR, TurbState,
+                                   init_turbulence, sst_step)
+from tpufoam.piso.engine import PisoConfig, continuity_error, run_piso, \
+    run_piso_sst
+from tpufoam.solvers.backends import MGCGBackend
+
+
+def _channel(nu, ny=32, nx=128, length=8.0, height=2.0):
+    geom = channel_case_geometry("cylinder", length=length, height=height,
+                                 obstacle_size=0.4, nu=nu)
+    return build_channel_case(geom, delta=height / ny)
+
+
+def test_init_turbulence_values():
+    case = _channel(nu=8e-3)
+    turb = init_turbulence(case, intensity=0.05, length_frac=0.1)
+    u_ref = float(jnp.max(case.inlet_u))
+    k_exp = 1.5 * (0.05 * u_ref) ** 2
+    assert np.isclose(float(turb.k_in), k_exp, rtol=1e-5)
+    assert float(turb.w_in) > 0
+    assert np.all(np.asarray(turb.k) >= 0)
+    assert np.all(np.asarray(turb.nu_t) >= 0)
+
+
+def test_sst_free_decay_matches_analytic():
+    """No shear, no walls binding: dk/dt = -beta* k w, dw/dt = -beta w^2
+    has the closed form w = w0/(1+beta w0 t), k = k0 (w/w0)^(beta*/beta).
+    Interior cells far from walls with zero velocity must follow it."""
+    case = _channel(nu=1e-6, ny=64, nx=64, length=2.0, height=2.0)
+    z = jnp.zeros(case.grid.shape)
+    zx = jnp.zeros((case.grid.ny, case.grid.nx + 1))
+    zy = jnp.zeros((case.grid.ny + 1, case.grid.nx))
+    k0, w0 = 0.01, 5.0
+    turb = TurbState(k=jnp.full(case.grid.shape, k0) * case.fluid,
+                     omega=jnp.full(case.grid.shape, w0),
+                     nu_t=(k0 / w0) * case.fluid,
+                     k_in=jnp.asarray(k0), w_in=jnp.asarray(w0))
+    dt = 0.01
+    n = 50
+    for _ in range(n):
+        turb = sst_step(case, turb, z, z, zx, zy, jnp.asarray(dt))
+    t = n * dt
+    # analytic solution with blended beta ~ beta1 in the freestream (F1
+    # depends on d; pick a mid-channel cell far from every wall)
+    i, j = case.grid.ny // 2, case.grid.nx // 2
+    w_num = float(turb.omega[i, j])
+    k_num = float(turb.k[i, j])
+    # mid-domain F1 -> small => beta ~ beta2; accept either bound
+    from tpufoam.fv.turbulence import BETA2
+    w_lo = w0 / (1 + max(BETA1, BETA2) * w0 * t)
+    w_hi = w0 / (1 + min(BETA1, BETA2) * w0 * t)
+    assert w_lo * 0.9 <= w_num <= w_hi * 1.1
+    # k must decay monotonically and stay positive
+    assert 0 < k_num < k0
+    # implicit-in-sink integration: compare against the exact decay with
+    # the same beta the cell actually used (infer from w decay)
+    beta_eff = (w0 / w_num - 1) / (w0 * t)
+    k_exact = k0 * (w_num / w0) ** (BETA_STAR / beta_eff)
+    assert np.isclose(k_num, k_exact, rtol=0.15)
+
+
+def test_turbulent_channel_runs_and_produces_eddy_viscosity():
+    """High-Re channel with obstacle: fields stay finite, nu_t developing
+    downstream exceeds molecular nu (a turbulence model that never turns
+    on is wrong), continuity holds."""
+    nu = 2e-4   # Re_h ~ 1e4
+    case = _channel(nu=nu)
+    flow = initial_flow(case, dt0=5e-4)
+    turb = init_turbulence(case)
+    cfg = PisoConfig(max_co=0.4)
+    flow, turb = run_piso_sst(case, flow, turb, 150, cfg=cfg,
+                              backend=MGCGBackend())
+    u = np.asarray(flow.u)
+    k = np.asarray(turb.k)
+    nu_t = np.asarray(turb.nu_t)
+    assert np.isfinite(u).all() and np.isfinite(k).all()
+    assert (k >= 0).all()
+    assert float(np.max(nu_t)) > nu
+    assert float(continuity_error(case, flow)) < 1e-4
+
+
+def test_laminar_limit_small_nu_t():
+    """Low-Re flow: the model must NOT corrupt a laminar solution — the
+    turbulent run stays close to the laminar one."""
+    nu = 5e-2
+    case = _channel(nu=nu)
+    flow0 = initial_flow(case, dt0=1e-3)
+    turb = init_turbulence(case, intensity=0.01)
+    cfg = PisoConfig()
+    be = MGCGBackend()
+    lam = run_piso(case, flow0, 100, cfg=cfg, backend=be)
+    tur, turb = run_piso_sst(case, flow0, turb, 100, cfg=cfg, backend=be)
+    u_l = np.asarray(lam.u)
+    u_t = np.asarray(tur.u)
+    rel = np.linalg.norm(u_t - u_l) / max(np.linalg.norm(u_l), 1e-12)
+    assert rel < 0.05, f"turbulence model corrupted a laminar flow: {rel}"

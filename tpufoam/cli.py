@@ -95,6 +95,12 @@ def piso_main(argv=None):
     ap.add_argument("--state", default=None,
                     help="solver-state .npz: resumed from if present, "
                          "written on completion (startFrom latestTime role)")
+    ap.add_argument("--turbulence", default="laminar",
+                    choices=["laminar", "kOmegaSST"],
+                    help="momentum-transport model (createFields.H:66-71 "
+                         "runtime-selectable turbulence role)")
+    ap.add_argument("--turb-intensity", type=float, default=0.05)
+    ap.add_argument("--turb-length-frac", type=float, default=0.1)
     _add_platform_flag(ap)
     args = ap.parse_args(argv)
     _apply_platform(args)
@@ -104,7 +110,8 @@ def piso_main(argv=None):
     import numpy as np
 
     from .fv.case import initial_flow, load_flow, save_flow
-    from .piso.engine import PisoConfig, continuity_error, courant_number, run_piso
+    from .piso.engine import (PisoConfig, continuity_error, courant_number,
+                              run_piso, run_piso_sst)
 
     geom, case = _build_case(args)
     if args.state and os.path.exists(args.state):
@@ -115,13 +122,23 @@ def piso_main(argv=None):
     cfg = PisoConfig(n_correctors=args.n_correctors, max_co=args.max_co)
     backend, sm_predict = _backend(args.backend, args.bundle, args.stitch)
 
+    turb = None
+    if args.turbulence == "kOmegaSST":
+        from .fv.turbulence import init_turbulence
+        turb = init_turbulence(case, intensity=args.turb_intensity,
+                               length_frac=args.turb_length_frac)
+
     chunk = max(1, min(50, args.steps))
     done = 0
     t0 = time.perf_counter()
     while done < args.steps:
         n = min(chunk, args.steps - done)
-        flow = run_piso(case, flow, n, cfg=cfg, backend=backend,
-                        sm_predict=sm_predict)
+        if turb is not None:
+            flow, turb = run_piso_sst(case, flow, turb, n, cfg=cfg,
+                                      backend=backend, sm_predict=sm_predict)
+        else:
+            flow = run_piso(case, flow, n, cfg=cfg, backend=backend,
+                            sm_predict=sm_predict)
         done += n
         el = time.perf_counter() - t0
         print(f"step {done}/{args.steps} t={float(flow.t):.4f} "
@@ -130,8 +147,12 @@ def piso_main(argv=None):
               f"[{el / done * 1000:.2f} ms/step]", flush=True)
 
     if args.out:
+        extra = {}
+        if turb is not None:
+            extra = dict(k=np.asarray(turb.k), omega=np.asarray(turb.omega),
+                         nu_t=np.asarray(turb.nu_t))
         np.savez(args.out, u=np.asarray(flow.u), v=np.asarray(flow.v),
-                 p=np.asarray(flow.p), t=float(flow.t))
+                 p=np.asarray(flow.p), t=float(flow.t), **extra)
         print(f"saved fields to {args.out}")
     if args.state:
         save_flow(args.state, flow)
@@ -341,6 +362,114 @@ def pinn_main(argv=None):
                          params=jax.tree.map(np.asarray, params),
                          history=history), f)
     print(json.dumps({"final_loss": history[-1], "out": args.out}))
+
+
+def pointcloud_main(argv=None):
+    ap = argparse.ArgumentParser(
+        "tpufoam-pointcloud",
+        description="Train / roll out the Chapter-3 point-cloud next-step "
+        "model (Chapter3/Data-driven/External_flow train.py + plot.py roles)")
+    sub = ap.add_subparsers(dest="mode", required=True)
+
+    tr = sub.add_parser("train")
+    tr.add_argument("--dataset", required=True, help=".h5 dataset path")
+    tr.add_argument("--n-pts", type=int, default=4096,
+                    help="points per cloud (multiple of 16)")
+    tr.add_argument("--num-sims", type=int, default=None)
+    tr.add_argument("--first-t", type=int, default=0)
+    tr.add_argument("--last-t", type=int, default=None)
+    tr.add_argument("--epochs", type=int, default=50)
+    tr.add_argument("--batch-size", type=int, default=2)
+    tr.add_argument("--lr", type=float, default=1e-3)
+    tr.add_argument("--seed", type=int, default=0)
+    tr.add_argument("--out", required=True, help="output .pkl for params")
+    _add_platform_flag(tr)
+
+    ro = sub.add_parser("rollout")
+    ro.add_argument("--dataset", required=True)
+    ro.add_argument("--params", required=True, help=".pkl from train")
+    ro.add_argument("--sim", type=int, default=0)
+    ro.add_argument("--first-t", type=int, default=0)
+    ro.add_argument("--steps", type=int, default=10)
+    ro.add_argument("--raster-shape", default="128,512",
+                    help="ny,nx for error-map rasterization")
+    ro.add_argument("--plots-dir", default=None,
+                    help="save per-frame field/error imshow plots here")
+    _add_platform_flag(ro)
+
+    args = ap.parse_args(argv)
+    _apply_platform(args)
+
+    import pickle
+
+    import numpy as np
+
+    from .train.pointcloud import PointCloudDataset, build_pointcloud_dataset, \
+        train_pointcloud
+
+    if args.mode == "train":
+        ds = build_pointcloud_dataset(args.dataset, n_pts=args.n_pts,
+                                      n_sims=args.num_sims,
+                                      first_t=args.first_t, last_t=args.last_t)
+        print(f"dataset: {len(ds.fields)} next-step pairs of "
+              f"{ds.fields.shape[1]} points", flush=True)
+        model, params, history = train_pointcloud(
+            ds, epochs=args.epochs, batch_size=args.batch_size, lr=args.lr,
+            seed=args.seed, verbose=True)
+        import jax
+        with open(args.out, "wb") as f:
+            pickle.dump(dict(params=jax.tree.map(np.asarray, params),
+                             mins=ds.mins, maxs=ds.maxs, n_pts=args.n_pts,
+                             history=history), f)
+        print(json.dumps({"final_loss": history[-1], "out": args.out}))
+        return
+
+    # rollout
+    from .eval.pointcloud_rollout import rasterize, rollout, rollout_report
+    from .models.pointnet import PAD, PointNetUNet
+
+    with open(args.params, "rb") as f:
+        blob = pickle.load(f)
+    ds = build_pointcloud_dataset(args.dataset, n_pts=blob["n_pts"],
+                                  n_sims=args.sim + 1, first_t=args.first_t)
+    sel = np.flatnonzero(ds.sim_ids == args.sim)
+    if sel.size == 0:
+        raise SystemExit(f"sim {args.sim} has no usable frames")
+    model = PointNetUNet()
+    f0 = ds.fields[sel[0]]
+    coords = ds.coords[sel[0]]
+    steps = min(args.steps, sel.size)
+    pred = rollout(model, blob["params"], f0, coords, steps)
+    true = ds.targets[sel[:steps]]
+    rep = rollout_report(pred, true)
+    for name, reports in rep.items():
+        last = reports[-1]
+        print(f"{name}: frame-{steps - 1} RMSE {last.rmse_pct:.3f}% "
+              f"BIAS {last.bias_pct:.3f}% STDE {last.stde_pct:.3f}%",
+              flush=True)
+    if args.plots_dir:
+        import os
+
+        os.makedirs(args.plots_dir, exist_ok=True)
+        ny, nx = (int(v) for v in args.raster_shape.split(","))
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        for t in range(steps):
+            fig, axes = plt.subplots(3, 2, figsize=(12, 7))
+            for c, name in enumerate(("Ux", "Uy", "p")):
+                for k, (frm, ttl) in enumerate(((pred, "SM"), (true, "CFD"))):
+                    img = rasterize(coords, frm[t][:, c], (ny, nx))
+                    ax = axes[c][k]
+                    ax.imshow(img, origin="lower")
+                    ax.set_title(f"{name} ({ttl}) t+{t + 1}")
+                    ax.axis("off")
+            fig.tight_layout()
+            fig.savefig(f"{args.plots_dir}/frame_{t:03d}.png", dpi=90)
+            plt.close(fig)
+        print(f"saved {steps} frames to {args.plots_dir}")
+    print(json.dumps({"steps": steps,
+                      "p_rmse_last": rep["p"][-1].rmse_pct}))
 
 
 def eval_main(argv=None):

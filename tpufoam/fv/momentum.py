@@ -54,31 +54,47 @@ def _deferred_central_correction(case: Case, f_e, f_w, f_n, f_s,
 def momentum_coeffs(case: Case, phi_x: jnp.ndarray, phi_y: jnp.ndarray,
                     u_old: jnp.ndarray, v_old: jnp.ndarray,
                     dt: jnp.ndarray,
-                    convection_blend: float = 0.0) -> MomentumCoeffs:
+                    convection_blend: float = 0.0,
+                    nu_t: jnp.ndarray | None = None) -> MomentumCoeffs:
     """convection_blend: 0 = pure upwind, 1 = deferred-correction central
-    (OpenFOAM limitedLinearV sits in between, limiter-dependent)."""
+    (OpenFOAM limitedLinearV sits in between, limiter-dependent).
+
+    nu_t: optional (ny, nx) eddy viscosity — nu_eff = nu + nu_t, the
+    `turbulence->divDevSigma(U)` role (UEqn.H:8; createFields.H:66-71
+    runtime-selectable turbulence). None = laminar fast path (scalar
+    conductances, like the reference's actual experiments)."""
     grid = case.grid
     dx, dy, nu = grid.dx, grid.dy, case.nu
     vol = dx * dy
-    d_x = nu * dy / dx   # diffusion conductance of x-normal faces
-    d_y = nu * dx / dy
+    if nu_t is None:
+        # scalar conductances broadcast over all faces
+        d_e = d_w = d_cx = nu * dy / dx
+        d_n = d_s = d_cy = nu * dx / dy
+    else:
+        nu_eff = nu + nu_t
+        d_e = 0.5 * (nu_eff + nb_e(nu_eff)) * dy / dx
+        d_w = 0.5 * (nu_eff + nb_w(nu_eff)) * dy / dx
+        d_n = 0.5 * (nu_eff + nb_n(nu_eff)) * dx / dy
+        d_s = 0.5 * (nu_eff + nb_s(nu_eff)) * dx / dy
+        d_cx = nu_eff * dy / dx   # half-cell wall/inlet conductances
+        d_cy = nu_eff * dx / dy
 
     f_e = phi_x[:, 1:]
     f_w = phi_x[:, :-1]
     f_n = phi_y[1:, :]
     f_s = phi_y[:-1, :]
 
-    a_e = case.open_e * (d_x + jnp.maximum(-f_e, 0.0))
-    a_w = case.open_w * (d_x + jnp.maximum(f_w, 0.0))
-    a_n = case.open_n * (d_y + jnp.maximum(-f_n, 0.0))
-    a_s = case.open_s * (d_y + jnp.maximum(f_s, 0.0))
+    a_e = case.open_e * (d_e + jnp.maximum(-f_e, 0.0))
+    a_w = case.open_w * (d_w + jnp.maximum(f_w, 0.0))
+    a_n = case.open_n * (d_n + jnp.maximum(-f_n, 0.0))
+    a_s = case.open_s * (d_s + jnp.maximum(f_s, 0.0))
 
     # no-slip walls: half-cell diffusion distance, U_wall = 0
-    wall_contrib = 2.0 * d_x * (case.wall_e + case.wall_w) \
-        + 2.0 * d_y * (case.wall_n + case.wall_s)
+    wall_contrib = 2.0 * d_cx * (case.wall_e + case.wall_w) \
+        + 2.0 * d_cy * (case.wall_n + case.wall_s)
 
     # inlet (fixed U): diffusion at half distance + upwinded inflow
-    a_in = case.inlet_w * (2.0 * d_x + jnp.maximum(f_w, 0.0))
+    a_in = case.inlet_w * (2.0 * d_cx + jnp.maximum(f_w, 0.0))
 
     div_f = f_e - f_w + f_n - f_s
     a_p = (a_e + a_w + a_n + a_s + wall_contrib + a_in + div_f

@@ -70,7 +70,7 @@ def _next_dt(case: Case, flow: Flow, cfg: PisoConfig) -> jnp.ndarray:
 @partial(jax.jit, static_argnames=("cfg", "backend", "sm_predict"))
 def piso_step(case: Case, flow: Flow, cfg: PisoConfig = PisoConfig(),
               backend: PressureBackend = CGBackend(),
-              sm_predict=None) -> Flow:
+              sm_predict=None, nu_t=None) -> Flow:
     """Advance one PISO timestep.
 
     `backend` solves the pressure-correction equation each corrector.
@@ -78,6 +78,8 @@ def piso_step(case: Case, flow: Flow, cfg: PisoConfig = PisoConfig(),
     pressure with a surrogate prediction (the DLPoissonFoam coupling: the SM
     does NOT replace the corrector solve, it warm-starts the step so capped
     iterations suffice — SURVEY.md §3.3 key semantics).
+    `nu_t` optionally adds an eddy-viscosity field to the momentum
+    predictor (fv.turbulence supplies it; `turbulence->divDevSigma(U)`).
     """
     grid = case.grid
     vol = grid.dx * grid.dy
@@ -96,7 +98,7 @@ def piso_step(case: Case, flow: Flow, cfg: PisoConfig = PisoConfig(),
 
     # --- momentum predictor: solve(UEqn == -grad p) (UEqn.H:21-23) ---
     coef = momentum_coeffs(case, phi_x, phi_y, u, v, dt,
-                           convection_blend=cfg.convection_blend)
+                           convection_blend=cfg.convection_blend, nu_t=nu_t)
     gpx, gpy = pressure_gradient(case, p)
     u, v = jacobi_momentum(coef, case, u, v, -gpx * vol, -gpy * vol,
                            sweeps=cfg.momentum_sweeps)
@@ -150,3 +152,39 @@ def run_piso(case: Case, flow: Flow, n_steps: int,
     """Roll out n_steps under one jit via lax.scan (whole rollout = one
     XLA program; the reference pays a C++->Python->MPI round-trip per step)."""
     return _rollout_fn(n_steps, cfg, backend, sm_predict)(case, flow)
+
+
+@partial(jax.jit, static_argnames=("cfg", "backend", "sm_predict"))
+def piso_step_sst(case: Case, flow: Flow, turb, cfg: PisoConfig = PisoConfig(),
+                  backend: PressureBackend = CGBackend(), sm_predict=None):
+    """One turbulent timestep: PISO with nu_eff = nu + nu_t, then
+    `turbulence->correct()` with the corrected velocity (the reference
+    loop's ordering, DLPoissonFoam.C:113-123). Returns (Flow, TurbState)."""
+    from ..fv.turbulence import sst_step
+    flow2 = piso_step(case, flow, cfg=cfg, backend=backend,
+                      sm_predict=sm_predict, nu_t=turb.nu_t)
+    turb2 = sst_step(case, turb, flow2.u, flow2.v, flow2.phi_x, flow2.phi_y,
+                     flow2.dt)
+    return flow2, turb2
+
+
+@functools.lru_cache(maxsize=16)
+def _rollout_sst_fn(n_steps: int, cfg: PisoConfig, backend, sm_predict):
+    @jax.jit
+    def scan_fn(case, flow0, turb0):
+        def body(carry, _):
+            f2, t2 = piso_step_sst(case, carry[0], carry[1], cfg=cfg,
+                                   backend=backend, sm_predict=sm_predict)
+            return (f2, t2), None
+        out, _ = jax.lax.scan(body, (flow0, turb0), None, length=n_steps)
+        return out
+
+    return scan_fn
+
+
+def run_piso_sst(case: Case, flow: Flow, turb, n_steps: int,
+                 cfg: PisoConfig = PisoConfig(),
+                 backend: PressureBackend = CGBackend(),
+                 sm_predict=None):
+    """Turbulent n-step rollout; returns (Flow, TurbState)."""
+    return _rollout_sst_fn(n_steps, cfg, backend, sm_predict)(case, flow, turb)

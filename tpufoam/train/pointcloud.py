@@ -27,6 +27,7 @@ class PointCloudDataset:
     coords: np.ndarray    # (n_pairs, n_pts, 2)
     mins: np.ndarray      # (3,) scaling constants
     maxs: np.ndarray
+    sim_ids: np.ndarray | None = None   # (n_pairs,) source sim per pair
 
 
 def build_pointcloud_dataset(path: str, n_pts: int = 4096,
@@ -42,7 +43,7 @@ def build_pointcloud_dataset(path: str, n_pts: int = 4096,
     n_sims = min(n_sims or data.shape[0], data.shape[0])
     last_t = min(last_t or data.shape[1], data.shape[1])
 
-    xs, ys, cs = [], [], []
+    xs, ys, cs, sids = [], [], [], []
     for s in range(n_sims):
         for t in range(first_t, last_t - 1):
             rec = data[s, t]
@@ -60,6 +61,7 @@ def build_pointcloud_dataset(path: str, n_pts: int = 4096,
             xs.append(pad_rows(rec[:, 0:3]))
             ys.append(pad_rows(rec1[:, 0:3]))
             cs.append(pad_rows(rec[:, 3:5]))
+            sids.append(s)
 
     x = np.stack(xs)
     y = np.stack(ys)
@@ -74,7 +76,8 @@ def build_pointcloud_dataset(path: str, n_pts: int = 4096,
         return np.where(v, scaled, PAD).astype(np.float32)
 
     return PointCloudDataset(fields=scale(x), targets=scale(y), coords=c,
-                             mins=mins, maxs=maxs)
+                             mins=mins, maxs=maxs,
+                             sim_ids=np.asarray(sids, np.int32))
 
 
 def train_pointcloud(ds: PointCloudDataset, epochs: int = 50,
