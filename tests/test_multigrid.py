@@ -63,3 +63,34 @@ def test_mg_fixed_cycles_reduce_residual():
     r0 = float(jnp.linalg.norm(b))
     r = float(jnp.linalg.norm(b - pressure_matvec(coef, x)))
     assert r / r0 < 1e-3, f"4 V-cycles only reduced to {r / r0:.2e}"
+
+
+def test_mgcg_bf16_preconditioner_reaches_f32_tolerance():
+    """Mixed-precision preconditioning (f32 CG vectors, bf16 V-cycle
+    correction) must still converge to the f32 tolerance — iterative-
+    refinement structure, the preconditioner precision does not bound the
+    achievable residual."""
+    case, coef, b, x_true = _problem(64, 128, with_obstacle=True)
+    res = mgcg_pressure(coef, b, rtol=1e-8, maxiter=60, dtype=jnp.bfloat16)
+    err = float(jnp.linalg.norm((res.x - x_true) * case.fluid)
+                / jnp.linalg.norm(x_true * case.fluid))
+    assert float(res.residual) < 1e-7
+    assert err < 1e-5
+    # and not meaningfully more iterations than the f32 preconditioner
+    res32 = mgcg_pressure(coef, b, rtol=1e-8, maxiter=60)
+    assert int(res.iters) <= int(res32.iters) + 3
+
+
+def test_mg_bf16_cycles_contract_like_f32():
+    """Fixed bf16 residual-correction V-cycles must reduce the residual at
+    (nearly) the f32 rate — the correction precision shifts the error
+    floor, not the contraction factor."""
+    case, coef, b, x_true = _problem(64, 128, with_obstacle=True)
+    x0 = jnp.zeros_like(b)
+    x32 = mg_solve(coef, b, x0, cycles=3)
+    x16 = mg_solve(coef, b, x0, cycles=3, dtype=jnp.bfloat16)
+    r0 = float(jnp.linalg.norm(b))
+    r32 = float(jnp.linalg.norm(b - pressure_matvec(coef, x32))) / r0
+    r16 = float(jnp.linalg.norm(b - pressure_matvec(coef, x16))) / r0
+    assert r16 < 5e-3, f"bf16 cycles stalled: {r16:.2e}"
+    assert r16 < 10 * max(r32, 1e-7), f"f32 {r32:.2e} vs bf16 {r16:.2e}"

@@ -103,3 +103,21 @@ def test_laminar_limit_small_nu_t():
     u_t = np.asarray(tur.u)
     rel = np.linalg.norm(u_t - u_l) / max(np.linalg.norm(u_l), 1e-12)
     assert rel < 0.05, f"turbulence model corrupted a laminar flow: {rel}"
+
+
+def test_turbulence_state_save_resume(tmp_path):
+    from tpufoam.fv.case import load_flow, load_turbulence, save_flow
+    case = _channel(nu=2e-4, ny=16, nx=64)
+    flow = initial_flow(case, dt0=5e-4)
+    turb = init_turbulence(case)
+    flow, turb = run_piso_sst(case, flow, turb, 5, backend=MGCGBackend())
+    path = str(tmp_path / "state.npz")
+    save_flow(path, flow, turb=turb)
+    flow2 = load_flow(path)
+    turb2 = load_turbulence(path)
+    assert np.allclose(np.asarray(flow2.u), np.asarray(flow.u))
+    assert np.allclose(np.asarray(turb2.k), np.asarray(turb.k))
+    assert np.allclose(np.asarray(turb2.omega), np.asarray(turb.omega))
+    # laminar state files report no turbulence
+    save_flow(path, flow)
+    assert load_turbulence(path) is None

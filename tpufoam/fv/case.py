@@ -162,17 +162,37 @@ def initial_flow(case: Case, dt0: float = 1e-3) -> Flow:
                 u_prev=u, v_prev=v, p_prev=p)
 
 
-def save_flow(path: str, flow: Flow) -> None:
+_FLOW_FIELDS = ("u", "v", "p", "phi_x", "phi_y", "dt", "t",
+                "u_prev", "v_prev", "p_prev")
+
+
+def save_flow(path: str, flow: Flow, turb=None) -> None:
     """Persist the full solver state for restart (the reference relies on
-    OpenFOAM's `startFrom latestTime`, controlDict:20)."""
-    np.savez(path, **{f: np.asarray(getattr(flow, f))
-                      for f in ("u", "v", "p", "phi_x", "phi_y", "dt", "t",
-                                "u_prev", "v_prev", "p_prev")})
+    OpenFOAM's `startFrom latestTime`, controlDict:20). `turb` optionally
+    appends the k-omega SST state (the 0/k, 0/omega restart fields)."""
+    arrays = {f: np.asarray(getattr(flow, f)) for f in _FLOW_FIELDS}
+    if turb is not None:
+        arrays.update({f"turb_{f}": np.asarray(getattr(turb, f))
+                       for f in ("k", "omega", "nu_t", "k_in", "w_in")})
+    np.savez(path, **arrays)
 
 
 def load_flow(path: str) -> Flow:
     d = np.load(path)
-    return Flow(**{k: jnp.asarray(d[k]) for k in d.files})
+    return Flow(**{k: jnp.asarray(d[k]) for k in _FLOW_FIELDS})
+
+
+def load_turbulence(path: str):
+    """Returns the saved TurbState, or None if the state file is laminar."""
+    d = np.load(path)
+    if "turb_k" not in d.files:
+        return None
+    from .turbulence import TurbState
+    return TurbState(k=jnp.asarray(d["turb_k"]),
+                     omega=jnp.asarray(d["turb_omega"]),
+                     nu_t=jnp.asarray(d["turb_nu_t"]),
+                     k_in=jnp.asarray(d["turb_k_in"]),
+                     w_in=jnp.asarray(d["turb_w_in"]))
 
 
 def fluxes_from_velocity(case: Case, u: jnp.ndarray, v: jnp.ndarray):

@@ -52,12 +52,15 @@ class MGBackend:
     cycles: int = 4
     pre: int = 2
     post: int = 2
+    precision: str = "f32"   # "bf16": mixed-precision cycles (f32 residual,
+                             # bf16 correction — halves smoother HBM traffic)
 
     def __call__(self, case, coef, rhs, p_prev, aux):
         from .multigrid import mg_solve
+        dtype = jnp.bfloat16 if self.precision == "bf16" else None
         return mg_solve(coef, rhs, p_prev, cycles=self.cycles,
                         pre=max(self.pre, 2),
-                        post=max(self.post, 2)) * case.fluid
+                        post=max(self.post, 2), dtype=dtype) * case.fluid
 
 
 @dataclasses.dataclass(frozen=True)
@@ -66,11 +69,13 @@ class MGCGBackend:
     fidelity config (fvSolution:38-66)."""
     rtol: float = 1e-6
     maxiter: int = 60
+    precision: str = "f32"   # "bf16": reduced-precision preconditioner
 
     def __call__(self, case, coef, rhs, p_prev, aux):
         from .multigrid import mgcg_pressure
+        dtype = jnp.bfloat16 if self.precision == "bf16" else None
         return mgcg_pressure(coef, rhs, x0=p_prev, rtol=self.rtol,
-                             maxiter=self.maxiter).x * case.fluid
+                             maxiter=self.maxiter, dtype=dtype).x * case.fluid
 
 
 @dataclasses.dataclass(frozen=True)

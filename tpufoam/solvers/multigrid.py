@@ -163,33 +163,64 @@ def v_cycle(levels: list[PressureCoeffs], b: jnp.ndarray,
     return cycle(0, b, x)
 
 
-@partial(jax.jit, static_argnames=("cycles", "pre", "post", "min_size"))
+def _cast_levels(levels: list[PressureCoeffs], dtype) -> list[PressureCoeffs]:
+    return [jax.tree.map(lambda a: a.astype(dtype), c) for c in levels]
+
+
+def v_cycle_correction(levels: list[PressureCoeffs], levels_lp, r: jnp.ndarray,
+                       pre: int, post: int, dtype) -> jnp.ndarray:
+    """e ~= A^-1 r by one V-cycle from a zero guess, optionally computed in
+    reduced precision (mixed-precision smoothing: the correction is built
+    in bf16 from an f32 residual; the outer iterate/residual stay f32 —
+    iterative-refinement structure, so convergence still reaches f32
+    levels while every smoother/transfer pass moves half the HBM bytes;
+    the stencil sweeps here are bandwidth-bound on TPU)."""
+    if dtype is None:
+        return v_cycle(levels, r, jnp.zeros_like(r), pre, post)
+    e = v_cycle(levels_lp, r.astype(dtype), jnp.zeros_like(r, dtype),
+                pre, post)
+    return e.astype(r.dtype)
+
+
+@partial(jax.jit, static_argnames=("cycles", "pre", "post", "min_size",
+                                   "dtype"))
 def mg_solve(coef: PressureCoeffs, b: jnp.ndarray, x0: jnp.ndarray,
              cycles: int = 4, pre: int = 2, post: int = 2,
-             min_size: int = 8) -> jnp.ndarray:
+             min_size: int = 8, dtype=None) -> jnp.ndarray:
     """Fixed number of V-cycles (the capped-iteration 'p' solve mode,
-    fvSolution maxIter 6 semantics)."""
+    fvSolution maxIter 6 semantics). With `dtype` (e.g. jnp.bfloat16) each
+    cycle runs in residual-correction form: f32 residual, reduced-precision
+    correction."""
     levels = build_hierarchy(coef, min_size=min_size)
+    levels_lp = _cast_levels(levels, dtype) if dtype is not None else None
     x = x0
     for _ in range(cycles):
-        x = v_cycle(levels, b, x, pre, post)
+        if dtype is None:
+            x = v_cycle(levels, b, x, pre, post)
+        else:
+            r = b - pressure_matvec(coef, x)
+            x = x + v_cycle_correction(levels, levels_lp, r, pre, post, dtype)
     return x
 
 
-@partial(jax.jit, static_argnames=("maxiter", "pre", "post", "min_size"))
+@partial(jax.jit, static_argnames=("maxiter", "pre", "post", "min_size",
+                                   "dtype"))
 def mgcg_pressure(coef: PressureCoeffs, b: jnp.ndarray,
                   x0: jnp.ndarray | None = None,
                   rtol: float = 1e-6, atol: float = 1e-12,
                   maxiter: int = 60, pre: int = 1, post: int = 1,
-                  min_size: int = 8) -> CGResult:
+                  min_size: int = 8, dtype=None) -> CGResult:
     """CG preconditioned by one V-cycle — the GAMG-preconditioned-PCG
     fidelity config (fvSolution:38-66). Converges in O(10) iterations
-    independent of grid size."""
+    independent of grid size. `dtype` runs the preconditioner cycle in
+    reduced precision (CG vectors stay f32; a preconditioner only needs to
+    be a fixed SPD approximation, so bf16 is safe for the tolerance)."""
     levels = build_hierarchy(coef, min_size=min_size)
+    levels_lp = _cast_levels(levels, dtype) if dtype is not None else None
     x0 = jnp.zeros_like(b) if x0 is None else x0
 
     def precond(r):
-        return v_cycle(levels, r, jnp.zeros_like(r), pre, post)
+        return v_cycle_correction(levels, levels_lp, r, pre, post, dtype)
 
     r = b - pressure_matvec(coef, x0)
     z = precond(r)

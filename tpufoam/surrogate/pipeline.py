@@ -146,9 +146,11 @@ class SurrogateBundle:
 
 def surrogate_blocks_forward(bundle: SurrogateBundle, layout: BlockLayout,
                              input_grid: jnp.ndarray,
-                             mask_grid: jnp.ndarray) -> jnp.ndarray:
+                             mask_grid: jnp.ndarray,
+                             pca_dtype=None) -> jnp.ndarray:
     """Blocks -> PCA -> MLP -> PCA^-1. Returns (N, S, S, n_out) zero-mean
-    block predictions in nondimensional units."""
+    block predictions in nondimensional units. `pca_dtype` runs the PCA
+    encode/decode matmuls at reduced input precision (f32 accumulate)."""
     n_out = FAMILIES[bundle.family].n_out
     scaled = input_grid / jnp.asarray(bundle.maxs_in)
 
@@ -156,11 +158,11 @@ def surrogate_blocks_forward(bundle: SurrogateBundle, layout: BlockLayout,
     n = xb.shape[0]
     x_flat = xb.reshape(n, -1)
 
-    z_in = bundle.pca_in.transform(x_flat, bundle.pc_in)
+    z_in = bundle.pca_in.transform(x_flat, bundle.pc_in, dtype=pca_dtype)
     z_in = bundle.standardize_in(z_in)
     z_out = apply_model(bundle.params, bundle.mdef, z_in)
     z_out = bundle.destandardize_out(z_out)
-    y_flat = bundle.pca_out.inverse_transform(z_out)
+    y_flat = bundle.pca_out.inverse_transform(z_out, dtype=pca_dtype)
     y = y_flat.reshape(n, layout.size, layout.size, n_out)
 
     if FAMILIES[bundle.family].target_zero_mean:
@@ -172,15 +174,28 @@ def surrogate_blocks_forward(bundle: SurrogateBundle, layout: BlockLayout,
 
 def make_predictor(bundle: SurrogateBundle, family: FamilyConfig | None = None,
                    stitch: str = "scan", apply_filter: bool = False,
-                   near_wall_dist: float = 0.05):
+                   near_wall_dist: float = 0.05, precision: str = "f32"):
     """Build `predict(case, p_prev, aux) -> p` for the PISO engine
     (aux carries u, v, p and prev-step fields; engine.py wires them).
 
     stitch='scan' reproduces the reference corrector; 'lstsq' uses the
-    parallel offset solve + blended placement.
+    parallel offset solve + blended placement. precision='bf16' runs the
+    PCA encode/decode matmuls in bf16 (f32 accumulation).
     """
     family = FAMILIES[bundle.family] if family is None else family
     assemble = assemble_scan if stitch == "scan" else assemble_lstsq
+    pca_dtype = jnp.bfloat16 if precision == "bf16" else None
+    if pca_dtype is not None:
+        # pre-cast the PCA bases ONCE at build time: casting the (K, S^2*C)
+        # components inside the jitted call would re-materialize ~hundreds
+        # of MB per step and cost more than the bf16 matmul saves
+        def _cast(p: PCAModel) -> PCAModel:
+            return PCAModel(mean=p.mean,
+                            components=p.components.astype(pca_dtype),
+                            explained_variance=p.explained_variance,
+                            explained_variance_ratio=p.explained_variance_ratio)
+        bundle = dataclasses.replace(bundle, pca_in=_cast(bundle.pca_in),
+                                     pca_out=_cast(bundle.pca_out))
 
     @jax.jit  # jit at the predictor boundary: on a tunneled TPU device,
     # eager per-op dispatch latency dwarfs the compute (one compile per
@@ -195,7 +210,8 @@ def make_predictor(bundle: SurrogateBundle, family: FamilyConfig | None = None,
 
         x_grid = family.build_inputs(case, fields)
         mask = case.sdf
-        y_blocks = surrogate_blocks_forward(bundle, layout, x_grid, mask)
+        y_blocks = surrogate_blocks_forward(bundle, layout, x_grid, mask,
+                                            pca_dtype=pca_dtype)
 
         pred = y_blocks[..., 0]
         mb = extract_blocks(layout, mask)
