@@ -109,3 +109,27 @@ def test_piso_step_is_jittable_and_pure(empty_channel):
     f2 = piso_step(case, flow)
     np.testing.assert_array_equal(np.asarray(f1.u), np.asarray(f2.u))
     assert f1.t > flow.t
+
+
+def test_eager_rollout_matches_scan():
+    """run_piso_eager (donated per-step dispatch) must be bit-identical to
+    the scan rollout — it is the production stepping mode."""
+    import jax.numpy as jnp
+
+    from tpufoam.core.geometry import channel_case_geometry
+    from tpufoam.fv.case import build_channel_case, initial_flow
+    from tpufoam.piso.engine import PisoConfig, run_piso, run_piso_eager
+    from tpufoam.solvers.backends import MGBackend
+
+    geom = channel_case_geometry("cylinder", length=4.0, height=1.0,
+                                 obstacle_size=0.3, nu=8e-3)
+    case = build_channel_case(geom, delta=1.0 / 32)
+    flow = initial_flow(case, dt0=1e-3)
+    cfg = PisoConfig()
+    be = MGBackend(cycles=2)
+    f_s = run_piso(case, flow, 8, cfg=cfg, backend=be)
+    f_e = run_piso_eager(case, flow, 8, cfg=cfg, backend=be)
+    assert jnp.array_equal(f_s.u, f_e.u)
+    assert jnp.array_equal(f_s.p, f_e.p)
+    # the donating path must not invalidate the caller's input
+    assert bool(jnp.isfinite(flow.u).all())

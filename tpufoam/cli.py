@@ -118,7 +118,7 @@ def piso_main(argv=None):
 
     from .fv.case import initial_flow, load_flow, load_turbulence, save_flow
     from .piso.engine import (PisoConfig, continuity_error, courant_number,
-                              run_piso, run_piso_sst)
+                              run_piso_eager, run_piso_sst)
 
     geom, case = _build_case(args)
     resumed = args.state and os.path.exists(args.state)
@@ -148,8 +148,8 @@ def piso_main(argv=None):
             flow, turb = run_piso_sst(case, flow, turb, n, cfg=cfg,
                                       backend=backend, sm_predict=sm_predict)
         else:
-            flow = run_piso(case, flow, n, cfg=cfg, backend=backend,
-                            sm_predict=sm_predict)
+            flow = run_piso_eager(case, flow, n, cfg=cfg, backend=backend,
+                                  sm_predict=sm_predict)
         done += n
         el = time.perf_counter() - t0
         print(f"step {done}/{args.steps} t={float(flow.t):.4f} "
