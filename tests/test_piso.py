@@ -112,8 +112,10 @@ def test_piso_step_is_jittable_and_pure(empty_channel):
 
 
 def test_eager_rollout_matches_scan():
-    """run_piso_eager (donated per-step dispatch) must be bit-identical to
-    the scan rollout — it is the production stepping mode."""
+    """run_piso_eager (donated per-step dispatch) must match the scan
+    rollout to rounding (the two compile as separate XLA programs, so
+    fusion order may differ at ulp level) — it is the production
+    stepping mode."""
     import jax.numpy as jnp
 
     from tpufoam.core.geometry import channel_case_geometry
@@ -129,7 +131,8 @@ def test_eager_rollout_matches_scan():
     be = MGBackend(cycles=2)
     f_s = run_piso(case, flow, 8, cfg=cfg, backend=be)
     f_e = run_piso_eager(case, flow, 8, cfg=cfg, backend=be)
-    assert jnp.array_equal(f_s.u, f_e.u)
-    assert jnp.array_equal(f_s.p, f_e.p)
+    for a, b in ((f_s.u, f_e.u), (f_s.p, f_e.p)):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-30
+        assert float(jnp.max(jnp.abs(a - b))) / scale < 1e-5
     # the donating path must not invalidate the caller's input
     assert bool(jnp.isfinite(flow.u).all())

@@ -131,7 +131,17 @@ class _Session:
         return mgcg_pressure(coef, rhs, x0=p, rtol=1e-6).x * case.fluid
 
     def close(self):
-        self.mm.close()
+        # drop the numpy views into the mapping first: mmap.close() raises
+        # BufferError while exported buffer pointers are alive
+        self.cells = None
+        self.top = None
+        self.obst = None
+        self.p_out = None
+        try:
+            self.mm.close()
+        except BufferError:
+            pass  # a view escaped (e.g. held by a caller); the mapping is
+            # reclaimed when the last view dies
 
 
 class BridgeServer:

@@ -46,7 +46,7 @@ class MGBackend:
     """Fixed V-cycle geometric multigrid — the GAMG-with-maxIter role
     (fvSolution:22-41). O(n) per solve; the default production backend.
 
-    pre/post are clamped to >= 2: V(1,1) with damped Jacobi is NOT a
+    pre+post is clamped to >= 3: V(1,1) with damped Jacobi is NOT a
     contraction on this operator when used as a standalone solver (it
     diverged in coupled runs); it is only safe inside MGCG."""
     cycles: int = 4
@@ -58,9 +58,11 @@ class MGBackend:
     def __call__(self, case, coef, rhs, p_prev, aux):
         from .multigrid import mg_solve
         dtype = jnp.bfloat16 if self.precision == "bf16" else None
+        pre, post = self.pre, self.post
+        if pre + post < 3:
+            pre, post = 2, 2
         return mg_solve(coef, rhs, p_prev, cycles=self.cycles,
-                        pre=max(self.pre, 2),
-                        post=max(self.post, 2), dtype=dtype) * case.fluid
+                        pre=pre, post=post, dtype=dtype) * case.fluid
 
 
 @dataclasses.dataclass(frozen=True)
