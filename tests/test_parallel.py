@@ -153,3 +153,63 @@ def test_train_checkpoint_resume(tmp_path):
     assert len(s_res.history) == 30
     # resumed run reaches a comparable loss
     assert s_res.history[-1] < s_full.history[0]
+
+
+def test_sharded_sst_step_matches_single_device():
+    """Turbulent step under the 8-device spatial decomposition: the SST
+    transport stencils shard like the momentum stencils (GSPMD halo
+    exchanges), matching the single-device step at physics tolerance."""
+    from tpufoam.core.geometry import channel_case_geometry
+    from tpufoam.fv.case import build_channel_case, initial_flow
+    from tpufoam.fv.turbulence import init_turbulence
+    from tpufoam.parallel.mesh import (device_mesh, make_sharded_sst_step,
+                                       shard_case, shard_flow,
+                                       shard_turbulence)
+    from tpufoam.piso.engine import PisoConfig, piso_step_sst
+    from tpufoam.solvers.backends import CGBackend
+
+    geom = channel_case_geometry("cylinder", length=4.0, height=1.0,
+                                 obstacle_size=0.3, nu=2e-4)
+    case = build_channel_case(geom, delta=1.0 / 32)
+    flow = initial_flow(case, dt0=1e-3)
+    turb = init_turbulence(case)
+    cfg = PisoConfig(n_correctors=1)
+    backend = CGBackend(rtol=1e-7, maxiter=400)
+
+    ref_f, ref_t = piso_step_sst(case, flow, turb, cfg=cfg, backend=backend)
+
+    mesh = device_mesh(8)
+    step = make_sharded_sst_step(mesh, cfg, backend)
+    with mesh:
+        out_f, out_t = step(shard_case(mesh, case), shard_flow(mesh, flow),
+                            shard_turbulence(mesh, turb))
+        jax.block_until_ready(out_f.u)
+
+    np.testing.assert_allclose(np.asarray(out_f.u), np.asarray(ref_f.u),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out_t.k), np.asarray(ref_t.k),
+                               rtol=1e-3, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(out_t.nu_t), np.asarray(ref_t.nu_t),
+                               rtol=1e-3, atol=1e-8)
+
+
+def test_sst_eager_rollout_matches_scan():
+    from tpufoam.core.geometry import channel_case_geometry
+    from tpufoam.fv.case import build_channel_case, initial_flow
+    from tpufoam.fv.turbulence import init_turbulence
+    from tpufoam.piso.engine import (PisoConfig, run_piso_sst,
+                                     run_piso_sst_eager)
+    from tpufoam.solvers.backends import MGBackend
+
+    geom = channel_case_geometry("cylinder", length=4.0, height=1.0,
+                                 obstacle_size=0.3, nu=2e-4)
+    case = build_channel_case(geom, delta=1.0 / 32)
+    flow = initial_flow(case, dt0=1e-3)
+    turb = init_turbulence(case)
+    cfg = PisoConfig()
+    be = MGBackend(cycles=2)
+    f_s, t_s = run_piso_sst(case, flow, turb, 6, cfg=cfg, backend=be)
+    f_e, t_e = run_piso_sst_eager(case, flow, turb, 6, cfg=cfg, backend=be)
+    for a, b in ((f_s.u, f_e.u), (t_s.k, t_e.k), (t_s.nu_t, t_e.nu_t)):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-30
+        assert float(jnp.max(jnp.abs(a - b))) / scale < 1e-5

@@ -118,7 +118,7 @@ def piso_main(argv=None):
 
     from .fv.case import initial_flow, load_flow, load_turbulence, save_flow
     from .piso.engine import (PisoConfig, continuity_error, courant_number,
-                              run_piso_eager, run_piso_sst)
+                              run_piso_eager, run_piso_sst_eager)
 
     geom, case = _build_case(args)
     resumed = args.state and os.path.exists(args.state)
@@ -145,8 +145,9 @@ def piso_main(argv=None):
     while done < args.steps:
         n = min(chunk, args.steps - done)
         if turb is not None:
-            flow, turb = run_piso_sst(case, flow, turb, n, cfg=cfg,
-                                      backend=backend, sm_predict=sm_predict)
+            flow, turb = run_piso_sst_eager(case, flow, turb, n, cfg=cfg,
+                                            backend=backend,
+                                            sm_predict=sm_predict)
         else:
             flow = run_piso_eager(case, flow, n, cfg=cfg, backend=backend,
                                   sm_predict=sm_predict)

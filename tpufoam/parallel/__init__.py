@@ -1,2 +1,3 @@
 from .mesh import (device_mesh, mlp_partition_specs, shard_flow, shard_case,
-                   make_sharded_train_step, make_sharded_piso_step)
+                   make_sharded_train_step, make_sharded_piso_step,
+                   shard_turbulence, make_sharded_sst_step)

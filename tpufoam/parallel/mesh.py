@@ -153,3 +153,38 @@ def make_sharded_piso_step(mesh: Mesh, cfg: PisoConfig = PisoConfig(),
         return jax.lax.with_sharding_constraint(out, sh)
 
     return step
+
+
+def _turb_specs():
+    from ..fv.turbulence import TurbState
+    cell = P("data", "model")
+    return TurbState(k=cell, omega=cell, nu_t=cell, k_in=P(), w_in=P())
+
+
+def shard_turbulence(mesh: Mesh, turb):
+    sh = jax.tree.map(lambda s: NamedSharding(mesh, s), _turb_specs(),
+                      is_leaf=lambda x: isinstance(x, P))
+    return jax.device_put(turb, sh)
+
+
+def make_sharded_sst_step(mesh: Mesh, cfg: PisoConfig = PisoConfig(),
+                          backend=None, sm_predict=None):
+    """Spatially sharded turbulent step: the SST transport equations are
+    the same shifted-array stencils as the momentum equation, so GSPMD
+    inserts the identical ICI halo exchanges — no turbulence-specific
+    communication code."""
+    from ..piso.engine import piso_step_sst
+    backend = backend or CGBackend(rtol=1e-5, maxiter=200)
+
+    @partial(jax.jit, static_argnames=())
+    def step(case: Case, flow: Flow, turb):
+        flow2, turb2 = piso_step_sst(case, flow, turb, cfg=cfg,
+                                     backend=backend, sm_predict=sm_predict)
+        shf = jax.tree.map(lambda s: NamedSharding(mesh, s), _flow_specs(),
+                           is_leaf=lambda x: isinstance(x, P))
+        sht = jax.tree.map(lambda s: NamedSharding(mesh, s), _turb_specs(),
+                           is_leaf=lambda x: isinstance(x, P))
+        return (jax.lax.with_sharding_constraint(flow2, shf),
+                jax.lax.with_sharding_constraint(turb2, sht))
+
+    return step

@@ -221,3 +221,23 @@ def run_piso_sst(case: Case, flow: Flow, turb, n_steps: int,
                  sm_predict=None):
     """Turbulent n-step rollout; returns (Flow, TurbState)."""
     return _rollout_sst_fn(n_steps, cfg, backend, sm_predict)(case, flow, turb)
+
+
+_piso_step_sst_donated = partial(
+    jax.jit, static_argnames=("cfg", "backend", "sm_predict"),
+    donate_argnums=(1, 2))(piso_step_sst.__wrapped__)
+
+
+def run_piso_sst_eager(case: Case, flow: Flow, turb, n_steps: int,
+                       cfg: PisoConfig = PisoConfig(),
+                       backend: PressureBackend = CGBackend(),
+                       sm_predict=None):
+    """Forward-only turbulent rollout with donated buffers (see
+    run_piso_eager). Returns (Flow, TurbState)."""
+    flow, turb = piso_step_sst(case, flow, turb, cfg=cfg, backend=backend,
+                               sm_predict=sm_predict)
+    for _ in range(n_steps - 1):
+        flow, turb = _piso_step_sst_donated(case, flow, turb, cfg=cfg,
+                                            backend=backend,
+                                            sm_predict=sm_predict)
+    return flow, turb
