@@ -179,3 +179,29 @@ def test_arch_table():
     assert define_model_arch("MLP_huger")[0] == 20
     with pytest.raises(ValueError):
         define_model_arch("nope")
+
+
+def test_predictor_bf16_precision_matches_f32():
+    """make_predictor(precision='bf16') (bf16 PCA matmuls, pre-cast basis)
+    must track the f32 predictor to bf16 rounding of the prediction."""
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import _tiny_bundle
+    from tpufoam.core.geometry import channel_case_geometry
+    from tpufoam.fv.case import build_channel_case, initial_flow
+    from tpufoam.surrogate.pipeline import make_predictor
+
+    geom = channel_case_geometry("cylinder", length=4.0, height=1.0,
+                                 obstacle_size=0.3, nu=8e-3)
+    case = build_channel_case(geom, delta=1.0 / 32)
+    flow = initial_flow(case, dt0=1e-3)
+    bundle = _tiny_bundle(block_size=32)
+    aux = dict(u=flow.u + 0.1, v=flow.v, p=flow.p, dt=flow.dt,
+               u_prev=flow.u, v_prev=flow.v, p_prev=flow.p)
+    p32 = make_predictor(bundle, stitch="lstsq")(case, flow.p, aux)
+    p16 = make_predictor(bundle, stitch="lstsq",
+                         precision="bf16")(case, flow.p, aux)
+    scale = float(jnp.max(jnp.abs(p32))) + 1e-30
+    rel = float(jnp.max(jnp.abs(p32 - p16))) / scale
+    assert rel < 0.05, f"bf16 predictor diverged from f32: {rel}"

@@ -59,9 +59,11 @@ def _backend(name, bundle_path=None, stitch="lstsq", polish=6,
     Algorithm 2 (DLPoissonFoam.C:104-119): the SM predicts the pressure
     ONCE per timestep before the momentum predictor, and the corrector
     solves are capped multigrid cycles (the fvSolution maxIter-6 role).
-    precision='bf16' runs the multigrid cycles mixed-precision (f32
+    precision='bf16' runs the fixed multigrid cycles mixed-precision (f32
     residual, bf16 correction — ~10% faster per step on TPU at equal
-    matched accuracy)."""
+    matched accuracy) and the surrogate PCA matmuls in bf16. It is NOT
+    applied to the mgcg backend: plain CG stalls at rtol 1e-6 with a
+    reduced-precision preconditioner on TPU (see docs/STATUS.md)."""
     from .solvers.backends import (CGBackend, MGBackend, MGCGBackend,
                                    SurrogateBackend)
     if name == "cg":
@@ -69,10 +71,10 @@ def _backend(name, bundle_path=None, stitch="lstsq", polish=6,
     if name == "mg":
         return MGBackend(cycles=4, precision=precision), None
     if name == "mgcg":
-        return MGCGBackend(rtol=1e-6, precision=precision), None
+        return MGCGBackend(rtol=1e-6), None
     from .surrogate.pipeline import SurrogateBundle, make_predictor
     bundle = SurrogateBundle.load(bundle_path)
-    predictor = make_predictor(bundle, stitch=stitch)
+    predictor = make_predictor(bundle, stitch=stitch, precision=precision)
     if name == "sm":
         return SurrogateBackend(predict=predictor), None
     if name == "hybrid":
@@ -131,13 +133,17 @@ def piso_main(argv=None):
     backend, sm_predict = _backend(args.backend, args.bundle, args.stitch,
                                    precision=args.precision)
 
-    turb = None
-    if args.turbulence == "kOmegaSST":
-        turb = load_turbulence(args.state) if resumed else None
-        if turb is None:
-            from .fv.turbulence import init_turbulence
-            turb = init_turbulence(case, intensity=args.turb_intensity,
-                                   length_frac=args.turb_length_frac)
+    # a turbulent state file self-identifies: auto-resume its k/omega even
+    # when --turbulence was not re-passed, rather than silently switching
+    # physics mid-run and dropping the fields on the next save
+    turb = load_turbulence(args.state) if resumed else None
+    if turb is not None and args.turbulence != "kOmegaSST":
+        print("state file contains k-omega SST fields: resuming turbulent "
+              "(pass a fresh --state to run laminar)", flush=True)
+    if turb is None and args.turbulence == "kOmegaSST":
+        from .fv.turbulence import init_turbulence
+        turb = init_turbulence(case, intensity=args.turb_intensity,
+                               length_frac=args.turb_length_frac)
 
     chunk = max(1, min(50, args.steps))
     done = 0
@@ -442,8 +448,10 @@ def pointcloud_main(argv=None):
 
     with open(args.params, "rb") as f:
         blob = pickle.load(f)
+    # rescale with the TRAINING stats, not this subset's own min/max
     ds = build_pointcloud_dataset(args.dataset, n_pts=blob["n_pts"],
-                                  n_sims=args.sim + 1, first_t=args.first_t)
+                                  n_sims=args.sim + 1, first_t=args.first_t,
+                                  scale_stats=(blob["mins"], blob["maxs"]))
     sel = np.flatnonzero(ds.sim_ids == args.sim)
     if sel.size == 0:
         raise SystemExit(f"sim {args.sim} has no usable frames")

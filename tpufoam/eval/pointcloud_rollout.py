@@ -38,7 +38,10 @@ def rasterize(points: np.ndarray, values: np.ndarray,
     NaN (plot.py's scatter->imshow role, vectorized)."""
     points = np.asarray(points)
     values = np.asarray(values)
-    valid = values != PAD
+    # filter on the COORDINATES too: model predictions carry arbitrary
+    # non-PAD values at padded rows, whose (-100,-100) coords would
+    # otherwise stretch the auto bounds and collapse the image
+    valid = (values != PAD) & (points[:, 0] != PAD)
     points, values = points[valid], values[valid]
     if bounds is None:
         bounds = (points[:, 0].min(), points[:, 0].max(),

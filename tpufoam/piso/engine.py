@@ -178,6 +178,8 @@ def run_piso_eager(case: Case, flow: Flow, n_steps: int,
     so host latency overlaps device compute), and each step reuses the
     previous step's HBM via donation. Not differentiable-through; use
     `run_piso` for AD/vmap."""
+    if n_steps <= 0:
+        return flow
     # first step must not donate: the caller still owns `flow`
     flow = piso_step(case, flow, cfg=cfg, backend=backend,
                      sm_predict=sm_predict)
@@ -234,6 +236,8 @@ def run_piso_sst_eager(case: Case, flow: Flow, turb, n_steps: int,
                        sm_predict=None):
     """Forward-only turbulent rollout with donated buffers (see
     run_piso_eager). Returns (Flow, TurbState)."""
+    if n_steps <= 0:
+        return flow, turb
     flow, turb = piso_step_sst(case, flow, turb, cfg=cfg, backend=backend,
                                sm_predict=sm_predict)
     for _ in range(n_steps - 1):

@@ -59,8 +59,8 @@ class MGBackend:
         from .multigrid import mg_solve
         dtype = jnp.bfloat16 if self.precision == "bf16" else None
         pre, post = self.pre, self.post
-        if pre + post < 3:
-            pre, post = 2, 2
+        if pre < 1 or post < 1 or pre + post < 3:
+            pre, post = 2, 2   # V(1,1)/one-sided cycles are not safe standalone
         return mg_solve(coef, rhs, p_prev, cycles=self.cycles,
                         pre=pre, post=post, dtype=dtype) * case.fluid
 
@@ -71,7 +71,11 @@ class MGCGBackend:
     fidelity config (fvSolution:38-66)."""
     rtol: float = 1e-6
     maxiter: int = 60
-    precision: str = "f32"   # "bf16": reduced-precision preconditioner
+    precision: str = "f32"   # "bf16": reduced-precision preconditioner.
+    # CAUTION: measured to stall plain CG at rtol 1e-6 on TPU (hits
+    # maxiter) — the rounding makes the preconditioner slightly nonlinear;
+    # a flexible-CG formulation would be needed. Kept for experimentation;
+    # the CLI does not expose it.
 
     def __call__(self, case, coef, rhs, p_prev, aux):
         from .multigrid import mgcg_pressure

@@ -33,9 +33,13 @@ class PointCloudDataset:
 def build_pointcloud_dataset(path: str, n_pts: int = 4096,
                              n_sims: int | None = None,
                              first_t: int = 0,
-                             last_t: int | None = None) -> PointCloudDataset:
+                             last_t: int | None = None,
+                             scale_stats: tuple | None = None) -> PointCloudDataset:
     """HDF5 -> next-step pairs. n_pts must be divisible by 16 (U-Net
-    pooling); clouds are truncated/padded to it."""
+    pooling); clouds are truncated/padded to it. `scale_stats=(mins, maxs)`
+    reuses TRAINING normalization constants instead of recomputing them —
+    required at inference time (the sigmoid-output model is tied to the
+    training [0,1] mapping)."""
     import h5py
 
     with h5py.File(path, "r") as f:
@@ -66,9 +70,12 @@ def build_pointcloud_dataset(path: str, n_pts: int = 4096,
     x = np.stack(xs)
     y = np.stack(ys)
     c = np.stack(cs)
-    valid = x[..., 0] != PAD
-    mins = np.array([x[..., k][valid].min() for k in range(3)], np.float32)
-    maxs = np.array([x[..., k][valid].max() for k in range(3)], np.float32)
+    if scale_stats is not None:
+        mins, maxs = (np.asarray(a, np.float32) for a in scale_stats)
+    else:
+        valid = x[..., 0] != PAD
+        mins = np.array([x[..., k][valid].min() for k in range(3)], np.float32)
+        maxs = np.array([x[..., k][valid].max() for k in range(3)], np.float32)
 
     def scale(a):
         v = a[..., 0:1] != PAD
