@@ -22,20 +22,25 @@ import jax
 import numpy as np
 
 
-def time_rollout(case, flow, n_steps, cfg, backend, sm_predict=None):
+def time_rollout(case, flow, n_steps, cfg, backend, sm_predict=None,
+                 repeats=3):
     # eager stepping with donated buffers: numerically identical to the
     # scan rollout but ~1 ms/step faster at 1M cells (scan carry
-    # double-buffering); async dispatch overlaps host latency
+    # double-buffering); async dispatch overlaps host latency.
+    # median of `repeats` windows: the tunneled-TPU dispatch timing is
+    # +-10-15% noisy at 10-step samples (docs/STATUS.md)
     from tpufoam.piso.engine import run_piso_eager
     flow2 = run_piso_eager(case, flow, n_steps, cfg=cfg, backend=backend,
                            sm_predict=sm_predict)
     jax.block_until_ready(flow2.u)  # compile + warm
-    t0 = time.perf_counter()
-    flow3 = run_piso_eager(case, flow2, n_steps, cfg=cfg, backend=backend,
-                           sm_predict=sm_predict)
-    jax.block_until_ready(flow3.u)
-    dt = time.perf_counter() - t0
-    return dt / n_steps, flow3
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        flow2 = run_piso_eager(case, flow2, n_steps, cfg=cfg, backend=backend,
+                               sm_predict=sm_predict)
+        jax.block_until_ready(flow2.u)
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times)) / n_steps, flow2
 
 
 def main():
