@@ -87,6 +87,34 @@ def main():
                                  MGBackend(cycles=2, precision="bf16"),
                                  sm_predict=predictor)
 
+    # batched case-farming mode: 4 geometries x 1M cells vmapped in
+    # lockstep (the production fleet configuration) — aggregate throughput
+    def fleet_throughput():
+        from tpufoam.piso.batched import (run_piso_batched, stack_cases,
+                                          stack_flows)
+        shapes = [("cylinder", 0.5), ("rectangle", 0.4), ("triangle", 0.45),
+                  ("ellipse", 0.6)]
+        cs, fs = [], []
+        for s, sz in shapes:
+            g = channel_case_geometry(s, length=nx * delta, height=height,
+                                      obstacle_size=sz, nu=8e-3)
+            c = build_channel_case(g, delta=delta)
+            cs.append(c)
+            fs.append(initial_flow(c, dt0=5e-4))
+        cb, fb = stack_cases(cs), stack_flows(fs)
+        be = MGBackend(cycles=2, precision="bf16")
+        out = run_piso_batched(cb, fb, n_steps, cfg=cfg, backend=be)
+        jax.block_until_ready(out.u)
+        ts = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = run_piso_batched(cb, out, n_steps, cfg=cfg, backend=be)
+            jax.block_until_ready(out.u)
+            ts.append(time.perf_counter() - t0)
+        return len(shapes) * n_cells / (float(np.median(ts)) / n_steps) / 1e6
+
+    fleet_mcells_s = fleet_throughput()
+
     # matched-accuracy check: hybrid rollout vs the CG-tolerance rollout
     import jax.numpy as jnp
     m = case.fluid > 0
@@ -116,6 +144,7 @@ def main():
             "hybrid_mcells_s": round(n_cells / t_hy / 1e6, 3),
             "hybrid_vs_cg_rel_l2_u": round(l2_u, 5),
             "hybrid_bundle": "trained" if trained else "random-structural",
+            "fleet_4x1M_mcells_s": round(fleet_mcells_s, 1),
             "continuity_err_cg": float(continuity_error(case, flow_cg)),
             "device": str(jax.devices()[0]),
             "baseline_note": "1.0 Mcells/s = est. 1 s/step single-core "
