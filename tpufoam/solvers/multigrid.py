@@ -214,7 +214,12 @@ def mgcg_pressure(coef: PressureCoeffs, b: jnp.ndarray,
     fidelity config (fvSolution:38-66). Converges in O(10) iterations
     independent of grid size. `dtype` runs the preconditioner cycle in
     reduced precision (CG vectors stay f32; a preconditioner only needs to
-    be a fixed SPD approximation, so bf16 is safe for the tolerance)."""
+    be a fixed SPD approximation, so bf16 is safe for the tolerance).
+
+    Keep pre == post: an asymmetric V-cycle is a non-SPD preconditioner
+    and stalls plain CG (measured 2x wall-clock at 1M cells as the solve
+    hits maxiter). V(2,2) buys nothing over V(1,1) here — iteration count
+    drops but each cycle doubles."""
     levels = build_hierarchy(coef, min_size=min_size)
     levels_lp = _cast_levels(levels, dtype) if dtype is not None else None
     x0 = jnp.zeros_like(b) if x0 is None else x0
