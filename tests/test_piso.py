@@ -131,8 +131,11 @@ def test_eager_rollout_matches_scan():
     be = MGBackend(cycles=2)
     f_s = run_piso(case, flow, 8, cfg=cfg, backend=be)
     f_e = run_piso_eager(case, flow, 8, cfg=cfg, backend=be)
+    # 1e-4 relative: the limitedLinear limiter's select/clip chains fuse
+    # differently between the two programs, so ulp-level differences
+    # accumulate over the 8 steps (was 1e-5 with pure upwind)
     for a, b in ((f_s.u, f_e.u), (f_s.p, f_e.p)):
         scale = float(jnp.max(jnp.abs(a))) + 1e-30
-        assert float(jnp.max(jnp.abs(a - b))) / scale < 1e-5
+        assert float(jnp.max(jnp.abs(a - b))) / scale < 1e-4
     # the donating path must not invalidate the caller's input
     assert bool(jnp.isfinite(flow.u).all())

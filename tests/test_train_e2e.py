@@ -95,6 +95,45 @@ def test_surrogate_predicts_delta_p(trained, stitch):
         f"SM {err_pred.rmse_pct:.2f}% vs persistence {err_pers.rmse_pct:.2f}%"
 
 
+def test_weighted_deltap_tier(trained):
+    """The 4th error tier (`apply_deltaU_change_wgt`, SM_call.py:359-363,
+    :696-773): weighted report present, p reconstruction uses the weighted
+    field, and the summary prints all four sections."""
+    case, frames, bundle = trained[1], trained[3], trained[5]
+    from tpufoam.eval.evaluation import evaluate_bundle
+
+    rep_w = evaluate_bundle(bundle, case, frames[4:8], stitch="lstsq",
+                            weighted=True)
+    rep = evaluate_bundle(bundle, case, frames[4:8], stitch="lstsq")
+    assert rep.field_weighted is None
+    assert rep_w.field_weighted is not None
+    assert np.isfinite(rep_w.field_weighted.rmse_pct)
+    # weighting leaves the crude tier untouched
+    assert rep_w.field.rmse_pct == pytest.approx(rep.field.rmse_pct)
+    s = rep_w.summary()
+    for section in ("Error in blocks", "Error in delta_p",
+                    "no weighting", "Error in p"):
+        assert section in s, s
+
+
+def test_deltaU_weighting_identities():
+    """apply_deltaU_weighting: zero du-change returns dp_prev exactly;
+    uniform du-change == smoothing of the fresh prediction."""
+    import jax.numpy as jnp
+
+    from tpufoam.surrogate.blocks import (apply_deltaU_weighting,
+                                          gaussian_filter2d)
+
+    rng = np.random.default_rng(3)
+    res = jnp.asarray(rng.normal(size=(40, 60)).astype(np.float32))
+    prev = jnp.asarray(rng.normal(size=(40, 60)).astype(np.float32))
+    out0 = apply_deltaU_weighting(res, prev, jnp.zeros((40, 60)))
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(prev), atol=1e-6)
+    out1 = apply_deltaU_weighting(res, prev, jnp.ones((40, 60)))
+    want = prev + gaussian_filter2d(res - prev, 10.0)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(want), atol=1e-5)
+
+
 def test_hybrid_backend_coupled_run(trained):
     """Algorithm-2 coupling: SM warm start + capped CG keeps the solve
     stable and divergence-free."""

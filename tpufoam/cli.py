@@ -66,6 +66,12 @@ def _backend(name, bundle_path=None, stitch="lstsq", polish=6,
     reduced-precision preconditioner on TPU (see docs/STATUS.md)."""
     from .solvers.backends import (CGBackend, MGBackend, MGCGBackend,
                                    SurrogateBackend)
+    if name in ("cg", "mgcg") and precision == "bf16":
+        # not silently ignored: plain CG stalls at rtol 1e-6 with a
+        # reduced-precision preconditioner on TPU (docs/STATUS.md §2)
+        print(f"WARNING: --precision bf16 is not supported for the {name} "
+              "backend (CG stalls with a reduced-precision preconditioner); "
+              "running f32", flush=True)
     if name == "cg":
         return CGBackend(rtol=1e-6, maxiter=2000), None
     if name == "mg":
@@ -110,6 +116,18 @@ def piso_main(argv=None):
                          "runtime-selectable turbulence role)")
     ap.add_argument("--turb-intensity", type=float, default=0.05)
     ap.add_argument("--turb-length-frac", type=float, default=0.1)
+    ap.add_argument("--convection", default="limitedLinear",
+                    choices=["upwind", "blend", "limitedLinear"],
+                    help="convection scheme; limitedLinear matches the "
+                         "reference's `div(phi,U) Gauss limitedLinearV 1` "
+                         "(fvSchemes:20) and is the default")
+    ap.add_argument("--convection-blend", type=float, default=1.0,
+                    help="deferred-central weight for --convection blend")
+    ap.add_argument("--forces-out", default=None,
+                    help="CSV path for the Cd/Cl time series (the "
+                         "controlDict:61-107 forceCoeffs function object "
+                         "role); logged every --forces-every steps")
+    ap.add_argument("--forces-every", type=int, default=10)
     _add_platform_flag(ap)
     args = ap.parse_args(argv)
     _apply_platform(args)
@@ -129,7 +147,9 @@ def piso_main(argv=None):
         print(f"resumed from {args.state} at t={float(flow.t):.4f}", flush=True)
     else:
         flow = initial_flow(case, dt0=args.dt0)
-    cfg = PisoConfig(n_correctors=args.n_correctors, max_co=args.max_co)
+    cfg = PisoConfig(n_correctors=args.n_correctors, max_co=args.max_co,
+                     convection=args.convection,
+                     convection_blend=args.convection_blend)
     backend, sm_predict = _backend(args.backend, args.bundle, args.stitch,
                                    precision=args.precision)
 
@@ -146,6 +166,10 @@ def piso_main(argv=None):
                                length_frac=args.turb_length_frac)
 
     chunk = max(1, min(50, args.steps))
+    force_rows = []
+    if args.forces_out:
+        from .fv.forces import obstacle_force
+        chunk = max(1, min(chunk, args.forces_every))
     done = 0
     t0 = time.perf_counter()
     while done < args.steps:
@@ -159,10 +183,25 @@ def piso_main(argv=None):
                                   sm_predict=sm_predict)
         done += n
         el = time.perf_counter() - t0
+        force_txt = ""
+        if args.forces_out:
+            rep = obstacle_force(case, flow.u, flow.v, flow.p,
+                                 u_ref=1.0, d_ref=args.obstacle_size)
+            cd, cl = float(rep.cd), float(rep.cl)
+            force_rows.append((float(flow.t), cd, cl))
+            force_txt = f" Cd={cd:.4f} Cl={cl:.4f}"
         print(f"step {done}/{args.steps} t={float(flow.t):.4f} "
               f"dt={float(flow.dt):.2e} Co={float(courant_number(case, flow)):.3f} "
-              f"contErr={float(continuity_error(case, flow)):.2e} "
+              f"contErr={float(continuity_error(case, flow)):.2e}"
+              f"{force_txt} "
               f"[{el / done * 1000:.2f} ms/step]", flush=True)
+
+    if args.forces_out:
+        with open(args.forces_out, "w") as f:
+            f.write("t,Cd,Cl\n")
+            for t_, cd, cl in force_rows:
+                f.write(f"{t_:.6f},{cd:.6f},{cl:.6f}\n")
+        print(f"saved force coefficients to {args.forces_out}")
 
     if args.out:
         extra = {}
@@ -504,6 +543,10 @@ def eval_main(argv=None):
     ap.add_argument("--last-t", type=int, default=None)
     ap.add_argument("--stitch", default="scan", choices=["scan", "lstsq"])
     ap.add_argument("--apply-filter", action="store_true")
+    ap.add_argument("--weighted", action="store_true",
+                    help="apply the deltaU-change blending and report the "
+                         "weighted delta_p error tier "
+                         "(apply_deltaU_change_wgt, SM_call.py:359-363)")
     ap.add_argument("--save-plots", action="store_true")
     ap.add_argument("--plots-dir", default="plots")
     _add_platform_flag(ap)
@@ -524,7 +567,8 @@ def eval_main(argv=None):
         frames = [ucase.fields_from_frame(read_frame(args.dataset, s, t))
                   for t in range(args.first_t, last_t)]
         rep = evaluate_bundle(bundle, ucase.case, frames, stitch=args.stitch,
-                              apply_filter=args.apply_filter)
+                              apply_filter=args.apply_filter,
+                              weighted=args.weighted)
         print(f"===== sim {s} =====\n{rep.summary()}\n", flush=True)
         if args.save_plots:
             from .utils.plotting import save_eval_plots

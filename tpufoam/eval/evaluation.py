@@ -96,21 +96,38 @@ class UnstructuredCase:
             fields["u_prev"] = fields["u"]
             fields["v_prev"] = fields["v"]
             fields["p_prev"] = fields["p"]
+        if "dUx_prev" in fr.channels:
+            # previous-step deltas for the deltaU-change weighting
+            # (SM_call.py:394-398, channels 8-10 of the deltas schema)
+            fields["du_prev"] = g("dUx_prev")
+            fields["dv_prev"] = g("dUy_prev")
+            fields["dp_prev"] = g("dp_prev")
         return fields
 
 
 @dataclasses.dataclass
 class EvalReport:
+    """The reference's four error tiers (SM_call.py:696-773): raw blocks,
+    weighted delta_p (`field_deltap`), crude delta_p without weighting
+    (`deltap_res`), and reconstructed p. With weighting off (the
+    reference's own default, SM_call.py:573) `field` == `field_crude`
+    and `field_weighted` is None."""
+
     per_frame: list
     block: ErrorReport | None
-    field: ErrorReport | None
+    field: ErrorReport | None          # crude stitched delta_p (deltap_res)
     p_field: ErrorReport | None
+    field_weighted: ErrorReport | None = None
 
     def summary(self) -> str:
         lines = []
         if self.block:
             lines.append(f"** Error in blocks **\n{self.block}")
-        if self.field:
+        if self.field_weighted:
+            lines.append(f"** Error in delta_p **\n{self.field_weighted}")
+            lines.append(
+                f"** Error in delta_p - no weighting **\n{self.field}")
+        elif self.field:
             lines.append(f"** Error in delta field **\n{self.field}")
         if self.p_field:
             lines.append(f"** Error in p **\n{self.p_field}")
@@ -125,10 +142,37 @@ def _relevant(fields, threshold=1e-4) -> bool:
     return um > 1e-12 and (dum / um) >= threshold
 
 
+def _deltaU_weight_grids(fields: dict, prev_fields: dict | None):
+    """du-change weight grid + previous-step delta_p grid for the
+    `apply_deltaU_change_wgt` path (SM_call.py:394-398,447-450). Prefers
+    in-frame dUx_prev/dUy_prev/dp_prev channels; falls back to deriving
+    them from the previous relevant frame in the sequence."""
+    if "du_prev" in fields:
+        du_p, dv_p = fields["du_prev"], fields["dv_prev"]
+        dp_p = fields["dp_prev"]
+    elif prev_fields is not None:
+        du_p = prev_fields["u"] - prev_fields["u_prev"]
+        dv_p = prev_fields["v"] - prev_fields["v_prev"]
+        dp_p = prev_fields["p"] - prev_fields["p_prev"]
+    else:
+        return None
+    du = np.asarray(fields["u"] - fields["u_prev"])
+    dv = np.asarray(fields["v"] - fields["v_prev"])
+    change = np.abs(du - np.asarray(du_p)) + np.abs(dv - np.asarray(dv_p))
+    cmax = change.max()
+    if cmax > 0:
+        change = change / cmax
+    return jnp.asarray(change), jnp.asarray(dp_p)
+
+
 def evaluate_bundle(bundle: SurrogateBundle, case: Case, frames: list[dict],
-                    stitch: str = "scan", apply_filter: bool = False) -> EvalReport:
+                    stitch: str = "scan", apply_filter: bool = False,
+                    weighted: bool = False) -> EvalReport:
     """Run the surrogate over evaluation frames and report the reference's
-    three error tiers. `frames` are grid-space field dicts."""
+    error tiers. `frames` are grid-space field dicts. `weighted` enables
+    the deltaU-change blending (`apply_deltaU_change_wgt`, SM_call.py:359-363)
+    and adds the weighted-delta_p tier; the reconstructed p then uses the
+    weighted field exactly like SM_call.py:645."""
     import jax
 
     family = FAMILIES[bundle.family]
@@ -166,11 +210,18 @@ def evaluate_bundle(bundle: SurrogateBundle, case: Case, frames: list[dict],
             p_hat = predictor(case, fields["p_prev"], fields)
         return yb_pred, yb_true, p_hat, um
 
+    wgt_fn = None
+    if weighted:
+        from ..surrogate.blocks import apply_deltaU_weighting
+        wgt_fn = jax.jit(apply_deltaU_weighting)
+
     per_frame = []
     blk_pred, blk_true = [], []
     fld_pred, fld_true = [], []
+    fld_w_pred = []
     p_pred_all, p_true_all = [], []
     mask = np.asarray(case.fluid) != 0
+    prev_rel = None
 
     for fields in frames:
         if not _relevant(fields):
@@ -190,14 +241,28 @@ def evaluate_bundle(bundle: SurrogateBundle, case: Case, frames: list[dict],
 
         p_prev = np.asarray(fields["p_prev"])
         p_true = np.asarray(fields["p"])
-        fld_pred.append((p_hat - p_prev)[mask])
+        dp_crude = p_hat - p_prev
+
+        dp_used = dp_crude
+        if weighted:
+            grids = _deltaU_weight_grids(fields, prev_rel)
+            if grids is not None:
+                change, dp_prev_grid = grids
+                dp_used = np.asarray(
+                    wgt_fn(jnp.asarray(dp_crude), dp_prev_grid, change))
+            fld_w_pred.append(dp_used[mask])
+        prev_rel = fields
+
+        fld_pred.append(dp_crude[mask])
         fld_true.append((p_true - p_prev)[mask])
-        p_pred_all.append(p_hat[mask])
+        # p reconstruction uses the (possibly weighted) field (SM_call.py:645)
+        p_rec = p_prev + dp_used
+        p_pred_all.append(p_rec[mask])
         p_true_all.append(p_true[mask])
 
         per_frame.append(dict(
-            field=error_metrics(p_hat - p_prev, p_true - p_prev, mask),
-            p=error_metrics(p_hat, p_true, mask)))
+            field=error_metrics(dp_crude, p_true - p_prev, mask),
+            p=error_metrics(p_rec, p_true, mask)))
 
     if not fld_pred:
         return EvalReport(per_frame=per_frame, block=None, field=None,
@@ -210,7 +275,11 @@ def evaluate_bundle(bundle: SurrogateBundle, case: Case, frames: list[dict],
                               mb_all)
     field_rep = error_metrics(np.concatenate(fld_pred),
                               np.concatenate(fld_true))
+    field_w_rep = None
+    if fld_w_pred:
+        field_w_rep = error_metrics(np.concatenate(fld_w_pred),
+                                    np.concatenate(fld_true))
     p_rep = error_metrics(np.concatenate(p_pred_all),
                           np.concatenate(p_true_all))
     return EvalReport(per_frame=per_frame, block=block_rep, field=field_rep,
-                      p_field=p_rep)
+                      p_field=p_rep, field_weighted=field_w_rep)

@@ -36,33 +36,141 @@ class MomentumCoeffs:
 def _deferred_central_correction(case: Case, f_e, f_w, f_n, f_s,
                                  phi: jnp.ndarray, gamma: float) -> jnp.ndarray:
     """Explicit deferred correction toward central differencing:
-    -sum_f F_f (phi_f^central - phi_f^upwind) * gamma, per cell. This is
-    how the reference's limitedLinearV convection (fvSchemes:20) exceeds
-    first order while the implicit matrix stays upwind-stable."""
-    def face_corr(f_flux, nb, open_mask):
-        central = 0.5 * (phi + nb)
-        upwind = jnp.where(f_flux > 0, phi, nb)
+    -sum_f F_f (phi_f^central - phi_f^upwind) * gamma, per cell, with the
+    implicit matrix staying upwind-stable. Faces are oriented L->R in the
+    positive axis direction: for a cell's east/north face the cell is L,
+    for its west/south face the cell is R (so F>0 upwinds from the
+    *neighbour* there)."""
+    def face_corr(f_flux, left, right, open_mask):
+        central = 0.5 * (left + right)
+        upwind = jnp.where(f_flux > 0, left, right)
         return open_mask * f_flux * (central - upwind)
 
-    out = (face_corr(f_e, nb_e(phi), case.open_e)        # outgoing east
-           - face_corr(f_w, nb_w(phi), case.open_w)      # incoming west
-           + face_corr(f_n, nb_n(phi), case.open_n)
-           - face_corr(f_s, nb_s(phi), case.open_s))
+    out = (face_corr(f_e, phi, nb_e(phi), case.open_e)
+           - face_corr(f_w, nb_w(phi), phi, case.open_w)
+           + face_corr(f_n, phi, nb_n(phi), case.open_n)
+           - face_corr(f_s, nb_s(phi), phi, case.open_s))
     return -gamma * out
+
+
+def _limited_linear_corrections(case: Case, f_e, f_w, f_n, f_s,
+                                u: jnp.ndarray, v: jnp.ndarray,
+                                k: float = 1.0):
+    """limitedLinearV deferred correction for both velocity components
+    (fvSchemes:20 `div(phi,U) Gauss limitedLinearV 1`).
+
+    Per face the Sweby-style limiter psi = clip(2 r / k, 0, 1) scales the
+    central-minus-upwind correction, with r the upwind gradient ratio
+        r = (phi_U - phi_UU) / (phi_D - phi_U).
+    The V (vector) variant applies ONE limiter per face to all components;
+    OpenFOAM derives it from the direction of steepest change — here we
+    take the min over components, the conservative equivalent. Faces whose
+    far-upwind cell is solid/outside fall back to pure upwind (psi = 0),
+    matching OpenFOAM's boundary-face treatment. Everything is shifted
+    arrays + selects: one fused VPU pass, no gathers."""
+    fl = case.fluid
+
+    def shifted(direction, x):
+        return {"e": nb_e, "w": nb_w, "n": nb_n, "s": nb_s}[direction](x)
+
+    def psi_face(F, L, R, LL, RR, mLL, mRR):
+        # r for F>0 (upwind = L): (L - LL)/(R - L); for F<0: (R - RR)/(L - R)
+        den_p = R - L
+        r_p = (L - LL) * den_p / (den_p * den_p + 1e-30)
+        den_m = L - R
+        r_m = (R - RR) * den_m / (den_m * den_m + 1e-30)
+        psi_p = jnp.clip(2.0 * r_p / k, 0.0, 1.0) * mLL
+        psi_m = jnp.clip(2.0 * r_m / k, 0.0, 1.0) * mRR
+        return jnp.where(F > 0, psi_p, psi_m)
+
+    def face_corr(F, L, R, psi, open_mask):
+        central = 0.5 * (L + R)
+        upwind = jnp.where(F > 0, L, R)
+        return open_mask * F * psi * (central - upwind)
+
+    corr = {}
+    # (face flux, L-shift, R-shift, LL-shift fn, RR-shift fn, open mask, sign)
+    faces = (
+        (f_e, None, "e", "w", ("e", "e"), case.open_e, +1.0),
+        (f_w, "w", None, ("w", "w"), "e", case.open_w, -1.0),
+        (f_n, None, "n", "s", ("n", "n"), case.open_n, +1.0),
+        (f_s, "s", None, ("s", "s"), "n", case.open_s, -1.0),
+    )
+
+    def apply_shift(spec, x):
+        if spec is None:
+            return x
+        if isinstance(spec, tuple):
+            for d in spec:
+                x = shifted(d, x)
+            return x
+        return shifted(spec, x)
+
+    corr_u = jnp.zeros_like(u)
+    corr_v = jnp.zeros_like(v)
+    for F, sl, sr, sll, srr, open_m, sign in faces:
+        mLL = apply_shift(sll, fl)
+        mRR = apply_shift(srr, fl)
+        uL, uR = apply_shift(sl, u), apply_shift(sr, u)
+        vL, vR = apply_shift(sl, v), apply_shift(sr, v)
+        psi_u = psi_face(F, uL, uR, apply_shift(sll, u), apply_shift(srr, u),
+                         mLL, mRR)
+        psi_v = psi_face(F, vL, vR, apply_shift(sll, v), apply_shift(srr, v),
+                         mLL, mRR)
+        psi = jnp.minimum(psi_u, psi_v)   # the shared V-scheme limiter
+        corr_u = corr_u + sign * face_corr(F, uL, uR, psi, open_m)
+        corr_v = corr_v + sign * face_corr(F, vL, vR, psi, open_m)
+    return -corr_u, -corr_v
+
+
+def _transpose_diffusion_source(case: Case, nu_t: jnp.ndarray,
+                                u: jnp.ndarray, v: jnp.ndarray):
+    """div(nu_eff (grad U)^T) — the transpose term of the reference's
+    `turbulence->divDevSigma(U)` (UEqn.H:8). For incompressible flow
+    (div U = 0) it reduces pointwise to (grad nu_t . d U_j/d x_i), nonzero
+    only where the eddy viscosity varies (the constant-nu part vanishes):
+        s_u = dnut/dx * du/dx + dnut/dy * dv/dx
+        s_v = dnut/dx * du/dy + dnut/dy * dv/dy
+    Returned per unit volume; caller multiplies by V."""
+    dx, dy = case.grid.dx, case.grid.dy
+
+    def grad(f):
+        me, mw = nb_e(case.fluid), nb_w(case.fluid)
+        mn, ms = nb_n(case.fluid), nb_s(case.fluid)
+        fe = jnp.where(me > 0, nb_e(f), f)
+        fw = jnp.where(mw > 0, nb_w(f), f)
+        fn = jnp.where(mn > 0, nb_n(f), f)
+        fs = jnp.where(ms > 0, nb_s(f), f)
+        gx = (fe - fw) / (jnp.maximum(me + mw, 1.0) * dx)
+        gy = (fn - fs) / (jnp.maximum(mn + ms, 1.0) * dy)
+        return gx, gy
+
+    ntx, nty = grad(nu_t)
+    dudx, dudy = grad(u)
+    dvdx, dvdy = grad(v)
+    s_u = ntx * dudx + nty * dvdx
+    s_v = ntx * dudy + nty * dvdy
+    return s_u * case.fluid, s_v * case.fluid
 
 
 def momentum_coeffs(case: Case, phi_x: jnp.ndarray, phi_y: jnp.ndarray,
                     u_old: jnp.ndarray, v_old: jnp.ndarray,
                     dt: jnp.ndarray,
                     convection_blend: float = 0.0,
-                    nu_t: jnp.ndarray | None = None) -> MomentumCoeffs:
-    """convection_blend: 0 = pure upwind, 1 = deferred-correction central
-    (OpenFOAM limitedLinearV sits in between, limiter-dependent).
+                    nu_t: jnp.ndarray | None = None,
+                    convection: str = "blend") -> MomentumCoeffs:
+    """convection: 'limitedLinear' applies the reference's limitedLinearV-1
+    limiter (fvSchemes:20) as a deferred correction; 'blend' applies an
+    unlimited central deferred correction scaled by `convection_blend`
+    (0 = pure upwind, 1 = full central). The implicit matrix is always
+    upwind — second order enters through the explicit source, exactly how
+    deferred-correction TVD schemes are built.
 
     nu_t: optional (ny, nx) eddy viscosity — nu_eff = nu + nu_t, the
     `turbulence->divDevSigma(U)` role (UEqn.H:8; createFields.H:66-71
-    runtime-selectable turbulence). None = laminar fast path (scalar
-    conductances, like the reference's actual experiments)."""
+    runtime-selectable turbulence), including the transpose-gradient term
+    div(nu_eff (grad U)^T). None = laminar fast path (scalar conductances,
+    like the reference's actual experiments)."""
     grid = case.grid
     dx, dy, nu = grid.dx, grid.dy, case.nu
     vol = dx * dy
@@ -104,11 +212,20 @@ def momentum_coeffs(case: Case, phi_x: jnp.ndarray, phi_y: jnp.ndarray,
     ddt_v = (vol / dt) * v_old
     b_u = (ddt_u + a_in * case.inlet_u[:, None]) * case.fluid
     b_v = ddt_v * case.fluid
-    if convection_blend > 0.0:
+    if convection == "limitedLinear":
+        cu, cv = _limited_linear_corrections(case, f_e, f_w, f_n, f_s,
+                                             u_old, v_old)
+        b_u = b_u + cu * case.fluid
+        b_v = b_v + cv * case.fluid
+    elif convection != "upwind" and convection_blend > 0.0:
         b_u = b_u + _deferred_central_correction(
             case, f_e, f_w, f_n, f_s, u_old, convection_blend) * case.fluid
         b_v = b_v + _deferred_central_correction(
             case, f_e, f_w, f_n, f_s, v_old, convection_blend) * case.fluid
+    if nu_t is not None:
+        s_u, s_v = _transpose_diffusion_source(case, nu_t, u_old, v_old)
+        b_u = b_u + s_u * vol * case.fluid
+        b_v = b_v + s_v * vol * case.fluid
 
     return MomentumCoeffs(a_e=a_e, a_w=a_w, a_n=a_n, a_s=a_s, a_p=a_p,
                           b_u=b_u, b_v=b_v)

@@ -165,16 +165,25 @@ def sst_step(case: Case, turb: TurbState, u, v, phi_x, phi_y, dt,
         su=pk, sp=BETA_STAR * w,
         inlet_val=turb.k_in, wall_dirichlet_zero=True, sweeps=sweeps)
 
-    pw = gamma_c * s2 + (1.0 - f1) * cross
+    # cross-diffusion: positive part stays an explicit source; the negative
+    # part goes into the implicit sink Patankar-style (sp*w) instead of
+    # being clipped away, preserving Menter's signed (1-f1)*cross term in
+    # regions with opposing k/omega gradients (outer wake)
+    cross_w = (1.0 - f1) * cross
+    pw = gamma_c * s2 + jnp.maximum(cross_w, 0.0)
+    sp_cross = jnp.maximum(-cross_w, 0.0) / jnp.maximum(w, W_FLOOR)
     w_new = _transport_solve(
         case, phi_x, phi_y, nu + sigma_w * nu_t, dt, w,
-        su=jnp.maximum(pw, 0.0), sp=beta * w,
+        su=pw, sp=beta * w + sp_cross,
         inlet_val=turb.w_in, wall_dirichlet_zero=False, sweeps=sweeps)
 
     # analytic viscous-sublayer wall condition (omegaWallFunction role):
-    # omega >= 6 nu / (beta1 d^2); decays as d^-2 so it only binds near walls
+    # omega >= 6 nu / (beta1 d^2); decays as d^-2 so it only binds near
+    # walls. Band width uses max(dx, dy) so cells beside x-normal walls
+    # (obstacle sides) get the same treatment on anisotropic grids.
     w_wall = 6.0 * nu / (BETA1 * d ** 2)
-    w_new = jnp.maximum(w_new, w_wall * (case.sdf < 3.0 * case.grid.dy))
+    band = 3.0 * max(case.grid.dx, case.grid.dy)
+    w_new = jnp.maximum(w_new, w_wall * (case.sdf < band))
     w_new = jnp.maximum(w_new, W_FLOOR) * case.fluid + (1 - case.fluid)
     k_new = jnp.maximum(k_new, K_FLOOR) * case.fluid
 

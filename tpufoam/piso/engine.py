@@ -34,13 +34,20 @@ class PisoConfig:
     """controlDict/fvSolution knobs (parallelized/test_case/system/):
     nCorrectors 2 (fvSolution:72), maxCo 0.5 (controlDict:57)."""
     n_correctors: int = 2
-    momentum_sweeps: int = 4
+    momentum_sweeps: int = 8   # post-sweep momentum residual ~1e-7 in
+                               # OpenFOAM's normalization at Courant-limited
+                               # dt (tested in test_piso.py); 4 sweeps only
+                               # reached ~4e-6, above the reference
+                               # smoothSolver's tolerance band
     max_co: float = 0.5
     max_dt: float = 0.05
     adjust_dt: bool = True
     sm_before_predictor: bool = True  # Algorithm 2 (True) vs Algorithm 1
-    convection_blend: float = 0.0     # 0 upwind .. 1 deferred central
-                                      # (limitedLinearV role, fvSchemes:20)
+    convection: str = "limitedLinear"  # 'limitedLinear' (fvSchemes:20,
+                                      # the reference's production scheme,
+                                      # default ON) | 'blend' | 'upwind'
+    convection_blend: float = 0.0     # gamma for convection='blend'
+                                      # (0 upwind .. 1 deferred central)
 
 
 def courant_number(case: Case, flow: Flow) -> jnp.ndarray:
@@ -97,7 +104,8 @@ def _piso_step_impl(case: Case, flow: Flow, cfg: PisoConfig = PisoConfig(),
 
     # --- momentum predictor: solve(UEqn == -grad p) (UEqn.H:21-23) ---
     coef = momentum_coeffs(case, phi_x, phi_y, u, v, dt,
-                           convection_blend=cfg.convection_blend, nu_t=nu_t)
+                           convection_blend=cfg.convection_blend, nu_t=nu_t,
+                           convection=cfg.convection)
     gpx, gpy = pressure_gradient(case, p)
     u, v = jacobi_momentum(coef, case, u, v, -gpx * vol, -gpy * vol,
                            sweeps=cfg.momentum_sweeps)

@@ -56,10 +56,17 @@ class MGBackend:
                              # bf16 correction — halves smoother HBM traffic)
 
     def __call__(self, case, coef, rhs, p_prev, aux):
+        import warnings
+
         from .multigrid import mg_solve
         dtype = jnp.bfloat16 if self.precision == "bf16" else None
         pre, post = self.pre, self.post
         if pre < 1 or post < 1 or pre + post < 3:
+            warnings.warn(
+                f"MGBackend(pre={self.pre}, post={self.post}) is not a "
+                "contraction standalone (it diverged in coupled runs); "
+                "clamping to V(2,2). Use MGCGBackend for light cycles.",
+                stacklevel=2)
             pre, post = 2, 2   # V(1,1)/one-sided cycles are not safe standalone
         return mg_solve(coef, rhs, p_prev, cycles=self.cycles,
                         pre=pre, post=post, dtype=dtype) * case.fluid

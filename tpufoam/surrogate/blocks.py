@@ -409,6 +409,26 @@ def assemble_lstsq(layout: BlockLayout, blocks: jnp.ndarray,
     return result
 
 
+def apply_deltaU_weighting(result: jnp.ndarray, dp_prev_grid: jnp.ndarray,
+                           du_change_grid: jnp.ndarray,
+                           sigma_wgt: float = 50.0,
+                           sigma_out: float = 10.0) -> jnp.ndarray:
+    """The reference's `apply_deltaU_change_wgt` blend (SM_call.py:359-363,
+    :586): where the velocity delta barely changed since the previous step,
+    trust the previous delta-p instead of the fresh prediction.
+
+        w          = gaussian(du_change_grid, sigma=50)
+        change     = (result - dp_prev) * w, gaussian-smoothed (sigma=10)
+        weighted   = dp_prev + change
+
+    `du_change_grid` is |dU - dU_prev| summed over components and
+    normalized to [0, 1] (SM_call.py:397-398)."""
+    w = gaussian_filter2d(du_change_grid, sigma_wgt)
+    change = (result - dp_prev_grid) * w
+    change = gaussian_filter2d(change, sigma_out)
+    return dp_prev_grid + change
+
+
 def gaussian_filter2d(field: jnp.ndarray, sigma: float,
                       truncate: float = 4.0) -> jnp.ndarray:
     """Separable Gaussian blur matching scipy.ndimage.gaussian_filter
