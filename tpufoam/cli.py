@@ -216,6 +216,81 @@ def piso_main(argv=None):
         print(f"saved solver state to {args.state}")
 
 
+def casegen_main(argv=None):
+    """Per-shape external-flow OpenFOAM case generation — the
+    Generate_blockMeshDict/*/gen_blockMeshDict.py + make_dataset.py roles
+    (half-domain O-grid/lattice meshes + mirrorMeshDict + case skeleton;
+    --sweep reproduces make_dataset.py's stratified cylinder sampling)."""
+    ap = argparse.ArgumentParser("tpufoam-casegen")
+    ap.add_argument("--shape", default="cylinder",
+                    choices=["cylinder", "rectangle", "triangle", "ellipse",
+                             "plate"])
+    ap.add_argument("--out", required=True, help="case (or sweep root) dir")
+    ap.add_argument("--size", type=float, default=0.5,
+                    help="radius / half-height / semi-axis a / plate length")
+    ap.add_argument("--size2", type=float, default=None,
+                    help="shape-specific 2nd size (ellipse b, plate width, "
+                         "rect/triangle streamwise extent)")
+    ap.add_argument("--y-max", type=float, default=2.0)
+    ap.add_argument("--alpha", type=float, default=30.0,
+                    help="plate inclination [deg]")
+    ap.add_argument("--refinement", type=float, default=1.0)
+    ap.add_argument("--bl-grading", type=float, default=3.0,
+                    help="wall expansion ratio; ~10 for the kwSST meshes "
+                         "(For_kwSST/* role)")
+    ap.add_argument("--sweep", type=int, default=0,
+                    help="generate N cylinder cases with the reference's "
+                         "stratified (y_max, r) sampling "
+                         "(make_dataset.py:6-38)")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    import numpy as np
+
+    from .data.blockmesh import SHAPE_SPECS, write_spec
+
+    def build(shape, **kw):
+        if shape == "cylinder":
+            return SHAPE_SPECS[shape](kw["size"], kw["y_max"],
+                                      refinement=args.refinement,
+                                      bl_grading=args.bl_grading)
+        if shape == "ellipse":
+            return SHAPE_SPECS[shape](kw["size"], kw["size2"] or kw["size"] / 2,
+                                      y_max=kw["y_max"],
+                                      refinement=args.refinement,
+                                      bl_grading=args.bl_grading)
+        if shape in ("rectangle", "triangle"):
+            x0 = 4.0
+            return SHAPE_SPECS[shape](x0, x0 + (kw["size2"] or kw["size"]),
+                                      kw["size"], cell_scale=args.refinement,
+                                      y_max=kw["y_max"])
+        return SHAPE_SPECS["plate"](5.0, kw["size"], kw["size2"] or 0.05,
+                                    args.alpha, cell_scale=args.refinement,
+                                    y_max=kw["y_max"])
+
+    if args.sweep:
+        rng = np.random.default_rng(args.seed)
+        strata = [0.5, 0.6, 0.75, 0.9, 1.0]
+        made = 0
+        for i in range(args.sweep):
+            y = strata[i % len(strata)]
+            r = float(rng.uniform(0.2, 0.45 * y))
+            spec = build(args.shape, size=r, size2=args.size2, y_max=y)
+            case = f"{args.out}/{i}"
+            write_spec(spec, case)
+            with open(f"{case}/params.json", "w") as f:
+                json.dump({"shape": args.shape, "size": r, "y_max": y}, f)
+            made += 1
+        print(f"generated {made} {args.shape} cases under {args.out}")
+        return
+
+    spec = build(args.shape, size=args.size, size2=args.size2,
+                 y_max=args.y_max)
+    write_spec(spec, args.out)
+    print(f"wrote {args.out}/system/blockMeshDict"
+          + (" + mirrorMeshDict" if spec.half_domain else ""))
+
+
 def datagen_main(argv=None):
     ap = argparse.ArgumentParser("tpufoam-datagen",
                                  description="Case sweep -> PISO -> HDF5 "
