@@ -78,6 +78,7 @@ int main(int argc, char **argv) {
   std::printf("bridge ready: %zu cells\n", n_cells);
 
   std::vector<double> p(n_cells, 0.0);
+  std::vector<double> sm_out(n_cells, 0.0);  /* raw-model diagnostic field */
   for (int step = 0; step < n_steps; ++step) {
     /* toy "momentum predictor": perturb the velocity field */
     for (size_t c = 0; c < n_cells; ++c) {
@@ -86,16 +87,17 @@ int main(int argc, char **argv) {
       cells[c * 5 + 1] += 0.01 * std::cos(3.0 * y + 0.2 * step);
       cells[c * 5 + 4] = p[c];
     }
-    if (tb_step(h, cells.data(), p.data()) != 0) {
+    if (tb_step_out(h, cells.data(), p.data(), sm_out.data()) != 0) {
       std::fprintf(stderr, "bridge step %d failed\n", step);
       tb_close(h);
       return 1;
     }
-    double mn = 1e300, mx = -1e300;
+    double mn = 1e300, mx = -1e300, omn = 1e300, omx = -1e300;
     for (double v : p) { if (v < mn) mn = v; if (v > mx) mx = v; }
+    for (double v : sm_out) { if (v < omn) omn = v; if (v > omx) omx = v; }
     std::printf("DL pressure prediction & data transport: %.2f ms "
-                "(step %d, p in [%.4g, %.4g])\n",
-                tb_last_step_ms(h), step, mn, mx);
+                "(step %d, p in [%.4g, %.4g], out in [%.4g, %.4g])\n",
+                tb_last_step_ms(h), step, mn, mx, omn, omx);
   }
   tb_close(h);
   std::printf("demo done\n");

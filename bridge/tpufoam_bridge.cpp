@@ -9,7 +9,10 @@
  *   client -> server : BYE   { magic 'TBX1' }   (best-effort)
  *
  * Shared-memory arena layout (all float64):
- *   [ cells n_cells*5 | top n_top*2 | obst n_obst*2 | p_out n_cells ]
+ *   [ cells n_cells*5 | top n_top*2 | obst n_obst*2 | p_out n_cells
+ *     | out n_cells ]
+ * `out` carries the model's raw output (pre-guard) — the reference's
+ * `out` diagnostic field (createFields.H:44-56).
  */
 
 #include "tpufoam_bridge.h"
@@ -83,6 +86,7 @@ struct tb_handle {
   double *top() { return arena + n_cells * 5; }
   double *obst() { return top() + n_top * 2; }
   double *p_out() { return obst() + n_obst * 2; }
+  double *sm_out() { return p_out() + n_cells; }
 };
 
 extern "C" tb_handle *tb_init(const char *socket_path,
@@ -93,7 +97,8 @@ extern "C" tb_handle *tb_init(const char *socket_path,
   h->n_cells = n_cells;
   h->n_top = n_top;
   h->n_obst = n_obst;
-  h->arena_bytes = sizeof(double) * (n_cells * 5 + n_top * 2 + n_obst * 2 + n_cells);
+  h->arena_bytes = sizeof(double) *
+      (n_cells * 5 + n_top * 2 + n_obst * 2 + 2 * n_cells);
 
   std::snprintf(h->shm_name, sizeof(h->shm_name), "/tpufoam_bridge_%d",
                 static_cast<int>(::getpid()));
@@ -138,7 +143,8 @@ extern "C" tb_handle *tb_init(const char *socket_path,
   return h;
 }
 
-extern "C" int tb_step(tb_handle *h, const double *cells, double *p_out) {
+extern "C" int tb_step_out(tb_handle *h, const double *cells, double *p_out,
+                           double *sm_out) {
   if (!h || h->fd < 0) return -1;
   double t0 = now_ms();
   std::memcpy(h->cells(), cells, sizeof(double) * h->n_cells * 5);
@@ -148,8 +154,14 @@ extern "C" int tb_step(tb_handle *h, const double *cells, double *p_out) {
       !recv_all(h->fd, &status, sizeof(status)) || status != 0)
     return -1;
   std::memcpy(p_out, h->p_out(), sizeof(double) * h->n_cells);
+  if (sm_out)
+    std::memcpy(sm_out, h->sm_out(), sizeof(double) * h->n_cells);
   h->last_ms = now_ms() - t0;
   return 0;
+}
+
+extern "C" int tb_step(tb_handle *h, const double *cells, double *p_out) {
+  return tb_step_out(h, cells, p_out, nullptr);
 }
 
 extern "C" double tb_last_step_ms(const tb_handle *h) {

@@ -44,6 +44,14 @@ tb_handle *tb_init(const char *socket_path,
  * Returns 0 on success. */
 int tb_step(tb_handle *h, const double *cells, double *p_out);
 
+/* Like tb_step, but also receives the model's RAW output field (before
+ * the near-wall guard / non-finite fallback) for diagnostics — the
+ * reference's `out` volScalarField (createFields.H:44-56, PythonComm.H:35)
+ * that is written for ParaView inspection while p goes on to the solver.
+ * sm_out may be NULL (then identical to tb_step). */
+int tb_step_out(tb_handle *h, const double *cells, double *p_out,
+                double *sm_out);
+
 /* Wall-clock of the last tb_step in milliseconds (the reference's
  * clock_gettime instrumentation, DLPoissonFoam.C:106-111). */
 double tb_last_step_ms(const tb_handle *h);

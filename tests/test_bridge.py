@@ -69,6 +69,13 @@ def test_bridge_poisson_model(built_bridge, tmp_path):
         lo, hi = map(float, ranges[-1])
         assert np.isfinite([lo, hi]).all()
         assert hi > lo
+        # the raw-model `out` field (createFields.H:44-56 role) is also
+        # transported and non-degenerate
+        oranges = re.findall(r"out in \[([-\d.eg+]+), ([-\d.eg+]+)\]",
+                             out.stdout)
+        assert len(oranges) == 2
+        olo, ohi = map(float, oranges[-1])
+        assert np.isfinite([olo, ohi]).all() and ohi > olo
     finally:
         srv.stop()
         th.join(timeout=5)

@@ -44,17 +44,22 @@ class _Session:
                  model, delta: float, nu: float):
         self.n_cells, self.n_top, self.n_obst = n_cells, n_top, n_obst
         fd = os.open(f"/dev/shm{shm_path}", os.O_RDWR)
-        total = 8 * (n_cells * 5 + n_top * 2 + n_obst * 2 + n_cells)
+        total = 8 * (n_cells * 5 + n_top * 2 + n_obst * 2 + 2 * n_cells)
         self.mm = mmap.mmap(fd, total)
         os.close(fd)
         buf = np.frombuffer(self.mm, dtype=np.float64)
         o1 = n_cells * 5
         o2 = o1 + n_top * 2
         o3 = o2 + n_obst * 2
+        o4 = o3 + n_cells
         self.cells = buf[:o1].reshape(n_cells, 5)
         self.top = buf[o1:o2].reshape(n_top, 2)
         self.obst = buf[o2:o3].reshape(n_obst, 2)
-        self.p_out = buf[o3:]
+        self.p_out = buf[o3:o4]
+        # raw model output before the near-wall/non-finite guards — the
+        # reference's `out` diagnostic field (createFields.H:44-56,
+        # PythonComm.H:35)
+        self.sm_out = buf[o4:]
         self.model = model
         self.state = None
         self._prepare(delta, nu)
@@ -86,6 +91,7 @@ class _Session:
     def step(self):
         if self.model == "identity":
             self.p_out[:] = self.cells[:, 4]
+            self.sm_out[:] = self.cells[:, 4]
             return
 
         import jax.numpy as jnp
@@ -109,6 +115,7 @@ class _Session:
 
         # grid -> solver cells, near-wall guard + non-finite fallback
         p_cells = np.asarray(uc.resample_back(jnp.asarray(p_new).reshape(-1)))
+        self.sm_out[:] = np.nan_to_num(p_cells)   # raw prediction (`out`)
         sdf_cells = np.asarray(uc.resample_back(case.sdf.reshape(-1)))
         p_old = self.cells[:, 4]
         p_cells = np.where(sdf_cells < 0.05, p_old, p_cells)
