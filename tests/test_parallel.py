@@ -97,6 +97,55 @@ def test_sharded_piso_with_multigrid_backend():
                                atol=2e-3)
 
 
+def test_sharded_hybrid_surrogate_step_matches_single_device():
+    """The PRODUCTION mode sharded (SURVEY §2.3 row 1): surrogate
+    prediction (static-slice block extraction, PCA matmuls, dense
+    n_blocks^2 lstsq stitch) + capped-MG polish under the 8-device
+    spatial decomposition, equal to the single-device step at physics
+    tolerance. These are exactly the ops most likely to partition badly
+    under GSPMD — this test pins them."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from __graft_entry__ import _tiny_bundle
+
+    from tpufoam.core.geometry import channel_case_geometry
+    from tpufoam.fv.case import build_channel_case, initial_flow
+    from tpufoam.parallel.mesh import (device_mesh, make_sharded_piso_step,
+                                       shard_case, shard_flow)
+    from tpufoam.piso.engine import PisoConfig, piso_step
+    from tpufoam.solvers.backends import MGBackend
+    from tpufoam.surrogate.pipeline import make_predictor
+
+    geom = channel_case_geometry("cylinder", length=4.0, height=1.0,
+                                 obstacle_size=0.3)
+    case = build_channel_case(geom, delta=1.0 / 32)   # 32 x 128
+    flow = initial_flow(case, dt0=2e-3)
+    # step off t=0 so the surrogate sees a non-trivial delta-U state
+    from tpufoam.solvers.backends import CGBackend
+    flow = piso_step(case, flow, cfg=PisoConfig(n_correctors=1),
+                     backend=CGBackend(rtol=1e-7, maxiter=400))
+
+    bundle = _tiny_bundle(block_size=32)
+    predictor = make_predictor(bundle, stitch="lstsq")
+    cfg = PisoConfig(n_correctors=2)
+    backend = MGBackend(cycles=2)
+
+    ref = piso_step(case, flow, cfg=cfg, backend=backend,
+                    sm_predict=predictor)
+
+    mesh = device_mesh(8)
+    step = make_sharded_piso_step(mesh, cfg, backend, sm_predict=predictor)
+    with mesh:
+        out = step(shard_case(mesh, case), shard_flow(mesh, flow))
+        jax.block_until_ready(out.u)
+
+    np.testing.assert_allclose(np.asarray(out.u), np.asarray(ref.u),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(out.p), np.asarray(ref.p),
+                               atol=5e-3)
+
+
 def test_batched_multi_geometry_rollout():
     from tpufoam.core.geometry import channel_case_geometry
     from tpufoam.fv.case import build_channel_case, initial_flow
