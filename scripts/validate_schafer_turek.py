@@ -22,7 +22,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def strouhal_from_cl(ts, cls, d=0.1, u=1.0):

@@ -139,3 +139,30 @@ def test_eager_rollout_matches_scan():
         assert float(jnp.max(jnp.abs(a - b))) / scale < 1e-4
     # the donating path must not invalidate the caller's input
     assert bool(jnp.isfinite(flow.u).all())
+
+
+def test_chunked_rollout_matches_eager():
+    """run_piso_chunked (k steps unrolled per program, dispatch-floor
+    amortization) must match the eager rollout to rounding, including a
+    non-multiple remainder."""
+    import jax.numpy as jnp
+
+    from tpufoam.core.geometry import channel_case_geometry
+    from tpufoam.fv.case import build_channel_case, initial_flow
+    from tpufoam.piso.engine import (PisoConfig, run_piso_chunked,
+                                     run_piso_eager)
+    from tpufoam.solvers.backends import MGBackend
+
+    geom = channel_case_geometry("cylinder", length=4.0, height=1.0,
+                                 obstacle_size=0.3, nu=8e-3)
+    case = build_channel_case(geom, delta=1.0 / 32)
+    flow = initial_flow(case, dt0=1e-3)
+    cfg = PisoConfig()
+    be = MGBackend(cycles=2)
+    f_e = run_piso_eager(case, flow, 7, cfg=cfg, backend=be)
+    f_c = run_piso_chunked(case, flow, 7, cfg=cfg, backend=be, chunk=3)
+    for a, b in ((f_e.u, f_c.u), (f_e.p, f_c.p)):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-30
+        assert float(jnp.max(jnp.abs(a - b))) / scale < 1e-4
+    assert float(f_c.t) == pytest.approx(float(f_e.t), rel=1e-6)
+    assert bool(jnp.isfinite(flow.u).all())

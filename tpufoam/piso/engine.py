@@ -197,6 +197,47 @@ def run_piso_eager(case: Case, flow: Flow, n_steps: int,
     return flow
 
 
+@functools.lru_cache(maxsize=64)
+def _chunk_fns(k: int, cfg: PisoConfig, backend, sm_predict):
+    """K steps unrolled inside ONE jitted program. Amortizes the per-program
+    dispatch floor (~1.5 ms over the tunneled runtime) across k steps, and —
+    unlike lax.scan — lets XLA alias all intermediate step buffers freely
+    (no carry double-buffering). Returns (first, donated): the first chunk
+    must not donate the caller's Flow."""
+
+    def chunk(case, flow):
+        for _ in range(k):
+            flow = _piso_step_impl(case, flow, cfg=cfg, backend=backend,
+                                   sm_predict=sm_predict)
+        return flow
+
+    first = jax.jit(chunk)
+    donated = jax.jit(chunk, donate_argnums=(1,))
+    return first, donated
+
+
+def run_piso_chunked(case: Case, flow: Flow, n_steps: int,
+                     cfg: PisoConfig = PisoConfig(),
+                     backend: PressureBackend = CGBackend(),
+                     sm_predict=None, chunk: int = 4) -> Flow:
+    """Forward-only rollout in k-step jitted chunks with donated buffers:
+    the dispatch-floor amortization of a scan without its carry
+    double-buffering. Compile time grows ~linearly with `chunk`; remainder
+    steps fall back to single eager steps. Not differentiable-through."""
+    if n_steps <= 0:
+        return flow
+    k = max(1, min(chunk, n_steps))
+    first, donated = _chunk_fns(k, cfg, backend, sm_predict)
+    n_chunks, rem = divmod(n_steps, k)
+    flow = first(case, flow)
+    for _ in range(n_chunks - 1):
+        flow = donated(case, flow)
+    if rem:
+        flow = run_piso_eager(case, flow, rem, cfg=cfg, backend=backend,
+                              sm_predict=sm_predict)
+    return flow
+
+
 @partial(jax.jit, static_argnames=("cfg", "backend", "sm_predict"))
 def piso_step_sst(case: Case, flow: Flow, turb, cfg: PisoConfig = PisoConfig(),
                   backend: PressureBackend = CGBackend(), sm_predict=None):

@@ -116,12 +116,21 @@ def build_block_dataset(case: Case, frames: Iterable[dict],
                                                  jnp.asarray(m)))
                       for c in range(y.shape[-1])], axis=-1)
 
-    if dedup:  # train.py:277-281
-        flat = np.concatenate([x.reshape(x.shape[0], -1),
-                               y.reshape(y.shape[0], -1)], axis=1)
-        _, uniq = np.unique(flat, axis=0, return_index=True)
-        uniq = np.sort(uniq)
-        x, y, m = x[uniq], y[uniq], m[uniq]
+    if dedup:  # train.py:277-281 (np.unique there; content-digest here —
+        # same exact-duplicate semantics, O(N) instead of an O(N log N)
+        # lexsort over the full 64k-dim rows, which matters at 1e4+ blocks)
+        import hashlib
+        seen = set()
+        uniq = []
+        for i in range(x.shape[0]):
+            h = hashlib.blake2b(x[i].tobytes() + y[i].tobytes(),
+                                digest_size=16).digest()
+            if h in seen:
+                continue
+            seen.add(h)
+            uniq.append(i)
+        if len(uniq) < x.shape[0]:
+            x, y, m = x[uniq], y[uniq], m[uniq]
 
     maxs_in = np.maximum(np.abs(x).max(axis=(0, 1, 2)), 1e-12).astype(np.float32)
     maxs_out = np.maximum(np.abs(y).max(axis=(0, 1, 2)), 1e-12).astype(np.float32)

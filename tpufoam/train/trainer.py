@@ -47,6 +47,12 @@ class TrainConfig:
     loss_scale: float = 1e6           # my_mse_loss (train.py:493-499)
     seed: int = 0
     pca_chunk: int = 2048
+    # Stage the normalized flat chunks in HBM once and let StreamingPCA's
+    # multi-pass fit re-read them at HBM bandwidth instead of re-streaming
+    # host->device every pass. At the reference production envelope
+    # (>=1e4 blocks x 49,152 dims ~ 2+ GB) this turns 7 host uploads into 1.
+    # Costs ~x+y dataset bytes of device memory while PCA runs.
+    pca_device_cache: bool = False
 
 
 @dataclasses.dataclass
@@ -63,16 +69,32 @@ def mse_loss_1e6(pred: jnp.ndarray, target: jnp.ndarray,
     return scale * jnp.mean((pred - target) ** 2)
 
 
-def fit_pcas(ds: BlockDataset, cfg: TrainConfig) -> tuple[PCAModel, PCAModel, int, int]:
+def _stage_chunks(ds: BlockDataset, cfg: TrainConfig):
+    """Upload the normalized flat (x, y) chunks to the device once."""
+    xs, ys = [], []
+    for i in range(0, ds.n, cfg.pca_chunk):
+        xf, yf = ds.flat_normalized(slice(i, i + cfg.pca_chunk))
+        xs.append(jax.device_put(jnp.asarray(xf)))
+        ys.append(jax.device_put(jnp.asarray(yf)))
+    return xs, ys
+
+
+def fit_pcas(ds: BlockDataset, cfg: TrainConfig,
+             staged: tuple | None = None) -> tuple[PCAModel, PCAModel, int, int]:
     n = ds.n
 
-    def chunks_x():
-        for i in range(0, n, cfg.pca_chunk):
-            yield ds.flat_normalized(slice(i, i + cfg.pca_chunk))[0]
+    if staged is not None:
+        xs, ys = staged
+        chunks_x = lambda: iter(xs)   # noqa: E731
+        chunks_y = lambda: iter(ys)   # noqa: E731
+    else:
+        def chunks_x():
+            for i in range(0, n, cfg.pca_chunk):
+                yield ds.flat_normalized(slice(i, i + cfg.pca_chunk))[0]
 
-    def chunks_y():
-        for i in range(0, n, cfg.pca_chunk):
-            yield ds.flat_normalized(slice(i, i + cfg.pca_chunk))[1]
+        def chunks_y():
+            for i in range(0, n, cfg.pca_chunk):
+                yield ds.flat_normalized(slice(i, i + cfg.pca_chunk))[1]
 
     k_cap = min(cfg.max_num_pc, n)
     pca_in = StreamingPCA(k_cap, seed=cfg.seed).fit(chunks_x)
@@ -83,8 +105,14 @@ def fit_pcas(ds: BlockDataset, cfg: TrainConfig) -> tuple[PCAModel, PCAModel, in
 
 
 def encode_dataset(ds: BlockDataset, pca_in: PCAModel, pca_out: PCAModel,
-                   pc_in: int, pc_out: int, chunk: int = 4096):
+                   pc_in: int, pc_out: int, chunk: int = 4096,
+                   staged: tuple | None = None):
     zs_in, zs_out = [], []
+    if staged is not None:
+        for xf, yf in zip(*staged):
+            zs_in.append(np.asarray(pca_in.transform(xf, pc_in)))
+            zs_out.append(np.asarray(pca_out.transform(yf, pc_out)))
+        return np.concatenate(zs_in), np.concatenate(zs_out)
     for i in range(0, ds.n, chunk):
         xf, yf = ds.flat_normalized(slice(i, i + chunk))
         zs_in.append(np.asarray(pca_in.transform(jnp.asarray(xf), pc_in)))
@@ -158,8 +186,23 @@ def train_surrogate(ds: BlockDataset, family: str,
     If `checkpoint_path` exists, training resumes from it (the reference's
     new_model=false resume, train.py:573-575, upgraded with optimizer
     state)."""
-    pca_in, pca_out, pc_in, pc_out = fit_pcas(ds, cfg)
-    z_in, z_out = encode_dataset(ds, pca_in, pca_out, pc_in, pc_out)
+    import time as _time
+    t0 = _time.perf_counter()
+    staged = _stage_chunks(ds, cfg) if cfg.pca_device_cache else None
+    if staged is not None:
+        jax.block_until_ready(staged[0][-1])
+    t_stage = _time.perf_counter() - t0
+    t0 = _time.perf_counter()
+    pca_in, pca_out, pc_in, pc_out = fit_pcas(ds, cfg, staged=staged)
+    jax.block_until_ready(pca_in.components)
+    t_pca = _time.perf_counter() - t0
+    z_in, z_out = encode_dataset(ds, pca_in, pca_out, pc_in, pc_out,
+                                 staged=staged)
+    del staged  # release the HBM copy before NN training
+    if verbose:
+        d_in = ds.x.shape[1] * ds.x.shape[2] * ds.x.shape[3]
+        print(f"PCA fit: {ds.n} x {d_in} -> pc_in={pc_in} pc_out={pc_out} "
+              f"in {t_pca:.1f}s (+{t_stage:.1f}s staging)", flush=True)
     x, y, norm = normalize_pc_space(z_in, z_out, cfg.standardization)
 
     rng = np.random.default_rng(cfg.seed)
@@ -224,6 +267,8 @@ def train_surrogate(ds: BlockDataset, family: str,
             print(f"resumed from {checkpoint_path} at epoch {start_epoch}",
                   flush=True)
 
+    t_train0 = _time.perf_counter()
+    epoch = start_epoch - 1
     for epoch in range(start_epoch, cfg.max_epochs):
         params, opt_state, tr_loss, key = epoch_step(params, opt_state, key)
         vl = float(val_loss(params))
@@ -241,6 +286,15 @@ def train_surrogate(ds: BlockDataset, family: str,
         if relative_change_early_stop(history, cfg.early_stop_patience,
                                       cfg.early_stop_delta):
             break
+
+    n_epochs_run = epoch - start_epoch + 1
+    t_train = _time.perf_counter() - t_train0
+    if verbose and n_epochs_run > 0 and t_train > 0:
+        print(f"trained {n_epochs_run} epochs ({x_tr.shape[0]} rows, "
+              f"batch {bs}) in {t_train:.1f}s = "
+              f"{n_epochs_run / t_train:.2f} epochs/s, "
+              f"{n_epochs_run * n_batches * bs / t_train / 1e3:.1f} krows/s",
+              flush=True)
 
     if best_epoch < 0:
         best_params, best_val = params, float(val_loss(params))
