@@ -69,7 +69,15 @@ def test_mgcg_bf16_preconditioner_reaches_f32_tolerance():
     """Mixed-precision preconditioning (f32 CG vectors, bf16 V-cycle
     correction) must still converge to the f32 tolerance — iterative-
     refinement structure, the preconditioner precision does not bound the
-    achievable residual."""
+    achievable residual.
+
+    Size/platform caveat: this 64x128 CPU case converging at rtol 1e-8 is
+    NOT evidence for the production regime — the same configuration was
+    measured to stall at rtol 1e-6 on TPU at 1M cells (hits maxiter; the
+    bf16 rounding makes the preconditioner slightly nonlinear, which plain
+    CG tolerates only while the Krylov space is small). That failure mode
+    is why the CLI does not expose mgcg+bf16 (cli.py warns instead); see
+    MGCGBackend.precision and docs/STATUS.md §2."""
     case, coef, b, x_true = _problem(64, 128, with_obstacle=True)
     res = mgcg_pressure(coef, b, rtol=1e-8, maxiter=60, dtype=jnp.bfloat16)
     err = float(jnp.linalg.norm((res.x - x_true) * case.fluid)

@@ -11,7 +11,8 @@ import pytest
 from tpufoam.core.geometry import channel_case_geometry
 from tpufoam.fv.case import build_channel_case
 from tpufoam.fv.pressure import pressure_coeffs, pressure_matvec
-from tpufoam.ops.stencil import (jacobi_sweep_pallas, pallas_available_for,
+from tpufoam.ops.stencil import (jacobi_multisweep_pallas,
+                                 jacobi_sweep_pallas, pallas_available_for,
                                  stencil_matvec_pallas)
 from tpufoam.solvers.multigrid import jacobi_smooth
 
@@ -47,3 +48,37 @@ def test_jacobi_matches_xla(problem):
 def test_availability_gate():
     assert not pallas_available_for((63, 256))   # ny not multiple of 8
     assert not pallas_available_for((64, 250))   # nx not multiple of 128
+    # bf16 tiles are 16 rows tall
+    assert not pallas_available_for((24, 256), jnp.bfloat16)
+
+
+@pytest.mark.parametrize("iters", [1, 2, 4])
+def test_multisweep_matches_xla_f32(problem, iters):
+    """Temporal-blocked kernel == `iters` plain Jacobi sweeps (trapezoid
+    validity: centre rows are exact for iters <= halo)."""
+    coef, x, b = problem
+    ref = np.asarray(jacobi_smooth(coef, x, b, iters=iters, omega=0.8))
+    pal = np.asarray(jacobi_multisweep_pallas(coef, x, b, iters=iters,
+                                              omega=0.8, interpret=True))
+    np.testing.assert_allclose(pal, ref, atol=1e-4)
+
+
+def test_multisweep_matches_xla_bf16(problem):
+    """bf16 operands (the production mixed-precision cycle dtype) with the
+    16-row halo."""
+    import jax
+    coef, x, b = problem
+    coef16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), coef)
+    x16, b16 = x.astype(jnp.bfloat16), b.astype(jnp.bfloat16)
+    ref = np.asarray(jacobi_smooth(coef16, x16, b16, iters=2, omega=0.8)
+                     .astype(jnp.float32))
+    pal = np.asarray(jacobi_multisweep_pallas(coef16, x16, b16, iters=2,
+                                              omega=0.8, interpret=True)
+                     .astype(jnp.float32))
+    np.testing.assert_allclose(pal, ref, atol=2e-2)
+
+
+def test_multisweep_rejects_oversized_iters(problem):
+    coef, x, b = problem
+    with pytest.raises(ValueError):
+        jacobi_multisweep_pallas(coef, x, b, iters=9, interpret=True)

@@ -1,0 +1,117 @@
+"""External physics validation: the Schaefer & Turek (1996) laminar
+cylinder-in-channel benchmarks ("Benchmark computations of laminar flow
+around a cylinder", Flow Simulation with High-Performance Computers II).
+
+The reference framework validates its hybrid solver only against its own
+CFD runs (Chapter5 test cases); these benchmarks anchor tpufoam's PISO
+engine + force integration to published, solver-independent values:
+
+    2D-1 (steady, Re=20):   cd in [5.57, 5.59], cl in [0.0104, 0.0110]
+    2D-2 (unsteady, Re=100): cd_max in [3.22, 3.24], cl_max in [0.99, 1.01],
+                             St in [0.295, 0.305]
+
+Geometry: cylinder D=0.1 centred at (0.2, 0.2) in a 2.2 x 0.41 channel,
+parabolic inlet 6 u_mean (y/H)(1 - y/H) (== the benchmark's
+4 Um y (H-y)/H^2 with Um = 1.5 u_mean), nu = 1e-3.
+
+tpufoam discretizes the cylinder as a blanked-cell (stair-step) mask on a
+uniform Cartesian grid, so agreement converges with D/delta; measured
+errors vs the published mid-band (see tests/test_validation.py and
+artifacts/validation/): cd within ~10% at D/delta=16 and ~2% at
+D/delta=31-62.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+# Published intervals from Schaefer & Turek (1996), Tables 2 & 4.
+PUBLISHED = {
+    "2D-1": dict(u_mean=0.2, re=20,
+                 cd=(5.57, 5.59), cl=(0.0104, 0.0110)),
+    "2D-2": dict(u_mean=1.0, re=100,
+                 cd_max=(3.22, 3.24), cl_max=(0.99, 1.01),
+                 strouhal=(0.295, 0.305)),
+}
+
+D_CYL = 0.1
+CHANNEL = dict(length=2.2, height=0.41, cx=0.2, cy=0.2, nu=1e-3)
+
+
+def schafer_turek_case(bench: str, delta: float):
+    """Build the benchmark Case. Returns (case, u_mean)."""
+    from ..core.geometry import channel_case_geometry
+    from ..fv.case import build_channel_case
+
+    u_mean = PUBLISHED[bench]["u_mean"]
+    geom = channel_case_geometry(
+        "cylinder", length=CHANNEL["length"], height=CHANNEL["height"],
+        obstacle_size=D_CYL, cx=CHANNEL["cx"], cy=CHANNEL["cy"],
+        u_mean=u_mean, nu=CHANNEL["nu"])
+    return build_channel_case(geom, delta=delta), u_mean
+
+
+@dataclasses.dataclass
+class ForceSeries:
+    t: np.ndarray
+    cd: np.ndarray
+    cl: np.ndarray
+
+
+def run_force_series(case, flow, t_end: float, u_ref: float,
+                     cfg=None, backend=None, sample_steps: int = 10,
+                     d_ref: float = D_CYL, progress=None):
+    """Advance to t_end in `sample_steps`-step jitted chunks, recording
+    Cd/Cl at every sample (the forceCoeffs functionObject role,
+    controlDict:61-107). Returns (final_flow, ForceSeries)."""
+    from ..fv.forces import obstacle_force
+    from ..piso.engine import PisoConfig, run_piso_chunked
+    from ..solvers.backends import MGCGBackend
+
+    cfg = cfg or PisoConfig(max_co=0.4, max_dt=5e-3)
+    backend = backend or MGCGBackend(rtol=1e-6)
+
+    ts, cds, cls_ = [], [], []
+    steps = 0
+    while float(flow.t) < t_end:
+        flow = run_piso_chunked(case, flow, sample_steps, cfg=cfg,
+                                backend=backend, chunk=sample_steps)
+        steps += sample_steps
+        rep = obstacle_force(case, flow.u, flow.v, flow.p,
+                             u_ref=u_ref, d_ref=d_ref)
+        ts.append(float(flow.t))
+        cds.append(float(rep.cd))
+        cls_.append(float(rep.cl))
+        if progress is not None:
+            progress(steps, ts[-1], cds[-1], cls_[-1])
+    return flow, ForceSeries(t=np.asarray(ts), cd=np.asarray(cds),
+                             cl=np.asarray(cls_))
+
+
+def strouhal_from_cl(ts, cls, d: float = D_CYL, u: float = 1.0) -> float:
+    """Shedding frequency from mean-crossing intervals of the settled Cl
+    signal (more robust than FFT for short series)."""
+    ts = np.asarray(ts)
+    cls = np.asarray(cls)
+    mid = cls - cls.mean()
+    ups = np.where((mid[:-1] < 0) & (mid[1:] >= 0))[0]
+    if len(ups) < 3:
+        return float("nan")
+    tc = ts[ups] + (ts[ups + 1] - ts[ups]) * (-mid[ups]) / (mid[ups + 1]
+                                                            - mid[ups])
+    period = float(np.median(np.diff(tc)))
+    return d / (u * period)
+
+
+def summarize_2d2(series: ForceSeries, settle_t: float) -> dict:
+    """cd_max / cl_max / Strouhal from the settled part of the signal."""
+    sel = series.t > settle_t
+    return dict(
+        cd_max=float(series.cd[sel].max()),
+        cd_mean=float(series.cd[sel].mean()),
+        cl_max=float(series.cl[sel].max()),
+        cl_amp=float(0.5 * (series.cl[sel].max() - series.cl[sel].min())),
+        strouhal=strouhal_from_cl(series.t[sel], series.cl[sel]),
+    )

@@ -73,12 +73,20 @@ def _limited_linear_corrections(case: Case, f_e, f_w, f_n, f_s,
     def shifted(direction, x):
         return {"e": nb_e, "w": nb_w, "n": nb_n, "s": nb_s}[direction](x)
 
+    def safe_ratio(num, den, tiny=1e-12):
+        # AD-safe division: the double-where keeps BOTH branches' gradients
+        # finite (a stabilised num*den/(den^2+eps) has d/d(den) ~ 1/eps at
+        # den=0, which overflows to NaN through the backward pass of a
+        # multi-step rollout). den ~ 0 means a locally flat downwind
+        # gradient: r -> 0 falls back to upwind there, and the correction
+        # F*psi*(central-upwind) is O(den) anyway.
+        ok = jnp.abs(den) > tiny
+        return jnp.where(ok, num / jnp.where(ok, den, 1.0), 0.0)
+
     def psi_face(F, L, R, LL, RR, mLL, mRR):
         # r for F>0 (upwind = L): (L - LL)/(R - L); for F<0: (R - RR)/(L - R)
-        den_p = R - L
-        r_p = (L - LL) * den_p / (den_p * den_p + 1e-30)
-        den_m = L - R
-        r_m = (R - RR) * den_m / (den_m * den_m + 1e-30)
+        r_p = safe_ratio(L - LL, R - L)
+        r_m = safe_ratio(R - RR, L - R)
         psi_p = jnp.clip(2.0 * r_p / k, 0.0, 1.0) * mLL
         psi_m = jnp.clip(2.0 * r_m / k, 0.0, 1.0) * mRR
         return jnp.where(F > 0, psi_p, psi_m)

@@ -36,11 +36,12 @@ from jax.experimental.pallas import tpu as pltpu
 TILE_Y = 64
 
 
-def pallas_available_for(shape: tuple[int, int]) -> bool:
+def pallas_available_for(shape: tuple[int, int], dtype=jnp.float32) -> bool:
     ny, nx = shape
     if jax.default_backend() not in ("tpu", "axon"):
         return False
-    return nx % 128 == 0 and ny % 8 == 0
+    min_rows = 16 if dtype in (jnp.bfloat16, jnp.dtype(jnp.bfloat16)) else 8
+    return nx % 128 == 0 and ny % min_rows == 0
 
 
 def _tile_y(ny: int) -> int:
@@ -160,3 +161,118 @@ def jacobi_sweep_pallas(coef, x: jnp.ndarray, b: jnp.ndarray,
                     coef.diag, b)
 
     return jax.lax.fori_loop(0, iters, body, x)
+
+
+# ---------------------------------------------------------------------------
+# Temporal-blocked multi-sweep smoother
+# ---------------------------------------------------------------------------
+# The single-sweep kernel above only TIES XLA: one damped-Jacobi sweep is
+# HBM-bound and XLA already emits a bandwidth-saturating fusion for it.
+# To genuinely beat XLA the kernel must do what the compiler cannot —
+# reuse the band across SWEEPS. `jacobi_multisweep_pallas` DMAs a haloed
+# window of ALL seven operands into VMEM once and applies S sweeps
+# in-register before writing back: the classic trapezoid/temporal-blocking
+# stencil schedule. Per-band HBM traffic drops from S*(7 reads + 1 write)
+# to ~(7*(1 + 2h/t) reads + 1 write). Sweeps on halo rows use progressively
+# staler neighbours, but rows within distance (h - s) of the band edge are
+# exact after sweep s, so the centre t rows are exact for S <= h
+# (the standard trapezoid-validity argument).
+#
+# bf16 support: the bf16 VPU tile is (16, 128), so the halo and row tiles
+# are 16-row aligned for 2-byte dtypes (pallas_guide.md 'Tiling
+# Constraints').
+
+
+def _halo_for(dtype) -> int:
+    return 16 if jnp.dtype(dtype).itemsize == 2 else 8
+
+
+def _make_multisweep_kernel(tile_y: int, halo: int, sweeps: int, nx: int,
+                            dtype):
+    n_ops = 7  # x, b, ce, cw, cn, cs, diag
+
+    def kernel(omega_ref, xp_ref, b_ref, ce_ref, cw_ref, cn_ref, cs_ref,
+               diag_ref, out_ref, xa, xb_, bs, ces, cws, cns, css, diags,
+               sems):
+        i = pl.program_id(0)
+        row0 = pl.multiple_of(i * tile_y, halo)
+        window = pl.ds(row0, tile_y + 2 * halo)
+        hbm = (xp_ref, b_ref, ce_ref, cw_ref, cn_ref, cs_ref, diag_ref)
+        vmem = (xa, bs, ces, cws, cns, css, diags)
+        copies = [pltpu.make_async_copy(h.at[window, :], v, sems.at[j])
+                  for j, (h, v) in enumerate(zip(hbm, vmem))]
+        for c in copies:
+            c.start()
+        for c in copies:
+            c.wait()
+
+        omega = omega_ref[0]
+        b = bs[:, :]
+        ce = ces[:, :]
+        cw = cws[:, :]
+        cn = cns[:, :]
+        cs = css[:, :]
+        diag = diags[:, :]
+        n_rows = tile_y + 2 * halo
+
+        src, dst = xa, xb_
+        for s in range(sweeps):
+            x = src[:, :]
+            # neighbour rows (edge rows receive a clamped neighbour; they
+            # are discarded by the trapezoid-validity argument above)
+            xn = jnp.concatenate([x[1:, :], x[-1:, :]], axis=0)
+            xs_ = jnp.concatenate([x[:1, :], x[:-1, :]], axis=0)
+            xe, xw = _shift_ew(x)
+            ax = diag * x - ce * xe - cw * xw - cn * xn - cs * xs_
+            y = x + omega * (b - ax) / diag
+            # keep the band edge rows at their previous value: they have no
+            # valid neighbour on one side
+            row = jax.lax.broadcasted_iota(jnp.int32, (n_rows, nx), 0)
+            y = jnp.where((row == 0) | (row == n_rows - 1), x, y)
+            dst[:, :] = y
+            src, dst = dst, src
+
+        out_ref[:, :] = src[halo:halo + tile_y, :]
+
+    return kernel, n_ops
+
+
+@partial(jax.jit, static_argnames=("iters", "interpret"))
+def jacobi_multisweep_pallas(coef, x: jnp.ndarray, b: jnp.ndarray,
+                             iters: int = 2, omega: float = 0.8,
+                             interpret: bool = False) -> jnp.ndarray:
+    """`iters` damped-Jacobi sweeps with ONE haloed HBM round trip of all
+    operands (vs one x round trip per sweep for `jacobi_sweep_pallas` /
+    XLA). Exact (= jacobi_smooth) for iters <= halo (8 f32 / 16 bf16).
+    Accepts f32 or bf16 operands; arithmetic stays in the operand dtype,
+    matching the XLA smoother's mixed-precision semantics."""
+    ny, nx = x.shape
+    dtype = x.dtype
+    halo = _halo_for(dtype)
+    if iters > halo:
+        raise ValueError(f"iters={iters} > halo={halo}")
+    if nx % 128 or ny % halo:
+        raise ValueError(f"unsupported shape {(ny, nx)} for dtype {dtype}; "
+                         "gate calls on pallas_available_for")
+    t = _tile_y(ny)  # power-of-2 divisor of ny in [8, 64] -> multiple of
+    t = max(t, halo)  # halo given the ny % halo == 0 precondition
+    band = _band_spec(nx, t)
+
+    def padh(f, value=0.0):
+        return jnp.pad(f, ((halo, halo), (0, 0)), constant_values=value)
+
+    om = jnp.full((1,), omega, dtype=dtype)
+    kernel, n_ops = _make_multisweep_kernel(t, halo, iters, nx, dtype)
+    scratch = pltpu.VMEM((t + 2 * halo, nx), dtype)
+    return pl.pallas_call(
+        kernel,
+        grid=(ny // t,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.HBM)] * n_ops,
+        out_specs=band,
+        out_shape=jax.ShapeDtypeStruct((ny, nx), dtype),
+        scratch_shapes=[scratch] * (n_ops + 1)
+        + [pltpu.SemaphoreType.DMA((n_ops,))],
+        interpret=interpret,
+    )(om, padh(x), padh(b), padh(coef.c_e), padh(coef.c_w), padh(coef.c_n),
+      padh(coef.c_s), padh(coef.diag, value=1.0))

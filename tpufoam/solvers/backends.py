@@ -54,6 +54,8 @@ class MGBackend:
     post: int = 2
     precision: str = "f32"   # "bf16": mixed-precision cycles (f32 residual,
                              # bf16 correction — halves smoother HBM traffic)
+    smoother: str = "xla"    # "pallas": temporal-blocked multisweep kernel
+                             # (ops.stencil) on levels it can tile
 
     def __call__(self, case, coef, rhs, p_prev, aux):
         import warnings
@@ -69,7 +71,8 @@ class MGBackend:
                 stacklevel=2)
             pre, post = 2, 2   # V(1,1)/one-sided cycles are not safe standalone
         return mg_solve(coef, rhs, p_prev, cycles=self.cycles,
-                        pre=pre, post=post, dtype=dtype) * case.fluid
+                        pre=pre, post=post, dtype=dtype,
+                        smoother=self.smoother) * case.fluid
 
 
 @dataclasses.dataclass(frozen=True)
@@ -78,6 +81,7 @@ class MGCGBackend:
     fidelity config (fvSolution:38-66)."""
     rtol: float = 1e-6
     maxiter: int = 60
+    smoother: str = "xla"    # "pallas": temporal-blocked multisweep smoother
     precision: str = "f32"   # "bf16": reduced-precision preconditioner.
     # CAUTION: measured to stall plain CG at rtol 1e-6 on TPU (hits
     # maxiter) — the rounding makes the preconditioner slightly nonlinear;
@@ -88,7 +92,8 @@ class MGCGBackend:
         from .multigrid import mgcg_pressure
         dtype = jnp.bfloat16 if self.precision == "bf16" else None
         return mgcg_pressure(coef, rhs, x0=p_prev, rtol=self.rtol,
-                             maxiter=self.maxiter, dtype=dtype).x * case.fluid
+                             maxiter=self.maxiter, dtype=dtype,
+                             smoother=self.smoother).x * case.fluid
 
 
 @dataclasses.dataclass(frozen=True)

@@ -127,6 +127,23 @@ def jacobi_smooth(coef: PressureCoeffs, x: jnp.ndarray, b: jnp.ndarray,
     return lax.fori_loop(0, iters, body, x)
 
 
+def _smooth(coef: PressureCoeffs, x: jnp.ndarray, b: jnp.ndarray,
+            iters: int, smoother: str = "xla",
+            omega: float = 0.8) -> jnp.ndarray:
+    """Per-level smoother dispatch. smoother='pallas' uses the
+    temporal-blocked multisweep kernel (ops.stencil: S sweeps per HBM
+    round trip) on levels whose shape/dtype it supports, falling back to
+    the XLA loop on coarse levels that are too small to tile."""
+    if smoother == "pallas":
+        from ..ops.stencil import (_halo_for, jacobi_multisweep_pallas,
+                                   pallas_available_for)
+        if (pallas_available_for(x.shape, x.dtype)
+                and iters <= _halo_for(x.dtype)):
+            return jacobi_multisweep_pallas(coef, x, b, iters=iters,
+                                            omega=omega)
+    return jacobi_smooth(coef, x, b, iters, omega)
+
+
 def build_hierarchy(coef: PressureCoeffs, min_size: int = 8,
                     max_levels: int = 12) -> list[PressureCoeffs]:
     levels = [coef]
@@ -141,7 +158,7 @@ def build_hierarchy(coef: PressureCoeffs, min_size: int = 8,
 
 def v_cycle(levels: list[PressureCoeffs], b: jnp.ndarray,
             x: jnp.ndarray, pre: int = 2, post: int = 2,
-            coarse_iters: int = 40) -> jnp.ndarray:
+            coarse_iters: int = 40, smoother: str = "xla") -> jnp.ndarray:
     """One V(pre, post) cycle. Unrolled over the (static) level count."""
     def fluid_mask(coef: PressureCoeffs) -> jnp.ndarray:
         return ((coef.c_e + coef.c_w + coef.c_n + coef.c_s + coef.c_out)
@@ -151,14 +168,14 @@ def v_cycle(levels: list[PressureCoeffs], b: jnp.ndarray,
         coef = levels[lvl]
         if lvl == len(levels) - 1:
             return jacobi_smooth(coef, x, b, coarse_iters)
-        x = jacobi_smooth(coef, x, b, pre)
+        x = _smooth(coef, x, b, pre, smoother)
         r = b - pressure_matvec(coef, x)
         rc = restrict(r)
         ec = cycle(lvl + 1, rc, jnp.zeros_like(rc))
         # mask the interpolated correction so it cannot leak into blanked
         # (solid) cells; the diagonal mask keeps the cycle symmetric
         x = x + prolong(ec) * fluid_mask(coef)
-        return jacobi_smooth(coef, x, b, post)
+        return _smooth(coef, x, b, post, smoother)
 
     return cycle(0, b, x)
 
@@ -168,7 +185,8 @@ def _cast_levels(levels: list[PressureCoeffs], dtype) -> list[PressureCoeffs]:
 
 
 def v_cycle_correction(levels: list[PressureCoeffs], levels_lp, r: jnp.ndarray,
-                       pre: int, post: int, dtype) -> jnp.ndarray:
+                       pre: int, post: int, dtype,
+                       smoother: str = "xla") -> jnp.ndarray:
     """e ~= A^-1 r by one V-cycle from a zero guess, optionally computed in
     reduced precision (mixed-precision smoothing: the correction is built
     in bf16 from an f32 residual; the outer iterate/residual stay f32 —
@@ -176,17 +194,19 @@ def v_cycle_correction(levels: list[PressureCoeffs], levels_lp, r: jnp.ndarray,
     levels while every smoother/transfer pass moves half the HBM bytes;
     the stencil sweeps here are bandwidth-bound on TPU)."""
     if dtype is None:
-        return v_cycle(levels, r, jnp.zeros_like(r), pre, post)
+        return v_cycle(levels, r, jnp.zeros_like(r), pre, post,
+                       smoother=smoother)
     e = v_cycle(levels_lp, r.astype(dtype), jnp.zeros_like(r, dtype),
-                pre, post)
+                pre, post, smoother=smoother)
     return e.astype(r.dtype)
 
 
 @partial(jax.jit, static_argnames=("cycles", "pre", "post", "min_size",
-                                   "dtype"))
+                                   "dtype", "smoother"))
 def mg_solve(coef: PressureCoeffs, b: jnp.ndarray, x0: jnp.ndarray,
              cycles: int = 4, pre: int = 2, post: int = 2,
-             min_size: int = 8, dtype=None) -> jnp.ndarray:
+             min_size: int = 8, dtype=None,
+             smoother: str = "xla") -> jnp.ndarray:
     """Fixed number of V-cycles (the capped-iteration 'p' solve mode,
     fvSolution maxIter 6 semantics). With `dtype` (e.g. jnp.bfloat16) each
     cycle runs in residual-correction form: f32 residual, reduced-precision
@@ -196,20 +216,22 @@ def mg_solve(coef: PressureCoeffs, b: jnp.ndarray, x0: jnp.ndarray,
     x = x0
     for _ in range(cycles):
         if dtype is None:
-            x = v_cycle(levels, b, x, pre, post)
+            x = v_cycle(levels, b, x, pre, post, smoother=smoother)
         else:
             r = b - pressure_matvec(coef, x)
-            x = x + v_cycle_correction(levels, levels_lp, r, pre, post, dtype)
+            x = x + v_cycle_correction(levels, levels_lp, r, pre, post,
+                                       dtype, smoother=smoother)
     return x
 
 
 @partial(jax.jit, static_argnames=("maxiter", "pre", "post", "min_size",
-                                   "dtype"))
+                                   "dtype", "smoother"))
 def mgcg_pressure(coef: PressureCoeffs, b: jnp.ndarray,
                   x0: jnp.ndarray | None = None,
                   rtol: float = 1e-6, atol: float = 1e-12,
                   maxiter: int = 60, pre: int = 1, post: int = 1,
-                  min_size: int = 8, dtype=None) -> CGResult:
+                  min_size: int = 8, dtype=None,
+                  smoother: str = "xla") -> CGResult:
     """CG preconditioned by one V-cycle — the GAMG-preconditioned-PCG
     fidelity config (fvSolution:38-66). Converges in O(10) iterations
     independent of grid size. `dtype` runs the preconditioner cycle in
@@ -225,7 +247,8 @@ def mgcg_pressure(coef: PressureCoeffs, b: jnp.ndarray,
     x0 = jnp.zeros_like(b) if x0 is None else x0
 
     def precond(r):
-        return v_cycle_correction(levels, levels_lp, r, pre, post, dtype)
+        return v_cycle_correction(levels, levels_lp, r, pre, post, dtype,
+                                  smoother=smoother)
 
     r = b - pressure_matvec(coef, x0)
     z = precond(r)
