@@ -15,10 +15,23 @@ parabolic inlet 6 u_mean (y/H)(1 - y/H) (== the benchmark's
 4 Um y (H-y)/H^2 with Um = 1.5 u_mean), nu = 1e-3.
 
 tpufoam discretizes the cylinder as a blanked-cell (stair-step) mask on a
-uniform Cartesian grid, so agreement converges with D/delta; measured
-errors vs the published mid-band (see tests/test_validation.py and
-artifacts/validation/): cd within ~10% at D/delta=16 and ~2% at
-D/delta=31-62.
+uniform Cartesian grid. Measured 2D-2 results vs the published bands
+(artifacts/validation/, produced on the TPU by
+scripts/validate_schafer_turek.py):
+
+    D/delta   cd_max            cl_max           St
+    15.6      3.573  (+10.3%)   1.045 (+3.5%)    0.2777 (-7.3%)
+    31.25     3.165  (-1.9%)    0.967 (-2.3%)    0.2933 (-0.6%)
+    62.5      3.029  (-6.2%)    0.938 (-5.3%)    0.2999 (in band)
+
+The shedding frequency (a pure flow-timing quantity) converges INTO the
+published interval. The force magnitudes converge to ~6% below it: the
+first-order blanked-boundary treatment (no cut cells — wall faces lie on
+grid faces, wall pressure is the adjacent cell value) leaves an O(delta)
+surface bias that the two coarser grids partially cancel with stair-step
+over-prediction. tests/test_validation.py asserts St within 2% and forces
+within the documented 8% stair-step band; a cut-cell surface treatment is
+the known path to tightening the force tolerance.
 """
 
 from __future__ import annotations

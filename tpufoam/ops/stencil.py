@@ -60,11 +60,14 @@ def _shift_ew(xc: jnp.ndarray):
     # lane shifts via circular roll (Mosaic-lowerable, unlike pad+concat);
     # the wrapped-around boundary columns are multiplied by zero
     # conductances (c_e on the last column / c_w on the first are 0), so
-    # no masking is needed.
+    # no masking is needed. Mosaic only implements the rotate for 32-bit
+    # lanes, so 2-byte dtypes round-trip through f32 for the shift.
     n = xc.shape[1]
-    xe = pltpu.roll(xc, shift=n - 1, axis=1)   # value from column j+1
-    xw = pltpu.roll(xc, shift=1, axis=1)       # value from column j-1
-    return xe, xw
+    dt = xc.dtype
+    x32 = xc.astype(jnp.float32) if dt.itemsize == 2 else xc
+    xe = pltpu.roll(x32, shift=n - 1, axis=1)   # value from column j+1
+    xw = pltpu.roll(x32, shift=1, axis=1)       # value from column j-1
+    return xe.astype(dt), xw.astype(dt)
 
 
 HALO = 8  # sublane-aligned halo rows on each side
