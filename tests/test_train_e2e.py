@@ -147,3 +147,23 @@ def test_hybrid_backend_coupled_run(trained):
     u = np.asarray(flow2.u)
     assert np.isfinite(u).all()
     assert float(continuity_error(case, flow2)) < 1e-4
+
+
+def test_device_cached_pca_matches_streaming(trained):
+    """pca_device_cache=True (HBM-staged chunks, one side at a time) must
+    reproduce the host-streaming fit: same PC counts and the same encoded
+    subspace (components may differ by sign)."""
+    from tpufoam.train.trainer import (TrainConfig, _fit_encode_staged,
+                                       encode_dataset, fit_pcas)
+
+    ds = trained[4]
+    cfg = TrainConfig(max_num_pc=16, pca_chunk=512)
+    pin_s, pout_s, pcin_s, pcout_s = fit_pcas(ds, cfg)
+    zin_s, zout_s = encode_dataset(ds, pin_s, pout_s, pcin_s, pcout_s)
+    pin_d, pout_d, pcin_d, pcout_d, zin_d, zout_d = \
+        _fit_encode_staged(ds, cfg)
+    assert (pcin_s, pcout_s) == (pcin_d, pcout_d)
+    np.testing.assert_allclose(np.abs(zin_s), np.abs(zin_d),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.abs(zout_s), np.abs(zout_d),
+                               rtol=1e-3, atol=1e-4)

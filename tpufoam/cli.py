@@ -128,6 +128,11 @@ def piso_main(argv=None):
                          "controlDict:61-107 forceCoeffs function object "
                          "role); logged every --forces-every steps")
     ap.add_argument("--forces-every", type=int, default=10)
+    ap.add_argument("--jit-chunk", type=int, default=1,
+                    help="steps unrolled per jitted program (>1 amortizes "
+                         "the per-dispatch floor over tunneled/remote "
+                         "runtimes at the cost of compile time; laminar "
+                         "path only)")
     _add_platform_flag(ap)
     args = ap.parse_args(argv)
     _apply_platform(args)
@@ -138,7 +143,8 @@ def piso_main(argv=None):
 
     from .fv.case import initial_flow, load_flow, load_turbulence, save_flow
     from .piso.engine import (PisoConfig, continuity_error, courant_number,
-                              run_piso_eager, run_piso_sst_eager)
+                              run_piso_chunked, run_piso_eager,
+                              run_piso_sst_eager)
 
     geom, case = _build_case(args)
     resumed = args.state and os.path.exists(args.state)
@@ -178,6 +184,10 @@ def piso_main(argv=None):
             flow, turb = run_piso_sst_eager(case, flow, turb, n, cfg=cfg,
                                             backend=backend,
                                             sm_predict=sm_predict)
+        elif args.jit_chunk > 1:
+            flow = run_piso_chunked(case, flow, n, cfg=cfg, backend=backend,
+                                    sm_predict=sm_predict,
+                                    chunk=args.jit_chunk)
         else:
             flow = run_piso_eager(case, flow, n, cfg=cfg, backend=backend,
                                   sm_predict=sm_predict)

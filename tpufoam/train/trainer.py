@@ -69,32 +69,53 @@ def mse_loss_1e6(pred: jnp.ndarray, target: jnp.ndarray,
     return scale * jnp.mean((pred - target) ** 2)
 
 
-def _stage_chunks(ds: BlockDataset, cfg: TrainConfig):
-    """Upload the normalized flat (x, y) chunks to the device once."""
-    xs, ys = [], []
+def _stage_side(ds: BlockDataset, cfg: TrainConfig, side: int):
+    """Upload the normalized flat chunks of ONE side (0 = inputs,
+    1 = targets) to the device. Sides are staged sequentially so peak HBM
+    is max(x, y) bytes, not their sum — at the reference envelope
+    (>=5e4 blocks x 49,152 dims) the sum does not fit a 16 GB chip."""
+    out = []
     for i in range(0, ds.n, cfg.pca_chunk):
-        xf, yf = ds.flat_normalized(slice(i, i + cfg.pca_chunk))
-        xs.append(jax.device_put(jnp.asarray(xf)))
-        ys.append(jax.device_put(jnp.asarray(yf)))
-    return xs, ys
+        f = ds.flat_normalized(slice(i, i + cfg.pca_chunk))[side]
+        out.append(jax.device_put(jnp.asarray(f)))
+    return out
 
 
-def fit_pcas(ds: BlockDataset, cfg: TrainConfig,
-             staged: tuple | None = None) -> tuple[PCAModel, PCAModel, int, int]:
+def _free_staged(chunks) -> None:
+    for c in chunks:
+        c.delete()
+    chunks.clear()
+
+
+def _fit_encode_staged(ds: BlockDataset, cfg: TrainConfig):
+    """Device-cached PCA fit + encode, one side at a time."""
+    k_cap = min(cfg.max_num_pc, ds.n)
+    zs = []
+    models = []
+    pcs = []
+    for side, (seed, var) in enumerate(((cfg.seed, cfg.var_in),
+                                        (cfg.seed + 1, cfg.var_out))):
+        staged = _stage_side(ds, cfg, side)
+        pca = StreamingPCA(k_cap, seed=seed).fit(lambda: iter(staged))
+        pc = pca.n_components_for_variance(var, k_cap)
+        zs.append(np.concatenate([np.asarray(pca.transform(c, pc))
+                                  for c in staged]))
+        _free_staged(staged)
+        models.append(pca)
+        pcs.append(pc)
+    return models[0], models[1], pcs[0], pcs[1], zs[0], zs[1]
+
+
+def fit_pcas(ds: BlockDataset, cfg: TrainConfig) -> tuple[PCAModel, PCAModel, int, int]:
     n = ds.n
 
-    if staged is not None:
-        xs, ys = staged
-        chunks_x = lambda: iter(xs)   # noqa: E731
-        chunks_y = lambda: iter(ys)   # noqa: E731
-    else:
-        def chunks_x():
-            for i in range(0, n, cfg.pca_chunk):
-                yield ds.flat_normalized(slice(i, i + cfg.pca_chunk))[0]
+    def chunks_x():
+        for i in range(0, n, cfg.pca_chunk):
+            yield ds.flat_normalized(slice(i, i + cfg.pca_chunk))[0]
 
-        def chunks_y():
-            for i in range(0, n, cfg.pca_chunk):
-                yield ds.flat_normalized(slice(i, i + cfg.pca_chunk))[1]
+    def chunks_y():
+        for i in range(0, n, cfg.pca_chunk):
+            yield ds.flat_normalized(slice(i, i + cfg.pca_chunk))[1]
 
     k_cap = min(cfg.max_num_pc, n)
     pca_in = StreamingPCA(k_cap, seed=cfg.seed).fit(chunks_x)
@@ -105,14 +126,8 @@ def fit_pcas(ds: BlockDataset, cfg: TrainConfig,
 
 
 def encode_dataset(ds: BlockDataset, pca_in: PCAModel, pca_out: PCAModel,
-                   pc_in: int, pc_out: int, chunk: int = 4096,
-                   staged: tuple | None = None):
+                   pc_in: int, pc_out: int, chunk: int = 4096):
     zs_in, zs_out = [], []
-    if staged is not None:
-        for xf, yf in zip(*staged):
-            zs_in.append(np.asarray(pca_in.transform(xf, pc_in)))
-            zs_out.append(np.asarray(pca_out.transform(yf, pc_out)))
-        return np.concatenate(zs_in), np.concatenate(zs_out)
     for i in range(0, ds.n, chunk):
         xf, yf = ds.flat_normalized(slice(i, i + chunk))
         zs_in.append(np.asarray(pca_in.transform(jnp.asarray(xf), pc_in)))
@@ -188,21 +203,19 @@ def train_surrogate(ds: BlockDataset, family: str,
     state)."""
     import time as _time
     t0 = _time.perf_counter()
-    staged = _stage_chunks(ds, cfg) if cfg.pca_device_cache else None
-    if staged is not None:
-        jax.block_until_ready(staged[0][-1])
-    t_stage = _time.perf_counter() - t0
-    t0 = _time.perf_counter()
-    pca_in, pca_out, pc_in, pc_out = fit_pcas(ds, cfg, staged=staged)
+    if cfg.pca_device_cache:
+        pca_in, pca_out, pc_in, pc_out, z_in, z_out = \
+            _fit_encode_staged(ds, cfg)
+    else:
+        pca_in, pca_out, pc_in, pc_out = fit_pcas(ds, cfg)
+        z_in, z_out = encode_dataset(ds, pca_in, pca_out, pc_in, pc_out)
     jax.block_until_ready(pca_in.components)
     t_pca = _time.perf_counter() - t0
-    z_in, z_out = encode_dataset(ds, pca_in, pca_out, pc_in, pc_out,
-                                 staged=staged)
-    del staged  # release the HBM copy before NN training
     if verbose:
         d_in = ds.x.shape[1] * ds.x.shape[2] * ds.x.shape[3]
-        print(f"PCA fit: {ds.n} x {d_in} -> pc_in={pc_in} pc_out={pc_out} "
-              f"in {t_pca:.1f}s (+{t_stage:.1f}s staging)", flush=True)
+        print(f"PCA fit+encode: {ds.n} x {d_in} -> pc_in={pc_in} "
+              f"pc_out={pc_out} in {t_pca:.1f}s "
+              f"(device_cache={cfg.pca_device_cache})", flush=True)
     x, y, norm = normalize_pc_space(z_in, z_out, cfg.standardization)
 
     rng = np.random.default_rng(cfg.seed)
