@@ -44,20 +44,26 @@ def build_dataset(cache_path: str, n_frames: int, samples: int):
 
     cfg = PisoConfig(max_co=0.5, max_dt=5e-3)
     backend = MGCGBackend(rtol=1e-6)
-    # five shapes x two obstacle sizes: the multi-geometry envelope
-    cases = [("cylinder", 0.5), ("cylinder", 0.35),
-             ("rectangle", 0.4), ("rectangle", 0.55),
-             ("triangle", 0.45), ("triangle", 0.6),
-             ("ellipse", 0.6), ("ellipse", 0.45),
-             ("plate", 0.5), ("plate", 0.65)]
+    # five shapes x two regimes. The per-step delta fields the family
+    # trains on must carry real dynamics: at nu=8e-3 (Re~60, marginal
+    # shedding) a short warmup samples the decaying startup transient;
+    # at nu=4e-3 (Re~125) a long warmup samples developed vortex
+    # shedding. A long warmup at Re~60 leaves near-steady flows whose
+    # per-step deltas sit at the solver-noise floor (flat PCA spectrum,
+    # unlearnable — measured: pc_out hit the 512 cap, val MSE ~1.0).
+    cases = [("cylinder", 0.5, 8e-3, 100), ("cylinder", 0.35, 4e-3, 300),
+             ("rectangle", 0.4, 8e-3, 100), ("rectangle", 0.55, 4e-3, 300),
+             ("triangle", 0.45, 8e-3, 100), ("triangle", 0.6, 4e-3, 300),
+             ("ellipse", 0.6, 8e-3, 100), ("ellipse", 0.45, 4e-3, 300),
+             ("plate", 0.5, 8e-3, 100), ("plate", 0.65, 4e-3, 300)]
 
     parts = []
     t0 = time.perf_counter()
-    for i, (shape, size) in enumerate(cases):
+    for i, (shape, size, nu, warmup) in enumerate(cases):
         geom = channel_case_geometry(shape, length=8.0, height=2.0,
-                                     obstacle_size=size, nu=8e-3)
+                                     obstacle_size=size, nu=nu)
         case = build_channel_case(geom, delta=2.0 / 256)  # 256 x 1024
-        flow = run_piso(case, initial_flow(case, 1e-3), 300, cfg=cfg,
+        flow = run_piso(case, initial_flow(case, 1e-3), warmup, cfg=cfg,
                         backend=backend)
         frames = frames_from_rollout(case, flow, n_frames=n_frames,
                                      steps_per_frame=5, cfg=cfg,
@@ -65,7 +71,7 @@ def build_dataset(cache_path: str, n_frames: int, samples: int):
         ds = build_block_dataset(case, frames, family="deltaU_deltaP",
                                  n_samples_per_frame=samples, block_size=128,
                                  seed=(hash(shape) + i) % 10_000)
-        print(f"{shape}@{size}: {ds.n} blocks "
+        print(f"{shape}@{size}/nu={nu}: {ds.n} blocks "
               f"[{time.perf_counter() - t0:.0f}s]", flush=True)
         parts.append(ds)
 
@@ -87,7 +93,7 @@ def main():
     ap.add_argument("--platform", default=None)
     ap.add_argument("--out", default=os.path.join(ROOT, "artifacts",
                                                   "sm_ref512"))
-    ap.add_argument("--cache", default="/tmp/refscale_blocks.npz")
+    ap.add_argument("--cache", default="/tmp/refscale2_blocks.npz")
     ap.add_argument("--epochs", type=int, default=800)
     ap.add_argument("--n-frames", type=int, default=24)
     ap.add_argument("--samples", type=int, default=120)

@@ -37,27 +37,66 @@ def _obstacle_walls(case: Case):
             case.wall_n * interior_n, case.wall_s * interior_s)
 
 
+def _second_order_wall(f: jnp.ndarray, nb_in, fluid: jnp.ndarray,
+                       mode: str):
+    """Wall-face value/gradient from the two interior cells along the
+    inward direction `nb_in` (the shift TOWARD the fluid, away from the
+    wall face).
+
+    mode='face': linear extrapolation to the face, 1.5 f1 - 0.5 f2
+    mode='grad': one-sided quadratic wall gradient in units of the cell
+    spacing, (9 f1 - f2) / 3 — exact for linear profiles (reduces to
+    f1/(h/2) when f2 = 3 f1), second-order for curved ones.
+
+    Falls back to the first-order form wherever the second interior cell
+    is solid or outside the domain."""
+    f2 = nb_in(f)
+    ok2 = nb_in(fluid)
+    if mode == "face":
+        return jnp.where(ok2 > 0, 1.5 * f - 0.5 * f2, f)
+    return jnp.where(ok2 > 0, (9.0 * f - f2) / 3.0, 2.0 * f)
+
+
 @jax.jit
 def obstacle_force(case: Case, u: jnp.ndarray, v: jnp.ndarray,
                    p: jnp.ndarray, u_ref: float = 1.0,
                    d_ref: float = 1.0) -> ForceReport:
     """Integrate pressure + viscous force over the obstacle surface.
 
+    Surface values are second-order: pressure is linearly extrapolated to
+    the wall face and wall shear uses a two-point one-sided quadratic
+    gradient (sampling the adjacent-cell value instead leaves an O(delta)
+    bias that showed up as a ~6% drag deficit on the Schaefer-Turek 2D-2
+    benchmark — see eval/benchmark.py).
+
     u_ref/d_ref: reference velocity and length for the coefficients
     (the reference uses magUInf/lRef in its forceCoeffs dict)."""
+    from .operators import nb_e, nb_n, nb_s, nb_w
+
     grid = case.grid
     dx, dy, nu = grid.dx, grid.dy, case.nu
     w_e, w_w, w_n, w_s = _obstacle_walls(case)
+    fl = case.fluid
 
-    # pressure force on the body: +p along the fluid->solid direction
-    fpx = jnp.sum(p * w_e * dy) - jnp.sum(p * w_w * dy)
-    fpy = jnp.sum(p * w_n * dx) - jnp.sum(p * w_s * dx)
+    # pressure force on the body: +p along the fluid->solid direction,
+    # extrapolated to the wall face (the inward neighbour of a cell whose
+    # EAST face is a wall lies to the WEST)
+    p_e = _second_order_wall(p, nb_w, fl, "face")
+    p_w = _second_order_wall(p, nb_e, fl, "face")
+    p_n = _second_order_wall(p, nb_s, fl, "face")
+    p_s = _second_order_wall(p, nb_n, fl, "face")
+    fpx = jnp.sum(p_e * w_e * dy) - jnp.sum(p_w * w_w * dy)
+    fpy = jnp.sum(p_n * w_n * dx) - jnp.sum(p_s * w_s * dx)
 
-    # wall shear: tangential velocity gradient over the half cell
+    # wall shear: one-sided quadratic tangential gradient at the face
     # x-normal walls (east/west): tangential component is v
-    fvy = nu * (jnp.sum(v * w_e * dy) + jnp.sum(v * w_w * dy)) / (dx / 2)
+    gv_e = _second_order_wall(v, nb_w, fl, "grad") / dx
+    gv_w = _second_order_wall(v, nb_e, fl, "grad") / dx
+    fvy = nu * (jnp.sum(gv_e * w_e * dy) + jnp.sum(gv_w * w_w * dy))
     # y-normal walls: tangential component is u
-    fvx = nu * (jnp.sum(u * w_n * dx) + jnp.sum(u * w_s * dx)) / (dy / 2)
+    gu_n = _second_order_wall(u, nb_s, fl, "grad") / dy
+    gu_s = _second_order_wall(u, nb_n, fl, "grad") / dy
+    fvx = nu * (jnp.sum(gu_n * w_n * dx) + jnp.sum(gu_s * w_s * dx))
     # shear on the body opposes the shear on the fluid
     f_visc = jnp.stack([fvx, fvy])
 
