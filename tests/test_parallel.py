@@ -262,3 +262,22 @@ def test_sst_eager_rollout_matches_scan():
     for a, b in ((f_s.u, f_e.u), (t_s.k, t_e.k), (t_s.nu_t, t_e.nu_t)):
         scale = float(jnp.max(jnp.abs(a))) + 1e-30
         assert float(jnp.max(jnp.abs(a - b))) / scale < 1e-5
+
+
+def test_distributed_config_resolution():
+    """Multi-host bootstrap plumbing (parallel.distributed): env
+    resolution, explicitness rule, and the single-process no-op path
+    (the only functional path exercisable without a second host)."""
+    from tpufoam.parallel.distributed import (DistributedConfig,
+                                              init_distributed, is_multihost)
+
+    cfg = DistributedConfig.from_env(env={})
+    assert not cfg.explicit
+    cfg = DistributedConfig.from_env(env={
+        "JAX_COORDINATOR_ADDRESS": "10.0.0.1:1234",
+        "JAX_NUM_PROCESSES": "4", "JAX_PROCESS_ID": "2"})
+    assert cfg.explicit
+    assert cfg.num_processes == 4 and cfg.process_id == 2
+    # single-process run: must be a no-op and leave jax untouched
+    assert init_distributed(DistributedConfig()) is False
+    assert is_multihost() is False
