@@ -72,11 +72,18 @@ def main():
 
     from tpufoam.solvers.backends import MGBackend
     from tpufoam.surrogate.pipeline import SurrogateBundle, make_predictor
-    bundle_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                              "artifacts", "sm_cyl128")
-    trained = os.path.isdir(bundle_dir)
+    root = os.path.dirname(os.path.abspath(__file__))
+    # prefer the reference-envelope bundle (scripts/train_ref_scale.py:
+    # 5.7e4 blocks, D=49152, 512-PC cap) over the small multi-geometry one
+    bundle_name = None
+    for name in ("sm_ref512", "sm_cyl128"):
+        if os.path.isdir(os.path.join(root, "artifacts", name)):
+            bundle_name = name
+            break
+    trained = bundle_name is not None
     if trained:
-        bundle = SurrogateBundle.load(bundle_dir)
+        bundle = SurrogateBundle.load(os.path.join(root, "artifacts",
+                                                   bundle_name))
     else:
         from __graft_entry__ import _tiny_bundle
         bundle = _tiny_bundle(block_size=128)
@@ -143,7 +150,7 @@ def main():
             "sec_per_step_hybrid_sm": round(t_hy, 4),
             "hybrid_mcells_s": round(n_cells / t_hy / 1e6, 3),
             "hybrid_vs_cg_rel_l2_u": round(l2_u, 5),
-            "hybrid_bundle": "trained" if trained else "random-structural",
+            "hybrid_bundle": bundle_name if trained else "random-structural",
             "fleet_4x1M_mcells_s": round(fleet_mcells_s, 1),
             "continuity_err_cg": float(continuity_error(case, flow_cg)),
             "device": str(jax.devices()[0]),
