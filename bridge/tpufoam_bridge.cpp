@@ -38,6 +38,14 @@ struct __attribute__((packed)) InitMsg {
 };
 static_assert(sizeof(InitMsg) == 136, "wire layout must match server");
 
+struct __attribute__((packed)) InitMsg2 {
+  char magic[4];
+  uint64_t n_cells, n_top, n_obst;
+  int32_t rank, n_ranks, world_id;
+  char shm_path[108];
+};
+static_assert(sizeof(InitMsg2) == 148, "wire layout must match server");
+
 bool send_all(int fd, const void *buf, size_t n) {
   const char *p = static_cast<const char *>(buf);
   while (n) {
@@ -89,10 +97,15 @@ struct tb_handle {
   double *sm_out() { return p_out() + n_cells; }
 };
 
-extern "C" tb_handle *tb_init(const char *socket_path,
-                              const double *cells, size_t n_cells,
-                              const double *top, size_t n_top,
-                              const double *obst, size_t n_obst) {
+namespace {
+
+/* Shared arena + socket setup; the caller then sends its INIT message.
+ * `tag` distinguishes per-process handles (multi-rank clients in one
+ * process must not collide on the shm name). */
+tb_handle *tb_setup(const char *socket_path,
+                    const double *cells, size_t n_cells,
+                    const double *top, size_t n_top,
+                    const double *obst, size_t n_obst, int tag) {
   tb_handle *h = new tb_handle();
   h->n_cells = n_cells;
   h->n_top = n_top;
@@ -100,8 +113,8 @@ extern "C" tb_handle *tb_init(const char *socket_path,
   h->arena_bytes = sizeof(double) *
       (n_cells * 5 + n_top * 2 + n_obst * 2 + 2 * n_cells);
 
-  std::snprintf(h->shm_name, sizeof(h->shm_name), "/tpufoam_bridge_%d",
-                static_cast<int>(::getpid()));
+  std::snprintf(h->shm_name, sizeof(h->shm_name), "/tpufoam_bridge_%d_%d",
+                static_cast<int>(::getpid()), tag);
   int shm_fd = ::shm_open(h->shm_name, O_CREAT | O_RDWR, 0600);
   if (shm_fd < 0) { delete h; return nullptr; }
   if (::ftruncate(shm_fd, static_cast<off_t>(h->arena_bytes)) != 0) {
@@ -127,12 +140,52 @@ extern "C" tb_handle *tb_init(const char *socket_path,
     tb_close(h);
     return nullptr;
   }
+  return h;
+}
+
+}  // namespace
+
+extern "C" tb_handle *tb_init(const char *socket_path,
+                              const double *cells, size_t n_cells,
+                              const double *top, size_t n_top,
+                              const double *obst, size_t n_obst) {
+  tb_handle *h = tb_setup(socket_path, cells, n_cells, top, n_top,
+                          obst, n_obst, /*tag=*/0);
+  if (!h) return nullptr;
 
   InitMsg msg{};
   std::memcpy(msg.magic, "TBI1", 4);
   msg.n_cells = n_cells;
   msg.n_top = n_top;
   msg.n_obst = n_obst;
+  std::strncpy(msg.shm_path, h->shm_name, sizeof(msg.shm_path) - 1);
+  uint32_t status = 1;
+  if (!send_all(h->fd, &msg, sizeof(msg)) ||
+      !recv_all(h->fd, &status, sizeof(status)) || status != 0) {
+    tb_close(h);
+    return nullptr;
+  }
+  return h;
+}
+
+extern "C" tb_handle *tb_init_rank(const char *socket_path,
+                                   const double *cells, size_t n_cells,
+                                   const double *top, size_t n_top,
+                                   const double *obst, size_t n_obst,
+                                   int rank, int n_ranks, int world_id) {
+  if (rank < 0 || n_ranks <= 0 || rank >= n_ranks) return nullptr;
+  tb_handle *h = tb_setup(socket_path, cells, n_cells, top, n_top,
+                          obst, n_obst, /*tag=*/1 + rank);
+  if (!h) return nullptr;
+
+  InitMsg2 msg{};
+  std::memcpy(msg.magic, "TBI2", 4);
+  msg.n_cells = n_cells;
+  msg.n_top = n_top;
+  msg.n_obst = n_obst;
+  msg.rank = rank;
+  msg.n_ranks = n_ranks;
+  msg.world_id = world_id;
   std::strncpy(msg.shm_path, h->shm_name, sizeof(msg.shm_path) - 1);
   uint32_t status = 1;
   if (!send_all(h->fd, &msg, sizeof(msg)) ||

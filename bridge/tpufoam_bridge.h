@@ -39,6 +39,23 @@ tb_handle *tb_init(const char *socket_path,
                    const double *top, size_t n_top,
                    const double *obst, size_t n_obst);
 
+/* Multi-rank variant: register this rank's LOCAL cell partition of a
+ * decomposed case. All n_ranks ranks connect to the same server with the
+ * same world_id; the server barriers the ranks each step, assembles the
+ * global point cloud (concatenated in rank order), runs the model once,
+ * and returns each rank's slice. `top`/`obst` are the GLOBAL boundary
+ * point sets (cheap, static — every rank passes the same arrays; rank 0's
+ * copy is used). This replaces the reference's gather-to-master MPI step
+ * (python_module.py is only invoked on rank 0 after a Pstream gather):
+ * the decomposed solver keeps its decomposition and no rank ever holds
+ * the global fields. Blocks until ALL ranks have joined and the one-time
+ * mesh prep finished. */
+tb_handle *tb_init_rank(const char *socket_path,
+                        const double *cells, size_t n_cells,
+                        const double *top, size_t n_top,
+                        const double *obst, size_t n_obst,
+                        int rank, int n_ranks, int world_id);
+
 /* One pressure prediction: writes the current cells (n_cells x 5, same
  * layout) and receives p (n_cells doubles) — the py_func contract.
  * Returns 0 on success. */

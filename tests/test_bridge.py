@@ -21,7 +21,7 @@ pytestmark = pytest.mark.skipif(shutil.which("g++") is None,
 def built_bridge(tmp_path_factory):
     build = tmp_path_factory.mktemp("bridge_build")
     for f in ("tpufoam_bridge.h", "tpufoam_bridge.cpp", "demo_solver.cpp",
-              "Makefile"):
+              "rank_demo_solver.cpp", "Makefile"):
         shutil.copy(os.path.join(BRIDGE_DIR, f), build)
     subprocess.run(["make", "-C", str(build)], check=True,
                    capture_output=True)
@@ -49,6 +49,50 @@ def test_bridge_identity_roundtrip(built_bridge, tmp_path):
         assert "bridge ready" in out.stdout
         assert out.stdout.count("DL pressure prediction") == 3
         assert "demo done" in out.stdout
+    finally:
+        srv.stop()
+        th.join(timeout=5)
+
+
+def test_bridge_multirank_identity(built_bridge, tmp_path):
+    """Two decomposed ranks rendezvous in a world; identity model returns
+    each rank its own p slice (pure transport: gather/scatter correct)."""
+    sock = tmp_path / "tbr.sock"
+    srv, th = _run_server(sock, model="identity")
+    try:
+        out = subprocess.run(
+            [str(built_bridge / "rank_demo_solver"), str(sock), "2", "3"],
+            capture_output=True, text=True, timeout=120)
+        assert out.returncode == 0, out.stdout + out.stderr
+        assert "world done" in out.stdout
+        assert "rank 0/2 ready" in out.stdout
+        assert "rank 1/2 ready" in out.stdout
+    finally:
+        srv.stop()
+        th.join(timeout=5)
+
+
+def test_bridge_multirank_matches_single_rank(built_bridge, tmp_path):
+    """A 2-rank decomposed Poisson serve must produce EXACTLY the fields
+    of the 1-rank run over the same global case: the server assembles the
+    identical point cloud (rank-order concatenation), runs the same device
+    program, and scatters slices — so the results agree bit-for-bit."""
+    sock = tmp_path / "tbr2.sock"
+    srv, th = _run_server(sock, model="poisson", delta=0.05)
+    try:
+        for n_ranks, world in (("1", "10"), ("2", "20")):
+            out = subprocess.run(
+                [str(built_bridge / "rank_demo_solver"), str(sock), n_ranks,
+                 "2", str(tmp_path / f"w{world}"), world],
+                capture_output=True, text=True, timeout=600)
+            assert out.returncode == 0, out.stdout + out.stderr
+        p_single = np.fromfile(tmp_path / "w10.r0.bin")
+        p_multi = np.concatenate([np.fromfile(tmp_path / "w20.r0.bin"),
+                                  np.fromfile(tmp_path / "w20.r1.bin")])
+        assert p_single.shape == p_multi.shape
+        assert np.isfinite(p_single).all()
+        assert p_single.std() > 0  # non-degenerate field
+        np.testing.assert_array_equal(p_single, p_multi)
     finally:
         srv.stop()
         th.join(timeout=5)
