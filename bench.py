@@ -88,11 +88,25 @@ def main():
         from __graft_entry__ import _tiny_bundle
         bundle = _tiny_bundle(block_size=128)
     predictor = make_predictor(bundle, stitch="lstsq")
-    # bf16 mixed-precision V-cycles (f32 residual, bf16 correction):
-    # ~10% step win at equal matched accuracy, validated on TPU hardware
-    t_hy, flow_hy = time_rollout(case, flow, n_steps, cfg,
-                                 MGBackend(cycles=2, precision="bf16"),
-                                 sm_predict=predictor)
+    # bf16 mixed-precision V-cycles (f32 residual, bf16 correction,
+    # ~10% step win) + the temporal-blocked Pallas multisweep smoother
+    # (S sweeps per HBM round trip: 4.02 -> 3.26 ms per capped MG solve
+    # at 1M cells, scripts/bench_pallas_vcycle.py). Falls back to the XLA
+    # smoother if the kernel path fails on this runtime.
+    try:
+        t_hy, flow_hy = time_rollout(
+            case, flow, n_steps, cfg,
+            MGBackend(cycles=2, precision="bf16", smoother="pallas"),
+            sm_predict=predictor)
+        smoother = "pallas"
+    except Exception as e:
+        import sys
+        print(f"pallas smoother failed ({type(e).__name__}); "
+              "falling back to xla", file=sys.stderr, flush=True)
+        t_hy, flow_hy = time_rollout(case, flow, n_steps, cfg,
+                                     MGBackend(cycles=2, precision="bf16"),
+                                     sm_predict=predictor)
+        smoother = "xla"
 
     # batched case-farming mode: 4 geometries x 1M cells vmapped in
     # lockstep (the production fleet configuration) — aggregate throughput
@@ -151,6 +165,7 @@ def main():
             "hybrid_mcells_s": round(n_cells / t_hy / 1e6, 3),
             "hybrid_vs_cg_rel_l2_u": round(l2_u, 5),
             "hybrid_bundle": bundle_name if trained else "random-structural",
+            "hybrid_smoother": smoother,
             "fleet_4x1M_mcells_s": round(fleet_mcells_s, 1),
             "continuity_err_cg": float(continuity_error(case, flow_cg)),
             "device": str(jax.devices()[0]),

@@ -54,7 +54,7 @@ def _build_case(args):
 
 
 def _backend(name, bundle_path=None, stitch="lstsq", polish=6,
-             precision="f32"):
+             precision="f32", smoother="xla"):
     """Returns (corrector_backend, sm_predict). 'hybrid' is the reference's
     Algorithm 2 (DLPoissonFoam.C:104-119): the SM predicts the pressure
     ONCE per timestep before the momentum predictor, and the corrector
@@ -75,17 +75,18 @@ def _backend(name, bundle_path=None, stitch="lstsq", polish=6,
     if name == "cg":
         return CGBackend(rtol=1e-6, maxiter=2000), None
     if name == "mg":
-        return MGBackend(cycles=4, precision=precision), None
+        return MGBackend(cycles=4, precision=precision,
+                         smoother=smoother), None
     if name == "mgcg":
-        return MGCGBackend(rtol=1e-6), None
+        return MGCGBackend(rtol=1e-6, smoother=smoother), None
     from .surrogate.pipeline import SurrogateBundle, make_predictor
     bundle = SurrogateBundle.load(bundle_path)
     predictor = make_predictor(bundle, stitch=stitch, precision=precision)
     if name == "sm":
         return SurrogateBackend(predict=predictor), None
     if name == "hybrid":
-        return MGBackend(cycles=max(polish // 3, 1), precision=precision), \
-            predictor
+        return MGBackend(cycles=max(polish // 3, 1), precision=precision,
+                         smoother=smoother), predictor
     raise ValueError(name)
 
 
@@ -104,6 +105,11 @@ def piso_main(argv=None):
                     choices=["cg", "mg", "mgcg", "sm", "hybrid"])
     ap.add_argument("--bundle", default=None, help="surrogate bundle dir")
     ap.add_argument("--stitch", default="lstsq", choices=["scan", "lstsq"])
+    ap.add_argument("--smoother", default="xla", choices=["xla", "pallas"],
+                    help="multigrid smoother: 'pallas' = temporal-blocked "
+                         "multisweep kernel, ~19%% faster V-cycles in the "
+                         "bf16 hybrid config on TPU (falls back to xla "
+                         "off-TPU / unsupported shapes)")
     ap.add_argument("--precision", default="f32", choices=["f32", "bf16"],
                     help="bf16 = mixed-precision multigrid cycles")
     ap.add_argument("--out", default=None, help=".npz output for final fields")
@@ -157,7 +163,8 @@ def piso_main(argv=None):
                      convection=args.convection,
                      convection_blend=args.convection_blend)
     backend, sm_predict = _backend(args.backend, args.bundle, args.stitch,
-                                   precision=args.precision)
+                                   precision=args.precision,
+                                   smoother=args.smoother)
 
     # a turbulent state file self-identifies: auto-resume its k/omega even
     # when --turbulence was not re-passed, rather than silently switching
