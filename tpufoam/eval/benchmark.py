@@ -17,21 +17,26 @@ parabolic inlet 6 u_mean (y/H)(1 - y/H) (== the benchmark's
 tpufoam discretizes the cylinder as a blanked-cell (stair-step) mask on a
 uniform Cartesian grid. Measured 2D-2 results vs the published bands
 (artifacts/validation/, produced on the TPU by
-scripts/validate_schafer_turek.py):
+scripts/validate_schafer_turek.py, second-order wall force sampling —
+fv/forces.py):
 
     D/delta   cd_max            cl_max           St
-    15.6      3.573  (+10.3%)   1.045 (+3.5%)    0.2777 (-7.3%)
-    31.25     3.165  (-1.9%)    0.967 (-2.3%)    0.2933 (-0.6%)
-    62.5      3.029  (-6.2%)    0.938 (-5.3%)    0.2999 (in band)
+    15.6      3.573  (+10.3%)   1.045 (+3.5%)    0.2777 (-5.9%)
+    31.25     3.217  (-0.1%)    0.980 (-1.0%)    0.2933 (-0.6%)
+    62.5      3.057  (-5.0%)    0.945 (-4.6%)    0.2999 (in band)
 
 The shedding frequency (a pure flow-timing quantity) converges INTO the
-published interval. The force magnitudes converge to ~6% below it: the
-first-order blanked-boundary treatment (no cut cells — wall faces lie on
-grid faces, wall pressure is the adjacent cell value) leaves an O(delta)
-surface bias that the two coarser grids partially cancel with stair-step
-over-prediction. tests/test_validation.py asserts St within 2% and forces
-within the documented 8% stair-step band; a cut-cell surface treatment is
-the known path to tightening the force tolerance.
+published interval, and D/delta=31 lands essentially ON the published
+forces. At D/delta=62 the forces sit ~5% low: the d31 agreement is
+partly stair-step over-prediction cancelling the O(delta) blanked-
+boundary surface bias (no cut cells — the no-slip faces lie on grid
+faces inside the true cylinder, so the effective body is slightly
+undersized, and the fine grid resolves that deficit instead of masking
+it). An SDF wall-distance link correction was measured and REJECTED
+(docs/STATUS.md: it weakens wall shear and worsens Cd); a consistent
+cut-cell aperture treatment is the known path to tightening the force
+band. tests/test_validation.py asserts St within 2% and forces within
+the documented 8% stair-step band.
 """
 
 from __future__ import annotations
