@@ -89,19 +89,26 @@ def main():
         bundle = _tiny_bundle(block_size=128)
     predictor = make_predictor(bundle, stitch="lstsq")
     # bf16 mixed-precision V-cycles (f32 residual, bf16 correction,
-    # ~10% step win) + the temporal-blocked Pallas multisweep smoother
-    # (S sweeps per HBM round trip: 4.02 -> 3.26 ms per capped MG solve
-    # at 1M cells, scripts/bench_pallas_vcycle.py). Falls back to the XLA
-    # smoother if the kernel path fails on this runtime.
+    # ~10% step win) + the fused temporal-blocked Pallas MOMENTUM
+    # multisweep (8 coupled-field sweeps in one HBM round trip:
+    # 5.68 -> 5.04 ms/step measured in isolation,
+    # scripts/bench_momentum_pallas.py). The pressure-side pallas
+    # smoother is intentionally OFF here: it wins in a standalone
+    # mg_solve (-19%, bench_pallas_vcycle.py) but combining both kernels
+    # in-step measures consistently slower than momentum-only (5.36 vs
+    # 5.04) — see docs/STATUS.md. Falls back to XLA if the kernel path
+    # fails on this runtime.
+    import dataclasses as _dc
     try:
         t_hy, flow_hy = time_rollout(
-            case, flow, n_steps, cfg,
-            MGBackend(cycles=2, precision="bf16", smoother="pallas"),
+            case, flow, n_steps,
+            _dc.replace(cfg, momentum_smoother="pallas"),
+            MGBackend(cycles=2, precision="bf16"),
             sm_predict=predictor)
-        smoother = "pallas"
+        smoother = "pallas-momentum"
     except Exception as e:
         import sys
-        print(f"pallas smoother failed ({type(e).__name__}); "
+        print(f"pallas momentum smoother failed ({type(e).__name__}); "
               "falling back to xla", file=sys.stderr, flush=True)
         t_hy, flow_hy = time_rollout(case, flow, n_steps, cfg,
                                      MGBackend(cycles=2, precision="bf16"),

@@ -82,3 +82,37 @@ def test_multisweep_rejects_oversized_iters(problem):
     coef, x, b = problem
     with pytest.raises(ValueError):
         jacobi_multisweep_pallas(coef, x, b, iters=9, interpret=True)
+
+
+@pytest.mark.parametrize("sweeps", [1, 4, 8])
+def test_momentum_multisweep_matches_xla(sweeps):
+    """Fused coupled-field momentum kernel == fv.momentum.jacobi_momentum
+    for sweeps <= halo (the engine's production momentum_sweeps=8 is the
+    boundary case)."""
+    from tpufoam.fv.case import initial_flow
+    from tpufoam.fv.momentum import jacobi_momentum, momentum_coeffs
+    from tpufoam.ops.stencil import momentum_multisweep_pallas
+
+    geom = channel_case_geometry("cylinder", length=4.0, height=1.0,
+                                 obstacle_size=0.3)
+    case = build_channel_case(geom, delta=1.0 / 64)   # 64 x 256
+    flow = initial_flow(case, dt0=2e-3)
+    coef = momentum_coeffs(case, flow.phi_x, flow.phi_y, flow.u, flow.v,
+                           flow.dt, convection="limitedLinear")
+    rng = np.random.default_rng(3)
+    src_u = jnp.asarray(rng.standard_normal(case.grid.shape) * 1e-3,
+                        dtype=jnp.float32)
+    src_v = jnp.asarray(rng.standard_normal(case.grid.shape) * 1e-3,
+                        dtype=jnp.float32)
+
+    u_ref, v_ref = jacobi_momentum(coef, case, flow.u, flow.v, src_u, src_v,
+                                   sweeps=sweeps)
+    api = case.fluid / coef.a_p
+    u_pal, v_pal = momentum_multisweep_pallas(
+        coef.a_e, coef.a_w, coef.a_n, coef.a_s, api,
+        coef.b_u + src_u, coef.b_v + src_v, flow.u, flow.v, sweeps=sweeps,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(u_pal), np.asarray(u_ref),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v_pal), np.asarray(v_ref),
+                               atol=1e-5)

@@ -110,6 +110,12 @@ def piso_main(argv=None):
                          "multisweep kernel, ~19%% faster V-cycles in the "
                          "bf16 hybrid config on TPU (falls back to xla "
                          "off-TPU / unsupported shapes)")
+    ap.add_argument("--momentum-smoother", default="xla",
+                    choices=["xla", "pallas"],
+                    help="'pallas' fuses all momentum Jacobi sweeps into "
+                         "one HBM round trip (~11%% step win at 1M cells; "
+                         "best measured combo is momentum-pallas + "
+                         "pressure-xla — see docs/STATUS.md)")
     ap.add_argument("--precision", default="f32", choices=["f32", "bf16"],
                     help="bf16 = mixed-precision multigrid cycles")
     ap.add_argument("--out", default=None, help=".npz output for final fields")
@@ -161,7 +167,8 @@ def piso_main(argv=None):
         flow = initial_flow(case, dt0=args.dt0)
     cfg = PisoConfig(n_correctors=args.n_correctors, max_co=args.max_co,
                      convection=args.convection,
-                     convection_blend=args.convection_blend)
+                     convection_blend=args.convection_blend,
+                     momentum_smoother=args.momentum_smoother)
     backend, sm_predict = _backend(args.backend, args.bundle, args.stitch,
                                    precision=args.precision,
                                    smoother=args.smoother)

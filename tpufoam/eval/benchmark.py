@@ -21,7 +21,7 @@ scripts/validate_schafer_turek.py, second-order wall force sampling —
 fv/forces.py):
 
     D/delta   cd_max            cl_max           St
-    15.6      3.573  (+10.3%)   1.045 (+3.5%)    0.2777 (-5.9%)
+    15.6      3.655  (+12.8%)   1.161 (+15.1%)   0.2777 (-5.9%)
     31.25     3.217  (-0.1%)    0.980 (-1.0%)    0.2933 (-0.6%)
     62.5      3.057  (-5.0%)    0.945 (-4.6%)    0.2999 (in band)
 

@@ -240,6 +240,104 @@ def _make_multisweep_kernel(tile_y: int, halo: int, sweeps: int, nx: int,
     return kernel, n_ops
 
 
+def _make_momentum_kernel(tile_y: int, halo: int, sweeps: int, nx: int):
+    """Fused momentum multisweep: TWO coupled fields (u, v) share one
+    coefficient stencil; update is plain (not damped) Jacobi
+        u <- (a_e E(u) + a_w W(u) + a_n N(u) + a_s S(u) + bu) * ap_inv
+    (fv.momentum.jacobi_momentum semantics; ap_inv carries the fluid
+    mask, so solid cells stay 0). Same trapezoid-validity halo argument
+    as the pressure kernel: exact for sweeps <= halo."""
+    n_ops = 9  # u, v, ae, aw, an, as_, ap_inv, bu, bv
+
+    def kernel(up_ref, vp_ref, ae_ref, aw_ref, an_ref, as_ref, api_ref,
+               bu_ref, bv_ref, u_out, v_out, ua, ub, va, vb, aes, aws, ans,
+               ass_, apis, bus, bvs, sems):
+        i = pl.program_id(0)
+        row0 = pl.multiple_of(i * tile_y, halo)
+        window = pl.ds(row0, tile_y + 2 * halo)
+        hbm = (up_ref, vp_ref, ae_ref, aw_ref, an_ref, as_ref, api_ref,
+               bu_ref, bv_ref)
+        vmem = (ua, va, aes, aws, ans, ass_, apis, bus, bvs)
+        copies = [pltpu.make_async_copy(h.at[window, :], v, sems.at[j])
+                  for j, (h, v) in enumerate(zip(hbm, vmem))]
+        for c in copies:
+            c.start()
+        for c in copies:
+            c.wait()
+
+        ae = aes[:, :]
+        aw = aws[:, :]
+        an = ans[:, :]
+        as_ = ass_[:, :]
+        api = apis[:, :]
+        bu = bus[:, :]
+        bv = bvs[:, :]
+        n_rows = tile_y + 2 * halo
+        row = jax.lax.broadcasted_iota(jnp.int32, (n_rows, nx), 0)
+        edge = (row == 0) | (row == n_rows - 1)
+
+        def sweep(bsrc, src, dst):
+            x = src[:, :]
+            xn = jnp.concatenate([x[1:, :], x[-1:, :]], axis=0)
+            xs_ = jnp.concatenate([x[:1, :], x[:-1, :]], axis=0)
+            xe, xw = _shift_ew(x)
+            y = (ae * xe + aw * xw + an * xn + as_ * xs_ + bsrc) * api
+            dst[:, :] = jnp.where(edge, x, y)
+
+        su, du = ua, ub
+        sv, dv = va, vb
+        for _ in range(sweeps):
+            sweep(bu, su, du)
+            sweep(bv, sv, dv)
+            su, du = du, su
+            sv, dv = dv, sv
+
+        u_out[:, :] = su[halo:halo + tile_y, :]
+        v_out[:, :] = sv[halo:halo + tile_y, :]
+
+    return kernel, n_ops
+
+
+@partial(jax.jit, static_argnames=("sweeps", "interpret"))
+def momentum_multisweep_pallas(a_e, a_w, a_n, a_s, ap_inv, bu, bv,
+                               u0, v0, sweeps: int = 8,
+                               interpret: bool = False):
+    """`sweeps` coupled-field Jacobi momentum sweeps with ONE haloed HBM
+    round trip of all 9 operands (vs `sweeps` XLA passes of 11 arrays in
+    fv.momentum.jacobi_momentum). ap_inv = fluid/a_P (zero in solids),
+    bu/bv = b + src (the -grad(p)*V source folded in by the caller).
+    Exact (= jacobi_momentum) for sweeps <= 8 (f32 halo)."""
+    ny, nx = u0.shape
+    dtype = u0.dtype
+    halo = _halo_for(dtype)
+    if sweeps > halo:
+        raise ValueError(f"sweeps={sweeps} > halo={halo}")
+    if nx % 128 or ny % halo:
+        raise ValueError(f"unsupported shape {(ny, nx)}; gate on "
+                         "pallas_available_for")
+    t = max(_tile_y(ny), halo)
+    band = _band_spec(nx, t)
+
+    def padh(f):
+        return jnp.pad(f, ((halo, halo), (0, 0)))
+
+    kernel, n_ops = _make_momentum_kernel(t, halo, sweeps, nx)
+    scratch = pltpu.VMEM((t + 2 * halo, nx), dtype)
+    u_new, v_new = pl.pallas_call(
+        kernel,
+        grid=(ny // t,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)] * n_ops,
+        out_specs=(band, band),
+        out_shape=(jax.ShapeDtypeStruct((ny, nx), dtype),
+                   jax.ShapeDtypeStruct((ny, nx), dtype)),
+        scratch_shapes=[scratch] * (n_ops + 2)
+        + [pltpu.SemaphoreType.DMA((n_ops,))],
+        interpret=interpret,
+    )(padh(u0), padh(v0), padh(a_e), padh(a_w), padh(a_n), padh(a_s),
+      padh(ap_inv), padh(bu), padh(bv))
+    return u_new, v_new
+
+
 @partial(jax.jit, static_argnames=("iters", "interpret"))
 def jacobi_multisweep_pallas(coef, x: jnp.ndarray, b: jnp.ndarray,
                              iters: int = 2, omega: float = 0.8,

@@ -48,6 +48,10 @@ class PisoConfig:
                                       # default ON) | 'blend' | 'upwind'
     convection_blend: float = 0.0     # gamma for convection='blend'
                                       # (0 upwind .. 1 deferred central)
+    momentum_smoother: str = "xla"    # 'pallas': all momentum sweeps in
+                                      # one fused temporal-blocked kernel
+                                      # pass (ops.stencil); falls back to
+                                      # xla off-TPU/unsupported shapes
 
 
 def courant_number(case: Case, flow: Flow) -> jnp.ndarray:
@@ -108,7 +112,8 @@ def _piso_step_impl(case: Case, flow: Flow, cfg: PisoConfig = PisoConfig(),
                            convection=cfg.convection)
     gpx, gpy = pressure_gradient(case, p)
     u, v = jacobi_momentum(coef, case, u, v, -gpx * vol, -gpy * vol,
-                           sweeps=cfg.momentum_sweeps)
+                           sweeps=cfg.momentum_sweeps,
+                           smoother=cfg.momentum_smoother)
 
     if sm_predict is not None and not cfg.sm_before_predictor:
         p = sm_predict(case, p, _aux()) * case.fluid
