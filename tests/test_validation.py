@@ -39,7 +39,9 @@ def band_error(value: float, band: tuple) -> float:
 def test_2d1_steady_drag_re20():
     """Steady confined-cylinder drag at Re=20: published cd in
     [5.57, 5.59]. At D/delta = 11.7 the blanked-cell boundary carries a
-    few-percent bias (measured -5.4%); assert within 8%."""
+    few-percent bias (measured -5.4% with first-order force sampling,
+    -2.7% with the second-order wall sampling now in fv/forces.py);
+    assert within 8%."""
     from tpufoam.fv.forces import obstacle_force
     from tpufoam.piso.engine import PisoConfig, run_piso_chunked
     from tpufoam.solvers.backends import MGCGBackend
