@@ -27,16 +27,20 @@ fv/forces.py):
 
 The shedding frequency (a pure flow-timing quantity) converges INTO the
 published interval, and D/delta=31 lands essentially ON the published
-forces. At D/delta=62 the forces sit ~5% low: the d31 agreement is
-partly stair-step over-prediction cancelling the O(delta) blanked-
-boundary surface bias (no cut cells — the no-slip faces lie on grid
-faces inside the true cylinder, so the effective body is slightly
-undersized, and the fine grid resolves that deficit instead of masking
-it). An SDF wall-distance link correction was measured and REJECTED
-(docs/STATUS.md: it weakens wall shear and worsens Cd); a consistent
-cut-cell aperture treatment is the known path to tightening the force
-band. tests/test_validation.py asserts St within 2% and forces within
-the documented 8% stair-step band.
+forces. At D/delta=62 the forces sit ~5% low. Diagnosis (measured,
+artifacts/validation/mask_inflation*_d62.json): the deficit is the
+DISCRETE blanking convention, not smeared-gradient physics — rerunning
+d62 with the mask diameter inflated by one cell (any-part-inside
+convention) swings cd_max to -1.6% and cl_max to +4.6%, bracketing the
+published band, while a half-cell inflation barely moves them (the
+stair-step boundary is quantized: sub-cell mask calibration does not
+exist). Two further negative results: an SDF wall-distance link
+correction weakens wall shear and worsens Cd (docs/STATUS.md), and
+first-order force sampling added its own -3% (fixed — second-order
+sampling in fv/forces.py). Interpolating between the bracketing
+conventions requires a true cut-cell aperture treatment — the known
+path to tightening the force band. tests/test_validation.py asserts St
+within 2% and forces within the documented 8% stair-step band.
 """
 
 from __future__ import annotations
