@@ -23,12 +23,14 @@ import numpy as np
 
 
 def time_rollout(case, flow, n_steps, cfg, backend, sm_predict=None,
-                 repeats=3):
+                 repeats=5):
     # eager stepping with donated buffers: numerically identical to the
     # scan rollout but ~1 ms/step faster at 1M cells (scan carry
     # double-buffering); async dispatch overlaps host latency.
-    # median of `repeats` windows: the tunneled-TPU dispatch timing is
-    # +-10-15% noisy at 10-step samples (docs/STATUS.md)
+    # The tunneled-TPU dispatch timing is +-10-15% noisy at 10-step
+    # samples (docs/STATUS.md), so the driver headline uses >=30-step
+    # windows x >=5 repeats and reports median AND spread (VERDICT r2
+    # weak #6). Returns (sec/step median, spread tuple, final flow).
     from tpufoam.piso.engine import run_piso_eager
     flow2 = run_piso_eager(case, flow, n_steps, cfg=cfg, backend=backend,
                            sm_predict=sm_predict)
@@ -40,7 +42,9 @@ def time_rollout(case, flow, n_steps, cfg, backend, sm_predict=None,
                                sm_predict=sm_predict)
         jax.block_until_ready(flow2.u)
         times.append(time.perf_counter() - t0)
-    return float(np.median(times)) / n_steps, flow2
+    per_step = np.asarray(times) / n_steps
+    spread = (float(per_step.min()), float(per_step.max()))
+    return float(np.median(per_step)), spread, flow2
 
 
 def main():
@@ -59,10 +63,10 @@ def main():
     flow = initial_flow(case, dt0=5e-4)
     cfg = PisoConfig(n_correctors=2, max_co=0.5, max_dt=2e-3)
 
-    n_steps = 10
+    n_steps = 30
     from tpufoam.solvers.backends import MGCGBackend
     cg = MGCGBackend(rtol=1e-6, maxiter=60)
-    t_cg, flow_cg = time_rollout(case, flow, n_steps, cfg, cg)
+    t_cg, sp_cg, flow_cg = time_rollout(case, flow, n_steps, cfg, cg)
 
     # Algorithm-2 coupling: SM predicts once per step, correctors run capped
     # multigrid cycles. Uses the trained in-repo bundle when present
@@ -99,20 +103,21 @@ def main():
     # 5.04) — see docs/STATUS.md. Falls back to XLA if the kernel path
     # fails on this runtime.
     import dataclasses as _dc
-    try:
-        t_hy, flow_hy = time_rollout(
+    from tpufoam.ops.stencil import pallas_available_for
+    if pallas_available_for(case.fluid.shape, case.fluid.dtype):
+        # pallas supported here: a failure is a REAL regression — let it
+        # fail the benchmark rather than silently re-timing as xla
+        # (ADVICE r2: the old blanket except hid genuine breakage)
+        t_hy, sp_hy, flow_hy = time_rollout(
             case, flow, n_steps,
             _dc.replace(cfg, momentum_smoother="pallas"),
             MGBackend(cycles=2, precision="bf16"),
             sm_predict=predictor)
         smoother = "pallas-momentum"
-    except Exception as e:
-        import sys
-        print(f"pallas momentum smoother failed ({type(e).__name__}); "
-              "falling back to xla", file=sys.stderr, flush=True)
-        t_hy, flow_hy = time_rollout(case, flow, n_steps, cfg,
-                                     MGBackend(cycles=2, precision="bf16"),
-                                     sm_predict=predictor)
+    else:
+        t_hy, sp_hy, flow_hy = time_rollout(
+            case, flow, n_steps, cfg, MGBackend(cycles=2, precision="bf16"),
+            sm_predict=predictor)
         smoother = "xla"
 
     # batched case-farming mode: 4 geometries x 1M cells vmapped in
@@ -134,7 +139,7 @@ def main():
         out = run_piso_batched(cb, fb, n_steps, cfg=cfg, backend=be)
         jax.block_until_ready(out.u)
         ts = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             out = run_piso_batched(cb, out, n_steps, cfg=cfg, backend=be)
             jax.block_until_ready(out.u)
@@ -170,6 +175,9 @@ def main():
             "cg_mcells_s": round(n_cells / t_cg / 1e6, 3),
             "sec_per_step_hybrid_sm": round(t_hy, 4),
             "hybrid_mcells_s": round(n_cells / t_hy / 1e6, 3),
+            "sec_per_step_spread_cg": [round(x, 4) for x in sp_cg],
+            "sec_per_step_spread_hybrid": [round(x, 4) for x in sp_hy],
+            "timing_windows": f"{n_steps} steps x 5 repeats, median",
             "hybrid_vs_cg_rel_l2_u": round(l2_u, 5),
             "hybrid_bundle": bundle_name if trained else "random-structural",
             "hybrid_smoother": smoother,

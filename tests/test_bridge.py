@@ -123,3 +123,55 @@ def test_bridge_poisson_model(built_bridge, tmp_path):
     finally:
         srv.stop()
         th.join(timeout=5)
+
+
+def test_openfoam_comm_layer_compiles_and_runs(built_bridge, tmp_path):
+    """The OpenFOAM adapter's coupling core (bridge/openfoam/
+    TpufoamCoupling.H — deliberately OpenFOAM-free) must compile against
+    tpufoam_bridge.h AND drive a real serve round-trip: the header-
+    compatibility check VERDICT r2 item 5 asks for, plus a live identity
+    step through the exact call sequence DLPoissonFoam.C uses."""
+    of_dir = os.path.join(BRIDGE_DIR, "openfoam")
+    shutil.copy(os.path.join(of_dir, "TpufoamCoupling.H"), built_bridge)
+    driver = built_bridge / "coupling_check.cpp"
+    driver.write_text(r'''
+#include <cmath>
+#include <cstdio>
+#include <vector>
+#include "TpufoamCoupling.H"
+int main(int argc, char** argv) {
+  const int n = 64;
+  TpufoamCoupling c;
+  c.allocate(n);
+  double* buf = c.cells();
+  for (int i = 0; i < n; ++i) {
+    buf[5*i+0] = 1.0; buf[5*i+1] = 0.0;
+    buf[5*i+2] = 0.1*(i%16); buf[5*i+3] = 0.1*(i/16);
+    buf[5*i+4] = 2.5 + i;
+  }
+  std::vector<double> top = {0,0, 1.6,0, 1.6,0.4, 0,0.4};
+  std::vector<double> obst = {1e6,1e6};
+  if (!c.init(argv[1], top, obst)) { std::printf("init failed\n"); return 1; }
+  std::vector<double> p(n), out(n);
+  if (c.step(p.data(), out.data()) != 0) { std::printf("step failed\n"); return 1; }
+  for (int i = 0; i < n; ++i)
+    if (std::abs(p[i] - (2.5 + i)) > 1e-12) { std::printf("mismatch\n"); return 1; }
+  std::printf("coupling ok %.3f ms\n", c.lastStepMs());
+  return 0;
+}
+''')
+    subprocess.run(
+        ["g++", "-O2", "-Wall", "-std=c++17",
+         str(driver), str(built_bridge / "tpufoam_bridge.cpp"),
+         "-I", str(built_bridge), "-o", str(built_bridge / "coupling_check")],
+        check=True, capture_output=True)
+    sock = tmp_path / "tbc.sock"
+    srv, th = _run_server(sock, model="identity")
+    try:
+        out = subprocess.run([str(built_bridge / "coupling_check"), str(sock)],
+                             capture_output=True, text=True, timeout=120)
+        assert out.returncode == 0, out.stdout + out.stderr
+        assert "coupling ok" in out.stdout
+    finally:
+        srv.stop()
+        th.join(timeout=5)

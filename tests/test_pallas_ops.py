@@ -78,6 +78,56 @@ def test_multisweep_matches_xla_bf16(problem):
     np.testing.assert_allclose(pal, ref, atol=2e-2)
 
 
+def test_multisweep_multiband_matches_xla():
+    """Cross-band trapezoid-halo path: a 256-row problem tiles into
+    multiple y-bands, exercising the pinned interior band-edge rows that
+    the 64-row fixture (single band) never touches — the part that could
+    silently corrupt production 512-row runs (ADVICE r2)."""
+    geom = channel_case_geometry("cylinder", length=4.0, height=1.0,
+                                 obstacle_size=0.3)
+    case = build_channel_case(geom, delta=1.0 / 256)   # 256 x 1024
+    rau = jnp.ones(case.grid.shape, dtype=jnp.float32) * case.fluid
+    coef = pressure_coeffs(case, rau)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.standard_normal(case.grid.shape), dtype=jnp.float32)
+    b = jnp.asarray(rng.standard_normal(case.grid.shape), dtype=jnp.float32)
+    ref = np.asarray(jacobi_smooth(coef, x, b, iters=8, omega=0.8))
+    pal = np.asarray(jacobi_multisweep_pallas(coef, x, b, iters=8,
+                                              omega=0.8, interpret=True))
+    np.testing.assert_allclose(pal, ref, atol=1e-4)
+
+
+def test_momentum_multisweep_multiband_matches_xla():
+    """Same cross-band coverage for the fused momentum kernel at the
+    production sweep count."""
+    from tpufoam.fv.case import initial_flow
+    from tpufoam.fv.momentum import jacobi_momentum, momentum_coeffs
+    from tpufoam.ops.stencil import momentum_multisweep_pallas
+
+    geom = channel_case_geometry("cylinder", length=4.0, height=1.0,
+                                 obstacle_size=0.3)
+    case = build_channel_case(geom, delta=1.0 / 256)   # 256 x 1024
+    flow = initial_flow(case, dt0=2e-3)
+    coef = momentum_coeffs(case, flow.phi_x, flow.phi_y, flow.u, flow.v,
+                           flow.dt, convection="limitedLinear")
+    rng = np.random.default_rng(11)
+    src_u = jnp.asarray(rng.standard_normal(case.grid.shape) * 1e-3,
+                        dtype=jnp.float32)
+    src_v = jnp.asarray(rng.standard_normal(case.grid.shape) * 1e-3,
+                        dtype=jnp.float32)
+    u_ref, v_ref = jacobi_momentum(coef, case, flow.u, flow.v, src_u, src_v,
+                                   sweeps=8)
+    api = case.fluid / coef.a_p
+    u_pal, v_pal = momentum_multisweep_pallas(
+        coef.a_e, coef.a_w, coef.a_n, coef.a_s, api,
+        coef.b_u + src_u, coef.b_v + src_v, flow.u, flow.v, sweeps=8,
+        interpret=True)
+    np.testing.assert_allclose(np.asarray(u_pal), np.asarray(u_ref),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v_pal), np.asarray(v_ref),
+                               atol=1e-5)
+
+
 def test_multisweep_rejects_oversized_iters(problem):
     coef, x, b = problem
     with pytest.raises(ValueError):

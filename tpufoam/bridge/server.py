@@ -209,7 +209,13 @@ class _World:
         self.cond = threading.Condition()
         self.arenas: dict[int, _Arena] = {}
         self.ready = False
+        # fatal world errors (init failure, barrier timeout, rank loss):
+        # poison the world permanently
         self.error: Exception | None = None
+        # transient per-round compute errors: reported as STATUS_ERR for
+        # that step only, then cleared — matching the single-rank
+        # _Session's per-step recovery semantics
+        self.step_error: Exception | None = None
         self.step_no = 0
         self.arrived = 0
         self.left = 0
@@ -261,8 +267,10 @@ class _World:
                         a.p_out[:] = p[off:off + a.n_cells]
                         a.sm_out[:] = raw[off:off + a.n_cells]
                         off += a.n_cells
+                    self.step_error = None
                 except Exception as e:
-                    self.error = e
+                    # transient: fail THIS round for all ranks, recover next
+                    self.step_error = e
                 self.step_no += 1
                 self.cond.notify_all()
             else:
@@ -271,8 +279,12 @@ class _World:
                     if not self.cond.wait(timeout=1.0) and _time() > deadline:
                         self._fail(TimeoutError(
                             f"world {self.world_id}: step barrier"))
+            # no overwrite race on step_error: the next round can only
+            # complete after every rank (including this waiter) returned
             if self.error is not None:
                 raise RuntimeError(f"world step failed: {self.error}")
+            if self.step_error is not None:
+                raise RuntimeError(f"world step failed: {self.step_error}")
 
     def leave(self, rank: int) -> bool:
         """Close a rank's arena; wake any barrier waiters (a departed rank
@@ -395,6 +407,7 @@ class BridgeServer:
             _INIT2.unpack(raw)
         shm_path = shm.split(b"\0")[0].decode()
         world = None
+        arena = None
         try:
             with self._worlds_lock:
                 world = self._worlds.get(world_id)
@@ -416,6 +429,10 @@ class BridgeServer:
             except OSError:
                 pass
             if world is not None:
+                # if join rejected the rank before registering the arena,
+                # leave() won't find it — close the mapping here
+                if arena is not None and world.arenas.get(rank) is not arena:
+                    arena.close()
                 self._reap(world, rank)
             return
         try:

@@ -512,11 +512,17 @@ def pinn_main(argv=None):
     params, history = train_pinn(cfg, batch, adam_steps=args.adam_steps,
                                  lbfgs_steps=args.lbfgs_steps, lr=args.lr,
                                  seed=args.seed, verbose=True)
-    with open(args.out, "wb") as f:
-        import jax
-        pickle.dump(dict(cfg=cfg.__dict__,
-                         params=jax.tree.map(np.asarray, params),
-                         history=history), f)
+    if args.out.endswith(".h5"):
+        # Keras-layout checkpoint — the reference's my_model_ref.h5 /
+        # my_model_ref_afterLFGS.h5 artifacts (PINN_steady.py:419,561)
+        from .models.pinn import save_pinn_h5
+        save_pinn_h5(args.out, params, cfg, history)
+    else:
+        with open(args.out, "wb") as f:
+            import jax
+            pickle.dump(dict(cfg=cfg.__dict__,
+                             params=jax.tree.map(np.asarray, params),
+                             history=history), f)
     print(json.dumps({"final_loss": history[-1], "out": args.out}))
 
 
@@ -573,10 +579,20 @@ def pointcloud_main(argv=None):
             ds, epochs=args.epochs, batch_size=args.batch_size, lr=args.lr,
             seed=args.seed, verbose=True)
         import jax
-        with open(args.out, "wb") as f:
-            pickle.dump(dict(params=jax.tree.map(np.asarray, params),
-                             mins=ds.mins, maxs=ds.maxs, n_pts=args.n_pts,
-                             history=history), f)
+        np_params = jax.tree.map(np.asarray, params)
+        if args.out.endswith(".h5"):
+            # pickle-free checkpoint (the reference saves its point-cloud
+            # model as Keras .h5 too — Chapter3 train.py)
+            from .utils.h5ckpt import save_pytree_h5
+            save_pytree_h5(args.out, np_params,
+                           meta=dict(mins=list(map(float, np.ravel(ds.mins))),
+                                     maxs=list(map(float, np.ravel(ds.maxs))),
+                                     n_pts=args.n_pts, history=history))
+        else:
+            with open(args.out, "wb") as f:
+                pickle.dump(dict(params=np_params,
+                                 mins=ds.mins, maxs=ds.maxs, n_pts=args.n_pts,
+                                 history=history), f)
         print(json.dumps({"final_loss": history[-1], "out": args.out}))
         return
 
@@ -584,8 +600,14 @@ def pointcloud_main(argv=None):
     from .eval.pointcloud_rollout import rasterize, rollout, rollout_report
     from .models.pointnet import PAD, PointNetUNet
 
-    with open(args.params, "rb") as f:
-        blob = pickle.load(f)
+    if args.params.endswith(".h5"):
+        from .utils.h5ckpt import load_pytree_h5
+        _params, _meta = load_pytree_h5(args.params)
+        blob = dict(params=_params, mins=np.asarray(_meta["mins"]),
+                    maxs=np.asarray(_meta["maxs"]), n_pts=_meta["n_pts"])
+    else:
+        with open(args.params, "rb") as f:
+            blob = pickle.load(f)
     # rescale with the TRAINING stats, not this subset's own min/max
     ds = build_pointcloud_dataset(args.dataset, n_pts=blob["n_pts"],
                                   n_sims=args.sim + 1, first_t=args.first_t,

@@ -35,18 +35,29 @@ class Case:
     fluid: jnp.ndarray          # (ny, nx) 1.0 fluid / 0.0 solid
     sdf: jnp.ndarray            # (ny, nx) wall distance, 0 in solids
     inlet_u: jnp.ndarray        # (ny,) inlet x-velocity profile
-    # per-direction neighbour-openness (1 = internal fluid-fluid face)
+    # per-direction face apertures (fraction of the face open to the
+    # neighbour; {0,1} in blanked mode, [0,1] in cut-cell mode; 0 at
+    # domain edges). See fv.cutcell.
     open_e: jnp.ndarray
     open_w: jnp.ndarray
     open_n: jnp.ndarray
     open_s: jnp.ndarray
-    # boundary-face masks per cell
+    # boundary-face masks per cell (stair-step faces toward non-fluid cells;
+    # used by the SST wall terms and blank-mode force sampling)
     wall_e: jnp.ndarray
     wall_w: jnp.ndarray
     wall_n: jnp.ndarray
     wall_s: jnp.ndarray
     inlet_w: jnp.ndarray        # (ny, nx) 1 on fluid cells whose west face is the inlet
     outlet_e: jnp.ndarray       # (ny, nx) 1 on fluid cells whose east face is the outlet
+    # --- cut-cell geometry (fv.cutcell; binary-consistent in blank mode) ---
+    alpha: jnp.ndarray          # (ny, nx) fluid volume fraction
+    wall_ax: jnp.ndarray        # embedded-wall area vector (outward into the
+    wall_ay: jnp.ndarray        #   solid); reduces to stair faces when binary
+    wall_dist: jnp.ndarray      # centroid->wall distance (1.0 where no wall)
+    wall_x: jnp.ndarray         # nearest boundary point to the fluid centroid
+    wall_y: jnp.ndarray         #   (anchors the force probes; 0 where no wall)
+    cut: bool = flax.struct.field(pytree_node=False, default=False)
 
 
 @flax.struct.dataclass
@@ -66,8 +77,19 @@ class Flow:
 
 
 def build_channel_case(geom: ChannelCase, delta: float,
-                       n_boundary: int = 720) -> Case:
-    """Discretize a ChannelCase onto a uniform grid (one-time host setup)."""
+                       n_boundary: int = 720,
+                       boundary: str = "cutcell",
+                       alpha_cut: float = 0.05) -> Case:
+    """Discretize a ChannelCase onto a uniform grid (one-time host setup).
+
+    boundary: 'cutcell' resolves the obstacle with sub-cell face apertures
+    and volume fractions (fv.cutcell; the fix for the stair-step force
+    bias); 'blank' is the round-2 binary centre-inside mask. Both run
+    through the same generalized discretization — blank mode is the
+    binary-aperture limit.
+    """
+    from .cutcell import cut_masks
+
     grid = make_grid(0.0, geom.length, 0.0, geom.height, delta)
     pts = grid.cell_centers_flat(np)
 
@@ -79,7 +101,10 @@ def build_channel_case(geom: ChannelCase, delta: float,
     else:
         inside = geom.shape.inside(pts).reshape(grid.shape)
         obst_b = geom.shape.boundary_points(n_boundary)
-    fluid_np = (~inside).astype(np.float32)
+
+    cg = cut_masks(grid, geom.shape, inside, mode=boundary,
+                   alpha_cut=alpha_cut)
+    fluid_np = cg["fluid"].astype(np.float32)
 
     _, sdf = domain_and_sdf(pts, top_b, obst_b,
                             obst_inside=inside.reshape(-1))
@@ -89,7 +114,8 @@ def build_channel_case(geom: ChannelCase, delta: float,
     inlet_u = geom.inlet_profile(y).astype(np.float32)
 
     _validate_connectivity(fluid_np)
-    return _assemble_masks(grid, fluid_np, np.asarray(sdf), inlet_u, geom.nu)
+    return _assemble_masks(grid, fluid_np, np.asarray(sdf), inlet_u, geom.nu,
+                           cg, cut=(boundary == "cutcell"))
 
 
 def _validate_connectivity(fluid: np.ndarray) -> None:
@@ -108,7 +134,8 @@ def _validate_connectivity(fluid: np.ndarray) -> None:
 
 
 def _assemble_masks(grid: Grid2D, fluid: np.ndarray, sdf: np.ndarray,
-                    inlet_u: np.ndarray, nu: float) -> Case:
+                    inlet_u: np.ndarray, nu: float, cg: dict,
+                    cut: bool = False) -> Case:
     ny, nx = fluid.shape
     f = fluid
 
@@ -122,10 +149,13 @@ def _assemble_masks(grid: Grid2D, fluid: np.ndarray, sdf: np.ndarray,
     interior_n = np.ones_like(f); interior_n[-1, :] = 0
     interior_s = np.ones_like(f); interior_s[0, :] = 0
 
-    open_e = f * nbf_e * interior_e
-    open_w = f * nbf_w * interior_w
-    open_n = f * nbf_n * interior_n
-    open_s = f * nbf_s * interior_s
+    # fractional face apertures from fv.cutcell ({0,1} in blank mode)
+    thx = cg["thx"].astype(np.float32)
+    thy = cg["thy"].astype(np.float32)
+    open_e = thx[:, 1:] * interior_e
+    open_w = thx[:, :-1] * interior_w
+    open_n = thy[1:, :] * interior_n
+    open_s = thy[:-1, :] * interior_s
 
     # walls: obstacle faces (interior face to a solid cell) + domain N/S walls
     wall_e = f * interior_e * (1 - nbf_e)
@@ -139,12 +169,19 @@ def _assemble_masks(grid: Grid2D, fluid: np.ndarray, sdf: np.ndarray,
     outlet_e = np.zeros_like(f); outlet_e[:, -1] = f[:, -1]
 
     j = jnp.asarray
+
+    def j32(x):
+        return jnp.asarray(np.asarray(x, dtype=np.float32))
+
     return Case(
-        grid=grid, nu=float(nu),
+        grid=grid, nu=float(nu), cut=cut,
         fluid=j(f), sdf=j(sdf), inlet_u=j(inlet_u),
         open_e=j(open_e), open_w=j(open_w), open_n=j(open_n), open_s=j(open_s),
         wall_e=j(wall_e), wall_w=j(wall_w), wall_n=j(wall_n), wall_s=j(wall_s),
         inlet_w=j(inlet_w), outlet_e=j(outlet_e),
+        alpha=j32(cg["alpha"]), wall_ax=j32(cg["wall_ax"]),
+        wall_ay=j32(cg["wall_ay"]), wall_dist=j32(cg["wall_dist"]),
+        wall_x=j32(cg["wall_x"]), wall_y=j32(cg["wall_y"]),
     )
 
 

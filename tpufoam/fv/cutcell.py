@@ -1,0 +1,180 @@
+"""Cut-cell (embedded-boundary) geometry: face apertures + volume fractions.
+
+The reference resolves obstacle walls with body-fitted O-grid meshes packed
+toward the surface (Generate_blockMeshDict/cylinder/gen_blockMeshDict.py:4-196,
+`simpleGrading (3 ...)`), so its solver carries no stair-step force bias.
+tpufoam's uniform TPU grid instead represents the body by sub-cell geometry:
+
+  alpha   (ny, nx)    fluid volume fraction of each cell
+  theta_x (ny, nx+1)  open-area fraction of each x-normal face
+  theta_y (ny+1, nx)  open-area fraction of each y-normal face
+  wall_a  (ny, nx, 2) embedded-wall area vector per cell (outward, into the
+                      solid) from the aperture deficits: by the divergence
+                      theorem over the fluid part of a cell,
+                      A_wall = -((th_e - th_w) dy, (th_n - th_s) dx)
+  wall_dist           fluid-centroid -> discrete-wall distance (the wall-link
+                      length scale), clipped to [0.05 h, h/2]
+  wall_x/y            nearest boundary point to the centroid (force probes)
+
+In the binary limit (apertures in {0,1} from a centre-inside test) every
+formula built on these reduces EXACTLY to the blanked-cell scheme that
+round 2 validated: a full cell with a closed east face gets
+A_wall = (dy, 0), dist = dx/2, i.e. the classic half-cell wall link. The
+fractional mode interpolates between the centre-inside and any-part-inside
+conventions that were measured to BRACKET the published Schaefer-Turek
+force band (artifacts/validation/mask_inflation*_d62.json).
+
+Small-cell treatment: cells with alpha < alpha_cut are blanked (their faces
+close, returning that sliver to the solid). The remaining small cells are
+implicitly stable: the momentum diagonal carries alpha*V/dt PLUS the wall
+link nu*L_w/d_w, and d_w shrinks with alpha, so diagonal dominance GROWS
+as cells shrink. No cell merging needed.
+
+All of this is one-time host-side numpy (like the Delaunay weights); the
+products are static device arrays consumed by fv.momentum / fv.pressure.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _fraction_outside(shape, pts: np.ndarray) -> np.ndarray:
+    """Mean not-inside over the sample axis. pts: (..., k, 2)."""
+    flat = pts.reshape(-1, 2)
+    ins = shape.inside(flat).reshape(pts.shape[:-1])
+    return 1.0 - ins.mean(axis=-1)
+
+
+def cut_masks(grid, shape, inside_centers: np.ndarray,
+              mode: str = "cutcell", alpha_cut: float = 0.05,
+              n_sub: int = 24, n_boundary: int = 8192):
+    """Compute cut-cell geometry for `shape` on `grid`.
+
+    inside_centers: (ny, nx) bool, centre-inside test (the blank mask).
+    mode: 'cutcell' (fractional) or 'blank' (binary, centre-inside).
+    Returns dict of numpy arrays (see module docstring).
+    """
+    ny, nx = grid.shape
+    dx, dy = grid.dx, grid.dy
+    h = min(dx, dy)
+
+    thx = np.ones((ny, nx + 1), dtype=np.float64)
+    thy = np.ones((ny + 1, nx), dtype=np.float64)
+    alpha = 1.0 - inside_centers.astype(np.float64)
+    cx = grid.x0 + (np.arange(nx) + 0.5) * dx
+    cy = grid.y0 + (np.arange(ny) + 0.5) * dy
+    CX, CY = np.meshgrid(cx, cy)
+    cent_x, cent_y = CX.copy(), CY.copy()
+
+    if shape is not None and mode == "cutcell":
+        bp = shape.boundary_points(256)
+        pad = 2.0 * h
+        xlo, xhi = bp[:, 0].min() - pad, bp[:, 0].max() + pad
+        ylo, yhi = bp[:, 1].min() - pad, bp[:, 1].max() + pad
+        j_sel = np.where((cx > xlo) & (cx < xhi))[0]
+        i_sel = np.where((cy > ylo) & (cy < yhi))[0]
+        if len(j_sel) and len(i_sel):
+            j0, j1 = j_sel[0], j_sel[-1] + 1
+            i0, i1 = i_sel[0], i_sel[-1] + 1
+            off = (np.arange(n_sub) + 0.5) / n_sub
+
+            # cell volume fractions + fluid-part centroids (midpoint grid)
+            xs = grid.x0 + (j_sel[None, :, None] + off[None, None, :]) * dx
+            ys = grid.y0 + (i_sel[:, None, None] + off[None, None, :]) * dy
+            # (ni, nj, k, k, 2): broadcast x along one sample axis, y other
+            px = np.broadcast_to(xs[:, :, None, :],
+                                 (i1 - i0, j1 - j0, n_sub, n_sub))
+            py = np.broadcast_to(ys[:, :, :, None],
+                                 (i1 - i0, j1 - j0, n_sub, n_sub))
+            pts = np.stack([px, py], axis=-1).reshape(i1 - i0, j1 - j0, -1, 2)
+            ins = shape.inside(pts.reshape(-1, 2)).reshape(pts.shape[:-1])
+            a_blk = 1.0 - ins.mean(axis=-1)
+            alpha[i0:i1, j0:j1] = a_blk
+            # fluid-part centroid (defaults to centre where alpha == 0)
+            w = (~ins).astype(np.float64)
+            wsum = np.maximum(w.sum(axis=-1), 1e-12)
+            cent_x[i0:i1, j0:j1] = np.where(
+                a_blk > 0, (pts[..., 0] * w).sum(axis=-1) / wsum,
+                CX[i0:i1, j0:j1])
+            cent_y[i0:i1, j0:j1] = np.where(
+                a_blk > 0, (pts[..., 1] * w).sum(axis=-1) / wsum,
+                CY[i0:i1, j0:j1])
+
+            # x-face apertures: faces j0..j1 (inclusive), rows i0..i1
+            fx = grid.x0 + np.arange(j0, j1 + 1) * dx
+            fy = grid.y0 + (np.arange(i0, i1)[:, None] + off[None, :]) * dy
+            pfx = np.broadcast_to(fx[None, :, None],
+                                  (i1 - i0, j1 - j0 + 1, n_sub))
+            pfy = np.broadcast_to(fy[:, None, :],
+                                  (i1 - i0, j1 - j0 + 1, n_sub))
+            thx[i0:i1, j0:j1 + 1] = _fraction_outside(
+                shape, np.stack([pfx, pfy], axis=-1))
+
+            # y-face apertures: faces i0..i1 (inclusive), cols j0..j1
+            gy = grid.y0 + np.arange(i0, i1 + 1) * dy
+            gx = grid.x0 + (np.arange(j0, j1)[None, :, None]
+                            + off[None, None, :]) * dx
+            pgy = np.broadcast_to(gy[:, None, None],
+                                  (i1 - i0 + 1, j1 - j0, n_sub))
+            pgx = np.broadcast_to(gx, (i1 - i0 + 1, j1 - j0, n_sub))
+            thy[i0:i1 + 1, j0:j1] = _fraction_outside(
+                shape, np.stack([pgx, pgy], axis=-1))
+    elif shape is not None:
+        # binary mode: face closed iff either adjacent cell centre is inside
+        f = alpha
+        thx[:, 1:-1] = f[:, :-1] * f[:, 1:]
+        thx[:, 0] = f[:, 0]
+        thx[:, -1] = f[:, -1]
+        thy[1:-1, :] = f[:-1, :] * f[1:, :]
+        thy[0, :] = f[0, :]
+        thy[-1, :] = f[-1, :]
+
+    # --- small-cell blanking + face closure ---------------------------------
+    if mode == "cutcell":
+        fluid = (alpha >= alpha_cut).astype(np.float64)
+    else:
+        fluid = (alpha > 0.5).astype(np.float64)
+    alpha = alpha * fluid            # blanked slivers return to the solid
+    alpha = np.where(fluid > 0, np.maximum(alpha, alpha_cut), 0.0)
+    thx[:, 1:-1] *= fluid[:, :-1] * fluid[:, 1:]
+    thx[:, 0] *= fluid[:, 0]
+    thx[:, -1] *= fluid[:, -1]
+    thy[1:-1, :] *= fluid[:-1, :] * fluid[1:, :]
+    thy[0, :] *= fluid[0, :]
+    thy[-1, :] *= fluid[-1, :]
+
+    # --- embedded-wall area vectors (domain edges do NOT count as walls) ----
+    tx = thx.copy()
+    tx[:, 0] = fluid[:, 0]
+    tx[:, -1] = fluid[:, -1]
+    ty = thy.copy()
+    ty[0, :] = fluid[0, :]
+    ty[-1, :] = fluid[-1, :]
+    wall_ax = -(tx[:, 1:] - tx[:, :-1]) * dy * fluid
+    wall_ay = -(ty[1:, :] - ty[:-1, :]) * dx * fluid
+    wall_len = np.hypot(wall_ax, wall_ay)
+
+    # --- wall distance + nearest boundary point (force probe anchors) -------
+    wall_dist = np.ones((ny, nx), dtype=np.float64)
+    wall_x = np.zeros((ny, nx), dtype=np.float64)
+    wall_y = np.zeros((ny, nx), dtype=np.float64)
+    sel = wall_len > 1e-12 * h
+    if shape is not None and sel.any():
+        from scipy.spatial import cKDTree
+        bpts = shape.boundary_points(n_boundary)
+        tree = cKDTree(bpts)
+        cen = np.stack([cent_x[sel], cent_y[sel]], axis=-1)
+        d, idx = tree.query(cen)
+        if mode == "cutcell":
+            wall_dist[sel] = np.clip(d, 0.05 * h, 0.5 * h)
+        else:
+            # blank mode: the discrete wall IS the closed face, h/2 away
+            # (a centre can graze the true boundary arbitrarily closely)
+            wall_dist[sel] = 0.5 * h
+        wall_x[sel] = bpts[idx, 0]
+        wall_y[sel] = bpts[idx, 1]
+
+    return dict(alpha=alpha, fluid=fluid, thx=thx, thy=thy,
+                wall_ax=wall_ax, wall_ay=wall_ay, wall_dist=wall_dist,
+                wall_x=wall_x, wall_y=wall_y)

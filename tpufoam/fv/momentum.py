@@ -44,7 +44,8 @@ def _deferred_central_correction(case: Case, f_e, f_w, f_n, f_s,
     def face_corr(f_flux, left, right, open_mask):
         central = 0.5 * (left + right)
         upwind = jnp.where(f_flux > 0, left, right)
-        return open_mask * f_flux * (central - upwind)
+        # the flux already carries the face aperture — only gate on open
+        return jnp.where(open_mask > 0, f_flux * (central - upwind), 0.0)
 
     out = (face_corr(f_e, phi, nb_e(phi), case.open_e)
            - face_corr(f_w, nb_w(phi), phi, case.open_w)
@@ -94,7 +95,8 @@ def _limited_linear_corrections(case: Case, f_e, f_w, f_n, f_s,
     def face_corr(F, L, R, psi, open_mask):
         central = 0.5 * (L + R)
         upwind = jnp.where(F > 0, L, R)
-        return open_mask * F * psi * (central - upwind)
+        # F already carries the face aperture — only gate on open
+        return jnp.where(open_mask > 0, F * psi * (central - upwind), 0.0)
 
     corr = {}
     # (face flux, L-shift, R-shift, LL-shift fn, RR-shift fn, open mask, sign)
@@ -200,24 +202,40 @@ def momentum_coeffs(case: Case, phi_x: jnp.ndarray, phi_y: jnp.ndarray,
     f_n = phi_y[1:, :]
     f_s = phi_y[:-1, :]
 
-    a_e = case.open_e * (d_e + jnp.maximum(-f_e, 0.0))
-    a_w = case.open_w * (d_w + jnp.maximum(f_w, 0.0))
-    a_n = case.open_n * (d_n + jnp.maximum(-f_n, 0.0))
-    a_s = case.open_s * (d_s + jnp.maximum(f_s, 0.0))
+    # face apertures scale the diffusive conductances; the convective
+    # fluxes already carry the aperture (fluxes_from_velocity), so the
+    # upwind coefficients only need the open/closed gate, not theta again
+    a_e = case.open_e * d_e + jnp.where(case.open_e > 0,
+                                        jnp.maximum(-f_e, 0.0), 0.0)
+    a_w = case.open_w * d_w + jnp.where(case.open_w > 0,
+                                        jnp.maximum(f_w, 0.0), 0.0)
+    a_n = case.open_n * d_n + jnp.where(case.open_n > 0,
+                                        jnp.maximum(-f_n, 0.0), 0.0)
+    a_s = case.open_s * d_s + jnp.where(case.open_s > 0,
+                                        jnp.maximum(f_s, 0.0), 0.0)
 
-    # no-slip walls: half-cell diffusion distance, U_wall = 0
-    wall_contrib = 2.0 * d_cx * (case.wall_e + case.wall_w) \
-        + 2.0 * d_cy * (case.wall_n + case.wall_s)
+    # no-slip walls. Domain top/bottom rows: half-cell diffusion distance.
+    # Obstacle: embedded-wall link nu_eff * L_w / d_w from the aperture-
+    # deficit wall-area vector and the centroid wall distance (fv.cutcell);
+    # in the binary-aperture limit this reduces to the classic stair-step
+    # half-cell link (L_w = face area, d_w = h/2) on axis-aligned faces.
+    dom_n = jnp.zeros_like(case.fluid).at[-1, :].set(1.0) * case.fluid
+    dom_s = jnp.zeros_like(case.fluid).at[0, :].set(1.0) * case.fluid
+    wall_contrib = 2.0 * d_cy * (dom_n + dom_s)
+    wall_len = jnp.sqrt(case.wall_ax**2 + case.wall_ay**2)
+    nu_w = nu if nu_t is None else nu_eff
+    a_wall = nu_w * wall_len / case.wall_dist
 
     # inlet (fixed U): diffusion at half distance + upwinded inflow
     a_in = case.inlet_w * (2.0 * d_cx + jnp.maximum(f_w, 0.0))
 
+    volc = case.alpha * vol
     div_f = f_e - f_w + f_n - f_s
-    a_p = (a_e + a_w + a_n + a_s + wall_contrib + a_in + div_f
-           + vol / dt) * case.fluid + (1.0 - case.fluid)
+    a_p = (a_e + a_w + a_n + a_s + wall_contrib + a_wall + a_in + div_f
+           + volc / dt) * case.fluid + (1.0 - case.fluid)
 
-    ddt_u = (vol / dt) * u_old
-    ddt_v = (vol / dt) * v_old
+    ddt_u = (volc / dt) * u_old
+    ddt_v = (volc / dt) * v_old
     b_u = (ddt_u + a_in * case.inlet_u[:, None]) * case.fluid
     b_v = ddt_v * case.fluid
     if convection == "limitedLinear":

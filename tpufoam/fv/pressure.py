@@ -97,16 +97,27 @@ def correct_fluxes(case: Case, coef: PressureCoeffs, p: jnp.ndarray,
 
 
 def pressure_gradient(case: Case, p: jnp.ndarray):
-    """Gauss-linear cell-centred grad(p) with BC-consistent face values:
-    zero-grad at walls/inlet (p_f = p_P), Dirichlet 0 at the outlet."""
+    """Gauss cell-centred grad(p) = (1/V_fluid) * sum_f p_f theta_f A_f n_f,
+    including the embedded-wall closure term p_P * A_wall (zero-grad wall
+    pressure). BC face values: zero-grad at walls/inlet (p_f = p_P),
+    Dirichlet 0 at the outlet. In the binary-aperture limit this is exactly
+    the round-2 blanked-grid Gauss-linear gradient; with fractional
+    apertures it is the consistent cut-cell gradient (fv.cutcell)."""
     grid = case.grid
 
-    p_e = jnp.where(case.open_e > 0, 0.5 * (p + nb_e(p)), p)
-    p_e = jnp.where(case.outlet_e > 0, 0.0, p_e)
-    p_w = jnp.where(case.open_w > 0, 0.5 * (p + nb_w(p)), p)
-    p_n = jnp.where(case.open_n > 0, 0.5 * (p + nb_n(p)), p)
-    p_s = jnp.where(case.open_s > 0, 0.5 * (p + nb_s(p)), p)
+    # open-face contributions (value * aperture); closed fractions of each
+    # face are covered by the wall-area closure term below
+    s_e = case.open_e * 0.5 * (p + nb_e(p))
+    s_w = case.open_w * 0.5 * (p + nb_w(p)) + case.inlet_w * p
+    # outlet face: Dirichlet p = 0 -> contributes nothing
+    dom_n = jnp.zeros_like(case.fluid).at[-1, :].set(1.0) * case.fluid
+    dom_s = jnp.zeros_like(case.fluid).at[0, :].set(1.0) * case.fluid
+    s_n = case.open_n * 0.5 * (p + nb_n(p)) + dom_n * p
+    s_s = case.open_s * 0.5 * (p + nb_s(p)) + dom_s * p
 
-    gpx = (p_e - p_w) / grid.dx * case.fluid
-    gpy = (p_n - p_s) / grid.dy * case.fluid
+    sx = (s_e - s_w) * grid.dy + p * case.wall_ax
+    sy = (s_n - s_s) * grid.dx + p * case.wall_ay
+    inv_v = 1.0 / (jnp.maximum(case.alpha, 1e-6) * grid.dx * grid.dy)
+    gpx = sx * inv_v * case.fluid
+    gpy = sy * inv_v * case.fluid
     return gpx, gpy

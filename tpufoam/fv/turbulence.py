@@ -93,21 +93,31 @@ def _transport_solve(case: Case, phi_x, phi_y, gamma, dt, old, su, sp,
     f_n = phi_y[1:, :]
     f_s = phi_y[:-1, :]
 
-    a_e = case.open_e * (d_e + jnp.maximum(-f_e, 0.0))
-    a_w = case.open_w * (d_w + jnp.maximum(f_w, 0.0))
-    a_n = case.open_n * (d_n + jnp.maximum(-f_n, 0.0))
-    a_s = case.open_s * (d_s + jnp.maximum(f_s, 0.0))
+    # apertures scale diffusion; convective fluxes already carry them
+    a_e = case.open_e * d_e + jnp.where(case.open_e > 0,
+                                        jnp.maximum(-f_e, 0.0), 0.0)
+    a_w = case.open_w * d_w + jnp.where(case.open_w > 0,
+                                        jnp.maximum(f_w, 0.0), 0.0)
+    a_n = case.open_n * d_n + jnp.where(case.open_n > 0,
+                                        jnp.maximum(-f_n, 0.0), 0.0)
+    a_s = case.open_s * d_s + jnp.where(case.open_s > 0,
+                                        jnp.maximum(f_s, 0.0), 0.0)
 
-    wall = (case.wall_e + case.wall_w) * 2.0 * gamma * dy / dx \
-        + (case.wall_n + case.wall_s) * 2.0 * gamma * dx / dy
+    # domain-row walls (half-cell) + embedded-wall link (fv.cutcell)
+    dom_n = jnp.zeros_like(case.fluid).at[-1, :].set(1.0) * case.fluid
+    dom_s = jnp.zeros_like(case.fluid).at[0, :].set(1.0) * case.fluid
+    wall_len = jnp.sqrt(case.wall_ax**2 + case.wall_ay**2)
+    wall = (dom_n + dom_s) * 2.0 * gamma * dx / dy \
+        + gamma * wall_len / case.wall_dist
     wall_contrib = wall if wall_dirichlet_zero else 0.0
 
     a_in = case.inlet_w * (2.0 * gamma * dy / dx + jnp.maximum(f_w, 0.0))
 
+    volc = case.alpha * vol
     div_f = f_e - f_w + f_n - f_s
     a_p = (a_e + a_w + a_n + a_s + wall_contrib + a_in + div_f
-           + vol / dt + sp * vol) * case.fluid + (1.0 - case.fluid)
-    b = ((vol / dt) * old + su * vol + a_in * inlet_val) * case.fluid
+           + volc / dt + sp * volc) * case.fluid + (1.0 - case.fluid)
+    b = ((volc / dt) * old + su * volc + a_in * inlet_val) * case.fluid
 
     inv_ap = 1.0 / a_p
 

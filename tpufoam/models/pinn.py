@@ -234,3 +234,47 @@ def train_pinn(cfg: PinnConfig, batch: dict, adam_steps: int = 1000,
 
     history.append(float(pinn_loss(params, cfg, batch)))
     return params, history
+
+
+def save_pinn_h5(path: str, params: dict, cfg: PinnConfig,
+                 history=None) -> None:
+    """Keras-layout .h5 checkpoint — the reference's my_model_ref.h5 /
+    my_model_ref_afterLFGS.h5 artifacts (PINN_steady.py:419,561). The
+    dense stack maps onto the Keras `model_weights` layout via
+    models.keras_compat; cfg/history ride as root attrs."""
+    import json
+
+    import h5py
+
+    from .keras_compat import save_keras_dense_h5
+
+    layers = params["layers"]
+    save_keras_dense_h5(path, {"layers": layers[:-1], "head": layers[-1]})
+    with h5py.File(path, "a") as f:
+        f.attrs["tpufoam_pinn_cfg"] = json.dumps(
+            {k: (list(v) if isinstance(v, tuple) else v)
+             for k, v in cfg.__dict__.items()})
+        if history is not None:
+            f.attrs["tpufoam_history"] = json.dumps(list(history))
+
+
+def load_pinn_h5(path: str) -> tuple[dict, PinnConfig, list]:
+    """Read back (params, cfg, history) from a save_pinn_h5 file — also
+    accepts a plain reference-style Keras dense .h5 (cfg defaults)."""
+    import json
+
+    import h5py
+
+    from .keras_compat import load_keras_dense_h5
+
+    _, kp = load_keras_dense_h5(path)
+    params = {"layers": list(kp["layers"]) + [kp["head"]]}
+    cfg_kw, history = {}, []
+    with h5py.File(path, "r") as f:
+        if "tpufoam_pinn_cfg" in f.attrs:
+            cfg_kw = json.loads(f.attrs["tpufoam_pinn_cfg"])
+            cfg_kw = {k: (tuple(v) if isinstance(v, list) else v)
+                      for k, v in cfg_kw.items()}
+        if "tpufoam_history" in f.attrs:
+            history = json.loads(f.attrs["tpufoam_history"])
+    return params, PinnConfig(**cfg_kw), history

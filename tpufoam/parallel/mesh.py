@@ -118,11 +118,14 @@ def _flow_specs() -> Flow:
 
 def _case_specs(case: Case) -> Case:
     cell = P("data", "model")
-    return Case(grid=case.grid, nu=case.nu, fluid=cell, sdf=cell,
+    return Case(grid=case.grid, nu=case.nu, cut=case.cut,
+                fluid=cell, sdf=cell,
                 inlet_u=P("data"),
                 open_e=cell, open_w=cell, open_n=cell, open_s=cell,
                 wall_e=cell, wall_w=cell, wall_n=cell, wall_s=cell,
-                inlet_w=cell, outlet_e=cell)
+                inlet_w=cell, outlet_e=cell,
+                alpha=cell, wall_ax=cell, wall_ay=cell, wall_dist=cell,
+                wall_x=cell, wall_y=cell)
 
 
 def shard_flow(mesh: Mesh, flow: Flow) -> Flow:

@@ -60,7 +60,11 @@ def courant_number(case: Case, flow: Flow) -> jnp.ndarray:
     vol = grid.dx * grid.dy
     sum_phi = (jnp.abs(flow.phi_x[:, 1:]) + jnp.abs(flow.phi_x[:, :-1])
                + jnp.abs(flow.phi_y[1:, :]) + jnp.abs(flow.phi_y[:-1, :]))
-    return 0.5 * jnp.max(sum_phi * case.fluid) / vol * flow.dt
+    # cut cells: floor alpha at 0.5 so sliver cells don't collapse dt (the
+    # implicit momentum/wall-link treatment handles their stiffness; the
+    # CFL bound is an accuracy heuristic, not a stability wall here)
+    alpha_co = jnp.maximum(case.alpha, 0.5)
+    return 0.5 * jnp.max(sum_phi * case.fluid / alpha_co) / vol * flow.dt
 
 
 def continuity_error(case: Case, flow: Flow) -> jnp.ndarray:
@@ -93,6 +97,7 @@ def _piso_step_impl(case: Case, flow: Flow, cfg: PisoConfig = PisoConfig(),
     """
     grid = case.grid
     vol = grid.dx * grid.dy
+    volc = case.alpha * vol       # cut-cell fluid volumes (== vol when blank)
     dt = _next_dt(case, flow, cfg) if cfg.adjust_dt else flow.dt
 
     u, v, p = flow.u, flow.v, flow.p
@@ -111,7 +116,7 @@ def _piso_step_impl(case: Case, flow: Flow, cfg: PisoConfig = PisoConfig(),
                            convection_blend=cfg.convection_blend, nu_t=nu_t,
                            convection=cfg.convection)
     gpx, gpy = pressure_gradient(case, p)
-    u, v = jacobi_momentum(coef, case, u, v, -gpx * vol, -gpy * vol,
+    u, v = jacobi_momentum(coef, case, u, v, -gpx * volc, -gpy * volc,
                            sweeps=cfg.momentum_sweeps,
                            smoother=cfg.momentum_smoother)
 
@@ -120,7 +125,7 @@ def _piso_step_impl(case: Case, flow: Flow, cfg: PisoConfig = PisoConfig(),
 
     # --- PISO corrector loop (pEqn.H, nCorrectors times) ---
     for _ in range(cfg.n_correctors):
-        rau = vol * case.fluid / coef.a_p    # rAU = 1/A() = V/a_P  [s]
+        rau = volc * case.fluid / coef.a_p   # rAU = 1/A() = V/a_P  [s]
         hu, hv = h_operator(coef, u, v)
         hbya_u = hu * case.fluid / coef.a_p  # HbyA = H()/A() = h/a_P
         hbya_v = hv * case.fluid / coef.a_p
@@ -208,7 +213,14 @@ def _chunk_fns(k: int, cfg: PisoConfig, backend, sm_predict):
     dispatch floor (~1.5 ms over the tunneled runtime) across k steps, and —
     unlike lax.scan — lets XLA alias all intermediate step buffers freely
     (no carry double-buffering). Returns (first, donated): the first chunk
-    must not donate the caller's Flow."""
+    must not donate the caller's Flow.
+
+    NOTE on the cache key: `sm_predict` participates by IDENTITY. Every
+    fresh `make_predictor` closure is a guaranteed miss, and each entry
+    pins its compiled k-step programs (plus the bundle constants the
+    closure captures) for the process lifetime, up to 64 entries. Callers
+    must build ONE predictor per bundle per session and reuse it across
+    run_piso* calls — every in-repo caller (CLI, bench, eval) does."""
 
     def chunk(case, flow):
         for _ in range(k):
