@@ -98,6 +98,11 @@ def main():
     ap.add_argument("--n-frames", type=int, default=24)
     ap.add_argument("--samples", type=int, default=120)
     ap.add_argument("--arch", default="MLP_small")
+    ap.add_argument("--loss-weighting", default="variance",
+                    choices=["uniform", "variance"],
+                    help="'variance' aligns the PC-space loss with the "
+                         "physical-space block MSE (TrainConfig docs); "
+                         "'uniform' is the reference's flat MSE")
     args = ap.parse_args()
     if args.platform:
         import jax
@@ -112,7 +117,8 @@ def main():
     tcfg = TrainConfig(arch=args.arch, lr=2e-4, batch_size=1024,
                        max_epochs=args.epochs, max_num_pc=512,
                        var_in=0.95, var_out=0.95, best_after_epoch=20,
-                       pca_device_cache=True)
+                       pca_device_cache=True,
+                       loss_weighting=args.loss_weighting)
     t0 = time.perf_counter()
     bundle, state = train_surrogate(ds, "deltaU_deltaP", tcfg,
                                     overlap_ratio=0.25, verbose=True)

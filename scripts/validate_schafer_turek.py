@@ -73,7 +73,7 @@ def main():
 
     s = summarize_2d2(series, settle_t=args.settle * args.t_end)
     result = dict(delta=args.delta, d_over_delta=0.1 / args.delta,
-                  t_end=args.t_end, steps=steps, **s,
+                  boundary="cutcell", t_end=args.t_end, steps=steps, **s,
                   reference=dict(cd_max=[3.22, 3.24], cl_max=[0.99, 1.01],
                                  strouhal=[0.295, 0.305]),
                   ms_per_step=(time.perf_counter() - t0) / steps * 1e3)

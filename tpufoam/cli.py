@@ -23,12 +23,27 @@ def _add_platform_flag(p):
     p.add_argument("--platform", default=None, choices=["cpu", "tpu"],
                    help="force the JAX backend (the axon TPU plugin ignores "
                         "JAX_PLATFORMS; this sets jax.config directly)")
+    p.add_argument("--distributed", action="store_true",
+                   help="bootstrap jax.distributed before backend init "
+                        "(multi-host runs; world from JAX_COORDINATOR_ADDRESS"
+                        "/JAX_NUM_PROCESSES/JAX_PROCESS_ID or TPU-pod "
+                        "auto-detection — parallel/distributed.py)")
 
 
 def _apply_platform(args):
     if getattr(args, "platform", None):
         import jax
         jax.config.update("jax_platforms", args.platform)
+    if getattr(args, "distributed", False):
+        from .parallel.distributed import init_distributed
+        try:
+            ok = init_distributed(force=True)
+        except Exception as e:
+            raise SystemExit(f"--distributed bootstrap failed: {e}") from e
+        if not ok:
+            raise SystemExit(
+                "--distributed: no world configuration found (set "
+                "JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/JAX_PROCESS_ID)")
 
 
 def _add_case_flags(p):

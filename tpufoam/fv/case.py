@@ -55,8 +55,6 @@ class Case:
     wall_ax: jnp.ndarray        # embedded-wall area vector (outward into the
     wall_ay: jnp.ndarray        #   solid); reduces to stair faces when binary
     wall_dist: jnp.ndarray      # centroid->wall distance (1.0 where no wall)
-    wall_x: jnp.ndarray         # nearest boundary point to the fluid centroid
-    wall_y: jnp.ndarray         #   (anchors the force probes; 0 where no wall)
     cut: bool = flax.struct.field(pytree_node=False, default=False)
 
 
@@ -181,7 +179,6 @@ def _assemble_masks(grid: Grid2D, fluid: np.ndarray, sdf: np.ndarray,
         inlet_w=j(inlet_w), outlet_e=j(outlet_e),
         alpha=j32(cg["alpha"]), wall_ax=j32(cg["wall_ax"]),
         wall_ay=j32(cg["wall_ay"]), wall_dist=j32(cg["wall_dist"]),
-        wall_x=j32(cg["wall_x"]), wall_y=j32(cg["wall_y"]),
     )
 
 

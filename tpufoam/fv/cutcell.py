@@ -14,7 +14,6 @@ tpufoam's uniform TPU grid instead represents the body by sub-cell geometry:
                       A_wall = -((th_e - th_w) dy, (th_n - th_s) dx)
   wall_dist           fluid-centroid -> discrete-wall distance (the wall-link
                       length scale), clipped to [0.05 h, h/2]
-  wall_x/y            nearest boundary point to the centroid (force probes)
 
 In the binary limit (apertures in {0,1} from a centre-inside test) every
 formula built on these reduces EXACTLY to the blanked-cell scheme that
@@ -157,8 +156,6 @@ def cut_masks(grid, shape, inside_centers: np.ndarray,
 
     # --- wall distance + nearest boundary point (force probe anchors) -------
     wall_dist = np.ones((ny, nx), dtype=np.float64)
-    wall_x = np.zeros((ny, nx), dtype=np.float64)
-    wall_y = np.zeros((ny, nx), dtype=np.float64)
     sel = wall_len > 1e-12 * h
     if shape is not None and sel.any():
         from scipy.spatial import cKDTree
@@ -172,9 +169,6 @@ def cut_masks(grid, shape, inside_centers: np.ndarray,
             # blank mode: the discrete wall IS the closed face, h/2 away
             # (a centre can graze the true boundary arbitrarily closely)
             wall_dist[sel] = 0.5 * h
-        wall_x[sel] = bpts[idx, 0]
-        wall_y[sel] = bpts[idx, 1]
 
     return dict(alpha=alpha, fluid=fluid, thx=thx, thy=thy,
-                wall_ax=wall_ax, wall_ay=wall_ay, wall_dist=wall_dist,
-                wall_x=wall_x, wall_y=wall_y)
+                wall_ax=wall_ax, wall_ay=wall_ay, wall_dist=wall_dist)

@@ -57,97 +57,30 @@ def _second_order_wall(f: jnp.ndarray, nb_in, fluid: jnp.ndarray,
     return jnp.where(ok2 > 0, (9.0 * f - f2) / 3.0, 2.0 * f)
 
 
-def _bilinear_masked(fields: tuple, fluid: jnp.ndarray,
-                     gx: jnp.ndarray, gy: jnp.ndarray):
-    """Fluid-weighted bilinear sample of cell fields at fractional cell
-    coordinates (gx = x-index space, gy = y-index space). Solid corners are
-    excluded from the interpolation weights (renormalized), which SHIFTS
-    the effective sample position — so this also returns the effective
-    (gx, gy) actually sampled (the fluid-weighted corner centroid), letting
-    callers use exact one-sided difference formulas instead of assuming the
-    nominal probe position. A probe fully inside solid returns 0."""
-    ny, nx = fluid.shape
-    j0 = jnp.clip(jnp.floor(gx).astype(jnp.int32), 0, nx - 2)
-    i0 = jnp.clip(jnp.floor(gy).astype(jnp.int32), 0, ny - 2)
-    tx = jnp.clip(gx - j0, 0.0, 1.0)
-    ty = jnp.clip(gy - i0, 0.0, 1.0)
-
-    corners = []
-    for di, dj, w in ((0, 0, (1 - tx) * (1 - ty)), (0, 1, tx * (1 - ty)),
-                      (1, 0, (1 - tx) * ty), (1, 1, tx * ty)):
-        ii, jj = i0 + di, j0 + dj
-        corners.append((ii, jj, w * fluid[ii, jj]))
-    wsum = jnp.maximum(sum(wf for _, _, wf in corners), 1e-12)
-    vals = tuple(
-        sum(wf * f[ii, jj] for ii, jj, wf in corners) / wsum
-        for f in fields)
-    gx_eff = sum(wf * jj for ii, jj, wf in corners) / wsum
-    gy_eff = sum(wf * ii for ii, jj, wf in corners) / wsum
-    return vals, gx_eff, gy_eff
-
-
 @jax.jit
 def _obstacle_force_cut(case: Case, u: jnp.ndarray, v: jnp.ndarray,
                         p: jnp.ndarray, u_ref: float = 1.0,
                         d_ref: float = 1.0) -> ForceReport:
-    """Cut-cell force integration over the embedded boundary.
+    """Cut-cell force: the DISCRETE momentum-consistent wall terms.
 
-    Each wall cell carries a wall-area vector A_w (outward into the solid,
-    fv.cutcell) anchored at the nearest boundary point x_w. Pressure and
-    tangential velocity are sampled at two interior probes along the inward
-    normal (fluid-weighted bilinear gathers — off the per-step hot path,
-    forces run every N steps):
+        F_p  = sum_cells p_P A_w          (the Gauss pressure gradient's
+                                           embedded-wall closure term)
+        F_nu = sum_cells nu (L_w / d_w) U_P   (the no-slip wall link)
 
-        p_wall   = (s2 p(s1) - s1 p(s2)) / (s2 - s1)    (linear extrap)
-        dUt/dn|0 = (s2^2 Ut(s1) - s1^2 Ut(s2))
-                   / (s1 s2 (s2 - s1))        (one-sided quadratic through
-                                               the no-slip point Ut(0)=0)
-        F_p  = sum p_wall A_w
-        F_nu = sum nu L_w dUt/dn              (shear drags the body along
-                                               the local Ut)
-
-    s1/s2 are the EFFECTIVE probe distances: fluid-masking shifts the
-    bilinear sample centroid near the wall, and using the nominal standoff
-    instead was measured to overestimate the viscous drag by ~20% on the
-    Schaefer-Turek 2D-1 case (scripts/exp_cutcell_force.py).
-    """
-    grid = case.grid
-    dx, dy, nu = grid.dx, grid.dy, case.nu
+    i.e. exactly the momentum the discretized equations transfer to the
+    body — global momentum balance holds with THIS force. An interior-
+    probe evaluation (bilinear samples + one-sided extrapolation) was
+    tried first and measured +5.5% biased against two independent
+    control-volume momentum balances on Schaefer-Turek 2D-1 at
+    D/delta=23.4 (probe 5.806 vs CV 5.477/5.506 vs discrete 5.505,
+    scripts/exp_cutcell_force.py); the discrete form agrees with the CV
+    arbiter to <0.5% and is pure elementwise (no gathers)."""
     wall_len = jnp.sqrt(case.wall_ax**2 + case.wall_ay**2)
-    m = (wall_len > 1e-12).astype(p.dtype)
-    inv_len = 1.0 / jnp.maximum(wall_len, 1e-12)
-    nhx = case.wall_ax * inv_len     # outward (into solid) unit normal
-    nhy = case.wall_ay * inv_len
-    s = 1.1 * max(dx, dy)
-
-    def probe(k):
-        px = case.wall_x - k * s * nhx
-        py = case.wall_y - k * s * nhy
-        gx = (px - grid.x0) / dx - 0.5
-        gy = (py - grid.y0) / dy - 0.5
-        (pv, uv, vv), gx_e, gy_e = _bilinear_masked((p, u, v), case.fluid,
-                                                    gx, gy)
-        x_e = grid.x0 + (gx_e + 0.5) * dx
-        y_e = grid.y0 + (gy_e + 0.5) * dy
-        s_eff = (case.wall_x - x_e) * nhx + (case.wall_y - y_e) * nhy
-        return pv, uv, vv, jnp.maximum(s_eff, 0.1 * s)
-
-    p1, u1, v1, s1 = probe(1.0)
-    p2, u2, v2, s2 = probe(2.0)
-    s2 = jnp.maximum(s2, s1 + 0.1 * s)
-    p_wall = (s2 * p1 - s1 * p2) / (s2 - s1)
-    fpx = jnp.sum(p_wall * case.wall_ax * m)
-    fpy = jnp.sum(p_wall * case.wall_ay * m)
-
-    un1 = u1 * nhx + v1 * nhy
-    un2 = u2 * nhx + v2 * nhy
-    ut1x, ut1y = u1 - un1 * nhx, v1 - un1 * nhy
-    ut2x, ut2y = u2 - un2 * nhx, v2 - un2 * nhy
-    denom = s1 * s2 * (s2 - s1)
-    gtx = (s2**2 * ut1x - s1**2 * ut2x) / denom
-    gty = (s2**2 * ut1y - s1**2 * ut2y) / denom
-    fvx = nu * jnp.sum(wall_len * gtx * m)
-    fvy = nu * jnp.sum(wall_len * gty * m)
+    fpx = jnp.sum(p * case.wall_ax)
+    fpy = jnp.sum(p * case.wall_ay)
+    a_wall = case.nu * wall_len / case.wall_dist
+    fvx = jnp.sum(a_wall * u)
+    fvy = jnp.sum(a_wall * v)
 
     f_pres = jnp.stack([fpx, fpy])
     f_visc = jnp.stack([fvx, fvy])
@@ -162,8 +95,10 @@ def obstacle_force(case: Case, u: jnp.ndarray, v: jnp.ndarray,
                    d_ref: float = 1.0) -> ForceReport:
     """Integrate pressure + viscous force over the obstacle surface.
 
-    Cut-cell cases (case.cut) use the embedded-boundary probe integration
-    (_obstacle_force_cut). Blanked cases keep the stair-face sampling below:
+    Cut-cell cases (case.cut) use the discrete momentum-consistent
+    embedded-wall terms (_obstacle_force_cut — validated against
+    control-volume momentum balances). Blanked cases keep the stair-face
+    sampling below:
     surface values are second-order — pressure is linearly extrapolated to
     the wall face and wall shear uses a two-point one-sided quadratic
     gradient (sampling the adjacent-cell value instead leaves an O(delta)

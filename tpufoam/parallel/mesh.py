@@ -124,8 +124,7 @@ def _case_specs(case: Case) -> Case:
                 open_e=cell, open_w=cell, open_n=cell, open_s=cell,
                 wall_e=cell, wall_w=cell, wall_n=cell, wall_s=cell,
                 inlet_w=cell, outlet_e=cell,
-                alpha=cell, wall_ax=cell, wall_ay=cell, wall_dist=cell,
-                wall_x=cell, wall_y=cell)
+                alpha=cell, wall_ax=cell, wall_ay=cell, wall_dist=cell)
 
 
 def shard_flow(mesh: Mesh, flow: Flow) -> Flow:

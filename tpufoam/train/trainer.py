@@ -45,6 +45,16 @@ class TrainConfig:
     best_after_epoch: int = 20        # train.py:613
     val_fraction: float = 0.1         # 90/10 split (train.py:539-547)
     loss_scale: float = 1e6           # my_mse_loss (train.py:493-499)
+    # 'variance': weight the PC-space MSE so it EQUALS the physical-space
+    # block MSE. Under std standardization every PC is unit-variance, so a
+    # plain MSE weights solver-noise tail PCs equally with the leading
+    # physical modes — docs/EVAL_REPORT.md documents sm_ref512's val-MSE
+    # plateauing near 1.0 for exactly this reason (the reference has the
+    # same flaw, train.py:493-499). Because the PCA basis is orthonormal,
+    # physical reconstruction MSE = sum_k std_k^2 (pred_k - target_k)^2 in
+    # standardized coordinates; weighting by std_out^2 (normalized to
+    # mean 1) makes the training/selection objective track physical RMSE.
+    loss_weighting: str = "uniform"   # 'uniform' | 'variance'
     seed: int = 0
     pca_chunk: int = 2048
     # Stage the normalized flat chunks in HBM once and let StreamingPCA's
@@ -235,9 +245,25 @@ def train_surrogate(ds: BlockDataset, family: str,
     bs = min(cfg.batch_size, x_tr.shape[0])
     n_batches = x_tr.shape[0] // bs
 
+    loss_w = None
+    if cfg.loss_weighting == "variance":
+        if cfg.standardization == "std":
+            w = np.asarray(norm["std_out"]) ** 2
+        elif cfg.standardization == "min_max":
+            w = (np.asarray(norm["max_out"]) - np.asarray(norm["min_out"]))**2
+        else:  # max_abs: one global scalar — already physically aligned
+            w = np.ones(pc_out)
+        loss_w = jnp.asarray(w / w.mean(), dtype=jnp.float32)
+
+    def _mse(pred, target):
+        err = (pred - target) ** 2
+        if loss_w is not None:
+            err = err * loss_w
+        return cfg.loss_scale * jnp.mean(err)
+
     def loss_fn(p, xb, yb, dk):
         pred = apply_model(p, mdef, xb, dropout_key=dk)
-        loss = mse_loss_1e6(pred, yb, cfg.loss_scale)
+        loss = _mse(pred, yb)
         if cfg.l2:
             loss = loss + cfg.l2 * l2_penalty(p)
         return loss
@@ -263,7 +289,8 @@ def train_surrogate(ds: BlockDataset, family: str,
 
     @jax.jit
     def val_loss(p):
-        return mse_loss_1e6(apply_model(p, mdef, x_va), y_va, cfg.loss_scale)
+        # best-model selection uses the same (physically aligned) objective
+        return _mse(apply_model(p, mdef, x_va), y_va)
 
     history, val_history = [], []
     best_val, best_params, best_epoch = np.inf, params, -1
