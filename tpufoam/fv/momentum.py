@@ -270,7 +270,7 @@ def h_operator(coef: MomentumCoeffs, u: jnp.ndarray, v: jnp.ndarray):
 def jacobi_momentum(coef: MomentumCoeffs, case: Case,
                     u0: jnp.ndarray, v0: jnp.ndarray,
                     src_u: jnp.ndarray, src_v: jnp.ndarray,
-                    sweeps: int = 4, smoother: str = "xla"):
+                    sweeps: int = 4, smoother: str = "xla", mesh=None):
     """Solve a_P U - sum a_nb U_nb = b + src by damped Jacobi sweeps.
 
     `src_*` carries the -grad(p)*V term of `solve(UEqn == -fvc::grad(p))`
@@ -278,17 +278,26 @@ def jacobi_momentum(coef: MomentumCoeffs, case: Case,
     temporal-blocked kernel pass (ops.stencil.momentum_multisweep_pallas:
     one HBM round trip of the 9 operands instead of `sweeps` XLA passes);
     exact for sweeps <= 8, falls back to XLA off-TPU or on unsupported
-    shapes."""
+    shapes. `mesh`: a jax.sharding.Mesh for GSPMD-sharded fields — the
+    kernel then runs per device block under shard_map with explicit ICI
+    halo exchange (ops.stencil.momentum_multisweep_pallas_sharded)."""
     inv_ap = 1.0 / coef.a_p
 
     if smoother == "pallas":
-        from ..ops.stencil import (momentum_multisweep_pallas,
-                                   pallas_available_for)
-        if pallas_available_for(u0.shape, u0.dtype) and sweeps <= 8:
+        from ..ops import stencil as _st
+        if mesh is not None and sweeps <= 8 and \
+                _st.pallas_sharded_available_for(u0.shape, mesh):
             api = inv_ap * case.fluid
-            return momentum_multisweep_pallas(
+            return _st.momentum_multisweep_pallas_sharded(
+                mesh, coef.a_e, coef.a_w, coef.a_n, coef.a_s, api,
+                coef.b_u + src_u, coef.b_v + src_v, u0, v0, sweeps=sweeps,
+                interpret=_st._INTERPRET)
+        if _st.pallas_available_for(u0.shape, u0.dtype) and sweeps <= 8:
+            api = inv_ap * case.fluid
+            return _st.momentum_multisweep_pallas(
                 coef.a_e, coef.a_w, coef.a_n, coef.a_s, api,
-                coef.b_u + src_u, coef.b_v + src_v, u0, v0, sweeps=sweeps)
+                coef.b_u + src_u, coef.b_v + src_v, u0, v0, sweeps=sweeps,
+                interpret=_st._INTERPRET)
 
     def body(_, uv):
         u, v = uv

@@ -38,7 +38,7 @@ TILE_Y = 64
 
 def pallas_available_for(shape: tuple[int, int], dtype=jnp.float32) -> bool:
     ny, nx = shape
-    if jax.default_backend() not in ("tpu", "axon"):
+    if not _INTERPRET and jax.default_backend() not in ("tpu", "axon"):
         return False
     min_rows = 16 if dtype in (jnp.bfloat16, jnp.dtype(jnp.bfloat16)) else 8
     return nx % 128 == 0 and ny % min_rows == 0
@@ -377,3 +377,152 @@ def jacobi_multisweep_pallas(coef, x: jnp.ndarray, b: jnp.ndarray,
         interpret=interpret,
     )(om, padh(x), padh(b), padh(coef.c_e), padh(coef.c_w), padh(coef.c_n),
       padh(coef.c_s), padh(coef.diag, value=1.0))
+
+
+# ---------------------------------------------------------------------------
+# GSPMD integration: shard_map wrappers with explicit halo exchange
+# ---------------------------------------------------------------------------
+# pallas_call has no SPMD partitioning rule, so under a sharded jit GSPMD
+# would replicate (or reject) the kernel — the round-2 build therefore kept
+# the XLA smoother in the sharded production step. The standard answer is
+# shard_map: run the kernel per-device on its local block, with the halo
+# data the sweeps need exchanged explicitly over ICI via lax.ppermute
+# (SURVEY.md §2.3 'halo exchange via lax.ppermute over ICI').
+#
+# Halo sizing. S sweeps without re-exchange need S rows/cols of valid
+# neighbour data (the same trapezoid argument as the in-kernel bands):
+#   rows: 8 (the f32 sublane tile — and the kernel's max sweeps),
+#   cols: 128 (one lane tile; the kernel's roll-based E/W shifts wrap at
+#         the local edge, corrupting one column per sweep from the outside
+#         in, so a full 128-lane halo keeps the interior exact for any
+#         sweeps <= 128 while preserving nx % 128 alignment).
+# Edge devices receive ZEROS from ppermute's unmatched slots — exactly the
+# zero padding the single-device kernel applies at domain boundaries.
+# All operands are exchanged (stacked into one ppermute per direction):
+# halo-region sweeps need the true coefficients for their partial results
+# to be exact at depth < halo.
+
+_INTERPRET = False   # tests force interpret-mode kernels on the CPU mesh
+
+HALO_X = 128
+
+
+def pallas_sharded_available_for(shape: tuple[int, int], mesh,
+                                 axes=("data", "model"),
+                                 dtype=jnp.float32) -> bool:
+    """Can the shard_map pallas path handle per-device blocks of this
+    global shape over `mesh`?"""
+    ny, nx = shape
+    dy = mesh.shape[axes[0]]
+    dx = mesh.shape[axes[1]]
+    if ny % dy or nx % dx:
+        return False
+    nyl, nxl = ny // dy, nx // dx
+    if dx > 1 and nxl < 2 * HALO_X:   # halo would exceed the local block
+        return False
+    if not _INTERPRET and jax.default_backend() not in ("tpu", "axon"):
+        return False
+    min_rows = 16 if jnp.dtype(dtype).itemsize == 2 else 8
+    return nxl % 128 == 0 and nyl % min_rows == 0
+
+
+def _exchange_halos(st: jnp.ndarray, axes, dy: int, dx: int,
+                    hy: int, hx: int) -> jnp.ndarray:
+    """st: (n_ops, nyl, nxl) stacked local operands -> haloed block.
+    One ppermute per direction moves every operand's edge strip at once."""
+    from jax import lax
+
+    if dy > 1:
+        north = lax.ppermute(st[:, :hy, :], axes[0],
+                             [(s, s - 1) for s in range(1, dy)])
+        south = lax.ppermute(st[:, -hy:, :], axes[0],
+                             [(s, s + 1) for s in range(dy - 1)])
+        st = jnp.concatenate([south, st, north], axis=1)
+    if dx > 1:
+        east = lax.ppermute(st[:, :, :hx], axes[1],
+                            [(s, s - 1) for s in range(1, dx)])
+        west = lax.ppermute(st[:, :, -hx:], axes[1],
+                            [(s, s + 1) for s in range(dx - 1)])
+        st = jnp.concatenate([west, st, east], axis=2)
+    return st
+
+
+def momentum_multisweep_pallas_sharded(mesh, a_e, a_w, a_n, a_s, ap_inv,
+                                       bu, bv, u0, v0, sweeps: int = 8,
+                                       axes=("data", "model"),
+                                       interpret: bool = False):
+    """momentum_multisweep_pallas under a ('data', 'model') device mesh:
+    per-device kernels on halo-extended local blocks. Exact (= the
+    single-device kernel = fv.momentum.jacobi_momentum) for sweeps <= 8.
+    Inputs/outputs are GLOBAL (ny, nx) arrays sharded P(*axes)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    dy = mesh.shape[axes[0]]
+    dx = mesh.shape[axes[1]]
+    hy, hx = HALO, HALO_X
+    run_interpret = interpret or _INTERPRET
+
+    def local(*ops):
+        st = jnp.stack(ops)                     # (9, nyl, nxl)
+        nyl, nxl = st.shape[1], st.shape[2]
+        st = _exchange_halos(st, axes, dy, dx, hy, hx)
+        u, v = momentum_multisweep_pallas(
+            st[0], st[1], st[2], st[3], st[4], st[5], st[6], st[7], st[8],
+            sweeps=sweeps, interpret=run_interpret)
+        if dy > 1:
+            u, v = u[hy:hy + nyl], v[hy:hy + nyl]
+        if dx > 1:
+            u, v = u[:, hx:hx + nxl], v[:, hx:hx + nxl]
+        return u, v
+
+    spec = P(*axes)
+    return shard_map(local, mesh=mesh,
+                     in_specs=(spec,) * 9, out_specs=(spec, spec),
+                     check_vma=False)(a_e, a_w, a_n, a_s, ap_inv, bu, bv,
+                                      u0, v0)
+
+
+def jacobi_multisweep_pallas_sharded(mesh, coef, x: jnp.ndarray,
+                                     b: jnp.ndarray, iters: int = 2,
+                                     omega: float = 0.8,
+                                     axes=("data", "model"),
+                                     interpret: bool = False) -> jnp.ndarray:
+    """jacobi_multisweep_pallas under a device mesh (same halo scheme)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    dy = mesh.shape[axes[0]]
+    dx = mesh.shape[axes[1]]
+    hy = _halo_for(x.dtype)
+    hx = HALO_X
+    run_interpret = interpret or _INTERPRET
+
+    def local(xl, bl, ce, cw, cn, cs, diag):
+        st = jnp.stack([xl, bl, ce, cw, cn, cs, diag])
+        nyl, nxl = st.shape[1], st.shape[2]
+        # pad diag with 1s at true domain edges happens inside the kernel;
+        # inter-device halos carry the REAL diag values
+        st = _exchange_halos(st, axes, dy, dx, hy, hx)
+        if dy > 1 or dx > 1:
+            # ppermute zero-fills edge-device halos; a zero diag would
+            # divide by zero inside the halo sweeps (harmless rows are
+            # discarded, but keep them finite)
+            diag_h = jnp.where(st[6] == 0, 1.0, st[6])
+            st = st.at[6].set(diag_h)
+        from ..fv.pressure import PressureCoeffs
+        cf = PressureCoeffs(c_e=st[2], c_w=st[3], c_n=st[4], c_s=st[5],
+                            c_out=jnp.zeros_like(st[6]), diag=st[6])
+        out = jacobi_multisweep_pallas(cf, st[0], st[1], iters=iters,
+                                       omega=omega, interpret=run_interpret)
+        if dy > 1:
+            out = out[hy:hy + nyl]
+        if dx > 1:
+            out = out[:, hx:hx + nxl]
+        return out
+
+    spec = P(*axes)
+    return shard_map(local, mesh=mesh, in_specs=(spec,) * 7,
+                     out_specs=spec,
+                     check_vma=False)(x, b, coef.c_e, coef.c_w, coef.c_n,
+                                      coef.c_s, coef.diag)

@@ -143,8 +143,14 @@ def make_sharded_piso_step(mesh: Mesh, cfg: PisoConfig = PisoConfig(),
                            backend=None, sm_predict=None):
     """jit the PISO step with fields sharded ('data' x 'model') over
     (y, x) — the spatial domain decomposition. XLA emits ICI halo
-    exchanges for every stencil and psums for the CG dot products."""
+    exchanges for every stencil and psums for the CG dot products.
+    With momentum_smoother='pallas' the fused momentum kernel runs per
+    device block under shard_map (explicit ppermute halo exchange) instead
+    of falling back to XLA."""
     backend = backend or CGBackend(rtol=1e-5, maxiter=200)
+    if cfg.momentum_smoother == "pallas" and cfg.shard_mesh is None:
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, shard_mesh=mesh)
 
     @partial(jax.jit, static_argnames=())
     def step(case: Case, flow: Flow) -> Flow:

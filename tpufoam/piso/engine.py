@@ -52,6 +52,13 @@ class PisoConfig:
                                       # one fused temporal-blocked kernel
                                       # pass (ops.stencil); falls back to
                                       # xla off-TPU/unsupported shapes
+    shard_mesh: object = None         # jax.sharding.Mesh (hashable) when
+                                      # the step runs GSPMD-sharded: the
+                                      # pallas momentum kernel then runs
+                                      # under shard_map with ICI halo
+                                      # exchange instead of falling back
+                                      # to XLA (set by
+                                      # parallel.mesh.make_sharded_piso_step)
 
 
 def courant_number(case: Case, flow: Flow) -> jnp.ndarray:
@@ -118,7 +125,8 @@ def _piso_step_impl(case: Case, flow: Flow, cfg: PisoConfig = PisoConfig(),
     gpx, gpy = pressure_gradient(case, p)
     u, v = jacobi_momentum(coef, case, u, v, -gpx * volc, -gpy * volc,
                            sweeps=cfg.momentum_sweeps,
-                           smoother=cfg.momentum_smoother)
+                           smoother=cfg.momentum_smoother,
+                           mesh=cfg.shard_mesh)
 
     if sm_predict is not None and not cfg.sm_before_predictor:
         p = sm_predict(case, p, _aux()) * case.fluid
