@@ -137,3 +137,69 @@ def summarize_2d2(series: ForceSeries, settle_t: float) -> dict:
         cl_amp=float(0.5 * (series.cl[sel].max() - series.cl[sel].min())),
         strouhal=strouhal_from_cl(series.t[sel], series.cl[sel]),
     )
+
+
+# ---------------------------------------------------------------------------
+# Turbulent-channel external anchor (k-omega SST + wall functions)
+# ---------------------------------------------------------------------------
+
+def dean_cf(re_m: float) -> float:
+    """Dean (1978) turbulent-channel skin-friction correlation:
+    Cf = tau_w / (0.5 rho U_b^2) = 0.073 Re_m^(-1/4), Re_m = U_b * 2 delta
+    / nu (delta = half-height). Within a few % of channel DNS (e.g.
+    Re_tau=180: Dean 0.00844 vs Moser et al. ~0.0082)."""
+    return 0.073 * re_m ** -0.25
+
+
+def turbulent_channel_case(nu: float = 5e-5, height: float = 2.0,
+                           length: float = 48.0, delta: float = 2.0 / 32,
+                           u_bulk: float = 1.0):
+    """Empty plane channel with a 1/7th-power turbulent inlet profile
+    (mean u_bulk) — the external validation case for the SST + wall
+    function implementation. Returns (case, u_bulk)."""
+    import jax.numpy as jnp
+
+    from ..core.geometry import ChannelCase
+    from ..fv.case import build_channel_case
+
+    geom = ChannelCase(length=length, height=height, shape=None,
+                       u_mean=u_bulk, nu=nu)
+    case = build_channel_case(geom, delta=delta)
+    y = (np.arange(case.grid.ny) + 0.5) * case.grid.dy
+    eta = np.abs(2.0 * y / height - 1.0)
+    prof = (1.0 - eta) ** (1.0 / 7.0)
+    prof = prof / prof.mean() * u_bulk
+    return case.replace(inlet_u=jnp.asarray(prof, jnp.float32)), u_bulk
+
+
+def channel_wall_cf(case, flow, turb, u_bulk: float,
+                    x_window=(0.6, 0.9)) -> dict:
+    """Wall shear in the developed region, two independent ways:
+    - tau_wf: the log-law wall-function stress g * u at the wall rows
+      (what the momentum equation actually applies),
+    - tau_dpdx: from the streamwise pressure gradient (force balance
+      dp/dx * H = -2 tau_w in a developed channel),
+    plus the corresponding Cf values and the centerline/bulk ratio."""
+    from ..fv.momentum import wall_conductance
+
+    g = case.grid
+    j0, j1 = int(x_window[0] * g.nx), int(x_window[1] * g.nx)
+    d = 0.5 * g.dy
+    u = np.asarray(flow.u)
+    k = np.asarray(turb.k)
+    g_bot = np.asarray(wall_conductance(case.nu, turb.k[0, :], d))
+    g_top = np.asarray(wall_conductance(case.nu, turb.k[-1, :], d))
+    tau_wf = 0.5 * (np.mean(g_bot[j0:j1] * u[0, j0:j1])
+                    + np.mean(g_top[j0:j1] * u[-1, j0:j1]))
+
+    height = g.ny * g.dy
+    p_mean = np.asarray(flow.p).mean(axis=0)
+    dpdx = (p_mean[j1] - p_mean[j0]) / ((j1 - j0) * g.dx)
+    tau_dpdx = -dpdx * height / 2.0
+
+    q = 0.5 * u_bulk**2
+    u_prof = u[:, j0:j1].mean(axis=1)
+    return dict(tau_wf=float(tau_wf), tau_dpdx=float(tau_dpdx),
+                cf_wf=float(tau_wf / q), cf_dpdx=float(tau_dpdx / q),
+                uc_over_ub=float(u_prof.max() / max(u_prof.mean(), 1e-12)),
+                k_wall_mean=float(k[0, j0:j1].mean()))

@@ -163,12 +163,31 @@ def _transpose_diffusion_source(case: Case, nu_t: jnp.ndarray,
     return s_u * case.fluid, s_v * case.fluid
 
 
+def wall_conductance(nu: float, k_wall: jnp.ndarray, d: jnp.ndarray,
+                     kappa: float = 0.41, e_rough: float = 9.8,
+                     cmu: float = 0.09, y_lam: float = 11.05):
+    """Per-unit-area no-slip wall conductance g such that tau_w = g * U_t.
+
+    Low-Re (viscous) branch: g = nu / d (the half-cell link).
+    Log-law branch (the k-based nutkWallFunction form, no u_tau
+    iteration): with u* = Cmu^{1/4} sqrt(k) and y* = u* d / nu,
+        tau_w = u* kappa |U_t| / ln(E y*)  ->  g = u* kappa / ln(E y*).
+    Branch switch at y* = y_lam (the log/linear crossing). Independent of
+    |U_t|, so the momentum wall link stays fully implicit and linear."""
+    ustar = cmu**0.25 * jnp.sqrt(jnp.maximum(k_wall, 0.0))
+    ystar = jnp.maximum(ustar * d / nu, 1e-10)
+    g_log = ustar * kappa / jnp.log(jnp.maximum(e_rough * ystar, 1.0001))
+    g_vis = nu / d
+    return jnp.where(ystar > y_lam, g_log, g_vis)
+
+
 def momentum_coeffs(case: Case, phi_x: jnp.ndarray, phi_y: jnp.ndarray,
                     u_old: jnp.ndarray, v_old: jnp.ndarray,
                     dt: jnp.ndarray,
                     convection_blend: float = 0.0,
                     nu_t: jnp.ndarray | None = None,
-                    convection: str = "blend") -> MomentumCoeffs:
+                    convection: str = "blend",
+                    k_turb: jnp.ndarray | None = None) -> MomentumCoeffs:
     """convection: 'limitedLinear' applies the reference's limitedLinearV-1
     limiter (fvSchemes:20) as a deferred correction; 'blend' applies an
     unlimited central deferred correction scaled by `convection_blend`
@@ -180,7 +199,14 @@ def momentum_coeffs(case: Case, phi_x: jnp.ndarray, phi_y: jnp.ndarray,
     `turbulence->divDevSigma(U)` role (UEqn.H:8; createFields.H:66-71
     runtime-selectable turbulence), including the transpose-gradient term
     div(nu_eff (grad U)^T). None = laminar fast path (scalar conductances,
-    like the reference's actual experiments)."""
+    like the reference's actual experiments).
+
+    k_turb: optional turbulent kinetic energy — switches the no-slip wall
+    links to the log-law wall-function conductance (`wall_conductance`,
+    the nutkWallFunction role): on uniform grids the first cell centre
+    sits at y+ ~ 30-100 in turbulent regimes, where the plain half-cell
+    viscous link grossly underestimates tau_w. Validated against Dean's
+    turbulent-channel Cf correlation (tests/test_turbulence.py)."""
     grid = case.grid
     dx, dy, nu = grid.dx, grid.dy, case.nu
     vol = dx * dy
@@ -221,10 +247,17 @@ def momentum_coeffs(case: Case, phi_x: jnp.ndarray, phi_y: jnp.ndarray,
     # half-cell link (L_w = face area, d_w = h/2) on axis-aligned faces.
     dom_n = jnp.zeros_like(case.fluid).at[-1, :].set(1.0) * case.fluid
     dom_s = jnp.zeros_like(case.fluid).at[0, :].set(1.0) * case.fluid
-    wall_contrib = 2.0 * d_cy * (dom_n + dom_s)
     wall_len = jnp.sqrt(case.wall_ax**2 + case.wall_ay**2)
-    nu_w = nu if nu_t is None else nu_eff
-    a_wall = nu_w * wall_len / case.wall_dist
+    if k_turb is not None:
+        # turbulent wall functions: g = tau_w / U_t from the log law
+        g_dom = wall_conductance(nu, k_turb, 0.5 * dy)
+        g_obst = wall_conductance(nu, k_turb, case.wall_dist)
+        wall_contrib = g_dom * dx * (dom_n + dom_s)
+        a_wall = g_obst * wall_len
+    else:
+        wall_contrib = 2.0 * d_cy * (dom_n + dom_s)
+        nu_w = nu if nu_t is None else nu_eff
+        a_wall = nu_w * wall_len / case.wall_dist
 
     # inlet (fixed U): diffusion at half distance + upwinded inflow
     a_in = case.inlet_w * (2.0 * d_cx + jnp.maximum(f_w, 0.0))

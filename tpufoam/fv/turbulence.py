@@ -128,10 +128,32 @@ def _transport_solve(case: Case, phi_x, phi_y, gamma, dt, old, su, sp,
     return lax.fori_loop(0, sweeps, body, old * case.fluid)
 
 
+def wall_cell_masks(case: Case):
+    """(wall mask, wall distance) for wall-adjacent cells: domain N/S rows
+    at the half-cell distance + embedded-wall cells at their cut-cell
+    centroid distance (fv.cutcell)."""
+    dom = jnp.zeros_like(case.fluid).at[-1, :].set(1.0).at[0, :].set(1.0) \
+        * case.fluid
+    wall_len = jnp.sqrt(case.wall_ax**2 + case.wall_ay**2)
+    obst = (wall_len > 1e-12).astype(case.fluid.dtype)
+    mask = jnp.maximum(dom, obst)
+    d = jnp.where(obst > 0, case.wall_dist, 0.5 * case.grid.dy)
+    return mask, d
+
+
 def sst_step(case: Case, turb: TurbState, u, v, phi_x, phi_y, dt,
-             sweeps: int = 4) -> TurbState:
+             sweeps: int = 4, wall_fn: bool = False) -> TurbState:
     """One `turbulence->correct()` (DLPoissonFoam.C:123): advance k and
-    omega with the corrected velocity/fluxes, refresh nu_t."""
+    omega with the corrected velocity/fluxes, refresh nu_t.
+
+    wall_fn=True switches to high-Re wall functions for coarse (uniform)
+    near-wall grids — the OpenFOAM kqRWallFunction/omegaWallFunction/
+    nutkWallFunction triple: k zero-gradient at walls with its wall-cell
+    production set from the log-law shear, omega imposed as
+    sqrt(omega_vis^2 + omega_log^2) in wall cells, and the momentum wall
+    links switched to the log-law conductance (momentum.wall_conductance,
+    enabled by passing k to momentum_coeffs). Default False = the low-Re
+    viscous-sublayer treatment (valid when the wall layer is resolved)."""
     nu = case.nu
     k = jnp.maximum(turb.k, K_FLOOR) * case.fluid
     w = jnp.maximum(turb.omega, W_FLOOR)
@@ -170,10 +192,22 @@ def sst_step(case: Case, turb: TurbState, u, v, phi_x, phi_y, dt,
     # production, limited to 10 beta* k omega (Menter's limiter)
     pk = jnp.minimum(nu_t * s2, 10.0 * BETA_STAR * k * w)
 
+    if wall_fn:
+        # wall-cell production from the log-law shear (kqRWallFunction +
+        # Launder-Spalding): G = tau_w * u*/(kappa d), tau_w = g |U_t|
+        from .momentum import wall_conductance
+        KAPPA, CMU25 = 0.41, BETA_STAR**0.25
+        wmask, wd = wall_cell_masks(case)
+        g = wall_conductance(nu, k, wd)
+        umag = jnp.sqrt(u * u + v * v)
+        ustar = CMU25 * sqrt_k
+        g_wall = g * umag * ustar / jnp.maximum(KAPPA * wd, 1e-12)
+        pk = jnp.where(wmask > 0, g_wall, pk)
+
     k_new = _transport_solve(
         case, phi_x, phi_y, nu + sigma_k * nu_t, dt, k,
         su=pk, sp=BETA_STAR * w,
-        inlet_val=turb.k_in, wall_dirichlet_zero=True, sweeps=sweeps)
+        inlet_val=turb.k_in, wall_dirichlet_zero=not wall_fn, sweeps=sweeps)
 
     # cross-diffusion: positive part stays an explicit source; the negative
     # part goes into the implicit sink Patankar-style (sp*w) instead of
@@ -187,13 +221,24 @@ def sst_step(case: Case, turb: TurbState, u, v, phi_x, phi_y, dt,
         su=pw, sp=beta * w + sp_cross,
         inlet_val=turb.w_in, wall_dirichlet_zero=False, sweeps=sweeps)
 
-    # analytic viscous-sublayer wall condition (omegaWallFunction role):
-    # omega >= 6 nu / (beta1 d^2); decays as d^-2 so it only binds near
-    # walls. Band width uses max(dx, dy) so cells beside x-normal walls
-    # (obstacle sides) get the same treatment on anisotropic grids.
-    w_wall = 6.0 * nu / (BETA1 * d ** 2)
-    band = 3.0 * max(case.grid.dx, case.grid.dy)
-    w_new = jnp.maximum(w_new, w_wall * (case.sdf < band))
+    if wall_fn:
+        # omegaWallFunction: blend of the viscous and log asymptotes,
+        # IMPOSED in wall-adjacent cells
+        KAPPA, CMU25 = 0.41, BETA_STAR**0.25
+        wmask, wd = wall_cell_masks(case)
+        k_pos = jnp.maximum(k_new, K_FLOOR)
+        w_vis = 6.0 * nu / (BETA1 * wd ** 2)
+        w_log = jnp.sqrt(k_pos) / (CMU25 * KAPPA * jnp.maximum(wd, 1e-12))
+        w_imposed = jnp.sqrt(w_vis**2 + w_log**2)
+        w_new = jnp.where(wmask > 0, w_imposed, w_new)
+    else:
+        # analytic viscous-sublayer wall condition: omega >= 6 nu /
+        # (beta1 d^2); decays as d^-2 so it only binds near walls. Band
+        # width uses max(dx, dy) so cells beside x-normal walls (obstacle
+        # sides) get the same treatment on anisotropic grids.
+        w_wall = 6.0 * nu / (BETA1 * d ** 2)
+        band = 3.0 * max(case.grid.dx, case.grid.dy)
+        w_new = jnp.maximum(w_new, w_wall * (case.sdf < band))
     w_new = jnp.maximum(w_new, W_FLOOR) * case.fluid + (1 - case.fluid)
     k_new = jnp.maximum(k_new, K_FLOOR) * case.fluid
 

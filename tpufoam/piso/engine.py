@@ -52,6 +52,12 @@ class PisoConfig:
                                       # one fused temporal-blocked kernel
                                       # pass (ops.stencil); falls back to
                                       # xla off-TPU/unsupported shapes
+    turb_wall_fn: bool = False        # high-Re wall functions for the
+                                      # SST model + log-law momentum wall
+                                      # links (fv.turbulence.sst_step
+                                      # wall_fn; needed on uniform grids
+                                      # whose first cell sits in the log
+                                      # layer). Laminar runs ignore it.
     shard_mesh: object = None         # jax.sharding.Mesh (hashable) when
                                       # the step runs GSPMD-sharded: the
                                       # pallas momentum kernel then runs
@@ -91,7 +97,7 @@ def _next_dt(case: Case, flow: Flow, cfg: PisoConfig) -> jnp.ndarray:
 
 def _piso_step_impl(case: Case, flow: Flow, cfg: PisoConfig = PisoConfig(),
                     backend: PressureBackend = CGBackend(),
-                    sm_predict=None, nu_t=None) -> Flow:
+                    sm_predict=None, nu_t=None, k_turb=None) -> Flow:
     """Advance one PISO timestep.
 
     `backend` solves the pressure-correction equation each corrector.
@@ -121,7 +127,8 @@ def _piso_step_impl(case: Case, flow: Flow, cfg: PisoConfig = PisoConfig(),
     # --- momentum predictor: solve(UEqn == -grad p) (UEqn.H:21-23) ---
     coef = momentum_coeffs(case, phi_x, phi_y, u, v, dt,
                            convection_blend=cfg.convection_blend, nu_t=nu_t,
-                           convection=cfg.convection)
+                           convection=cfg.convection,
+                           k_turb=k_turb if cfg.turb_wall_fn else None)
     gpx, gpy = pressure_gradient(case, p)
     u, v = jacobi_momentum(coef, case, u, v, -gpx * volc, -gpy * volc,
                            sweeps=cfg.momentum_sweeps,
@@ -271,9 +278,10 @@ def piso_step_sst(case: Case, flow: Flow, turb, cfg: PisoConfig = PisoConfig(),
     loop's ordering, DLPoissonFoam.C:113-123). Returns (Flow, TurbState)."""
     from ..fv.turbulence import sst_step
     flow2 = piso_step(case, flow, cfg=cfg, backend=backend,
-                      sm_predict=sm_predict, nu_t=turb.nu_t)
+                      sm_predict=sm_predict, nu_t=turb.nu_t,
+                      k_turb=turb.k if cfg.turb_wall_fn else None)
     turb2 = sst_step(case, turb, flow2.u, flow2.v, flow2.phi_x, flow2.phi_y,
-                     flow2.dt)
+                     flow2.dt, wall_fn=cfg.turb_wall_fn)
     return flow2, turb2
 
 
