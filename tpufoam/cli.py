@@ -341,6 +341,9 @@ def datagen_main(argv=None):
     ap.add_argument("--steps-per-frame", type=int, default=10)
     ap.add_argument("--warmup-steps", type=int, default=100)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--turbulent", action="store_true",
+                    help="k-omega SST + wall functions instead of laminar "
+                         "(the For_kwSST dataset family role)")
     ap.add_argument("--out", required=True, help="output .h5 path")
     _add_platform_flag(ap)
     args = ap.parse_args(argv)
@@ -367,12 +370,25 @@ def datagen_main(argv=None):
                                      cy=cy, nu=args.nu)
         case = build_channel_case(geom, delta=delta)
         flow = initial_flow(case, dt0=1e-3)
-        cfg = PisoConfig()
-        flow = run_piso(case, flow, args.warmup_steps, cfg=cfg,
-                        backend=MGCGBackend())
-        frames = frames_from_rollout(case, flow, args.n_frames,
-                                     args.steps_per_frame, cfg=cfg,
-                                     backend=MGCGBackend())
+        if args.turbulent:
+            from .fv.turbulence import init_turbulence
+            from .piso.engine import run_piso_sst_eager
+            from .train.dataset import frames_from_sst_rollout
+            cfg = PisoConfig(turb_wall_fn=True)
+            turb = init_turbulence(case)
+            flow, turb = run_piso_sst_eager(case, flow, turb,
+                                            args.warmup_steps, cfg=cfg,
+                                            backend=MGCGBackend())
+            frames = frames_from_sst_rollout(case, flow, turb, args.n_frames,
+                                             args.steps_per_frame, cfg=cfg,
+                                             backend=MGCGBackend())
+        else:
+            cfg = PisoConfig()
+            flow = run_piso(case, flow, args.warmup_steps, cfg=cfg,
+                            backend=MGCGBackend())
+            frames = frames_from_rollout(case, flow, args.n_frames,
+                                         args.steps_per_frame, cfg=cfg,
+                                         backend=MGCGBackend())
         cells = rollout_to_records(case, frames)
         top = geom.boundary_points_top(2000)
         obst = geom.shape.boundary_points(720)

@@ -169,3 +169,28 @@ def frames_from_rollout(case: Case, flow0, n_frames: int, steps_per_frame: int,
             u_prev=np.asarray(flow.u_prev), v_prev=np.asarray(flow.v_prev),
             p_prev=np.asarray(flow.p_prev)))
     return frames
+
+
+def frames_from_sst_rollout(case: Case, flow0, turb0, n_frames: int,
+                            steps_per_frame: int, cfg=None,
+                            backend=None) -> list[dict]:
+    """Turbulent-data production: the frames_from_rollout role for k-omega
+    SST runs (the reference's For_kwSST dataset family,
+    Generate_blockMeshDict/For_kwSST/rect_alpha.py). Returns (frames,
+    final flow, final turb) snapshots including nu_t (available to
+    turbulence-aware feature families)."""
+    from ..piso.engine import PisoConfig, run_piso_sst_eager
+    from ..solvers.backends import CGBackend
+    cfg = cfg or PisoConfig()
+    backend = backend or CGBackend(rtol=1e-6)
+
+    frames = []
+    flow, turb = flow0, turb0
+    for _ in range(n_frames):
+        flow, turb = run_piso_sst_eager(case, flow, turb, steps_per_frame,
+                                        cfg=cfg, backend=backend)
+        frames.append(dict(
+            u=np.asarray(flow.u), v=np.asarray(flow.v), p=np.asarray(flow.p),
+            u_prev=np.asarray(flow.u_prev), v_prev=np.asarray(flow.v_prev),
+            p_prev=np.asarray(flow.p_prev), nu_t=np.asarray(turb.nu_t)))
+    return frames
