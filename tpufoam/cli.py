@@ -143,6 +143,11 @@ def piso_main(argv=None):
                          "runtime-selectable turbulence role)")
     ap.add_argument("--turb-intensity", type=float, default=0.05)
     ap.add_argument("--turb-length-frac", type=float, default=0.1)
+    ap.add_argument("--turb-wall-fn", action="store_true",
+                    help="high-Re log-law wall functions (nutk/omega/kqR "
+                         "wall-function roles) — use when the first cell "
+                         "sits at y+ >~ 30; validated against Dean's "
+                         "channel Cf correlation (fv/turbulence.py)")
     ap.add_argument("--convection", default="limitedLinear",
                     choices=["upwind", "blend", "limitedLinear"],
                     help="convection scheme; limitedLinear matches the "
@@ -183,7 +188,8 @@ def piso_main(argv=None):
     cfg = PisoConfig(n_correctors=args.n_correctors, max_co=args.max_co,
                      convection=args.convection,
                      convection_blend=args.convection_blend,
-                     momentum_smoother=args.momentum_smoother)
+                     momentum_smoother=args.momentum_smoother,
+                     turb_wall_fn=args.turb_wall_fn)
     backend, sm_predict = _backend(args.backend, args.bundle, args.stitch,
                                    precision=args.precision,
                                    smoother=args.smoother)
