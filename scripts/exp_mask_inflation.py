@@ -40,7 +40,9 @@ def main():
         "cylinder", length=CHANNEL["length"], height=CHANNEL["height"],
         obstacle_size=D_CYL + inflate, cx=CHANNEL["cx"], cy=CHANNEL["cy"],
         u_mean=u_mean, nu=CHANNEL["nu"])
-    case = build_channel_case(geom, delta=delta)
+    # historical blank-mode experiment (its committed artifacts
+    # characterize the BLANKED convention; cutcell supersedes it)
+    case = build_channel_case(geom, delta=delta, boundary="blank")
     print(f"grid {case.grid.ny} x {case.grid.nx}, mask D = "
           f"{D_CYL + inflate} (true D = {D_CYL})", flush=True)
 

@@ -99,10 +99,13 @@ def test_deferred_central_orientation_bruteforce(small_case):
         for j in range(2, nx - 2, 7):
             if fluid[i, j] == 0:
                 continue
-            out = (oe[i, j] * face(fe[i, j], u[i, j], u[i, j + 1])
-                   - ow[i, j] * face(fw[i, j], u[i, j - 1], u[i, j])
-                   + on[i, j] * face(fn[i, j], u[i, j], u[i + 1, j])
-                   - os_[i, j] * face(fs[i, j], u[i - 1, j], u[i, j]))
+            # the face flux itself carries the cut-cell aperture in
+            # production (fluxes_from_velocity), so the correction only
+            # GATES on face openness rather than scaling by it again
+            out = ((oe[i, j] > 0) * face(fe[i, j], u[i, j], u[i, j + 1])
+                   - (ow[i, j] > 0) * face(fw[i, j], u[i, j - 1], u[i, j])
+                   + (on[i, j] > 0) * face(fn[i, j], u[i, j], u[i + 1, j])
+                   - (os_[i, j] > 0) * face(fs[i, j], u[i - 1, j], u[i, j]))
             np.testing.assert_allclose(corr[i, j], -out, rtol=2e-5,
                                        atol=1e-6)
 

@@ -1,6 +1,8 @@
 """Multi-chip sharding + batched-rollout + resume tests (8 virtual CPU
 devices from conftest)."""
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -259,12 +261,15 @@ def test_sst_eager_rollout_matches_scan():
     be = MGBackend(cycles=2)
     f_s, t_s = run_piso_sst(case, flow, turb, 6, cfg=cfg, backend=be)
     f_e, t_e = run_piso_sst_eager(case, flow, turb, 6, cfg=cfg, backend=be)
-    for a, b in ((f_s.u, f_e.u), (t_s.k, t_e.k), (t_s.nu_t, t_e.nu_t)):
+    # scan and eager compile to differently-fused programs; f32 rounding
+    # differences pass through the omega wall clamp nonlinearity, so
+    # equality is to fusion-rounding tolerance. nu_t gets a looser bound:
+    # its SST limiter min(A1 k/..., k/w) switches branches on rounding,
+    # so isolated cells near the switch differ at the local-value level.
+    for a, b, tol in ((f_s.u, f_e.u, 1e-4), (t_s.k, t_e.k, 1e-4),
+                      (t_s.nu_t, t_e.nu_t, 5e-3)):
         scale = float(jnp.max(jnp.abs(a))) + 1e-30
-        # scan and eager compile to differently-fused programs; f32
-        # rounding differences pass through the omega wall clamp
-        # nonlinearity, so equality is to fusion-rounding tolerance
-        assert float(jnp.max(jnp.abs(a - b))) / scale < 1e-4
+        assert float(jnp.max(jnp.abs(a - b))) / scale < tol
 
 
 def test_distributed_config_resolution():

@@ -70,7 +70,10 @@ class UnstructuredCase:
         h = y_max - y_min
         inlet_u = (6.0 * (y - y_min) / h * (1 - (y - y_min) / h)).astype(np.float32)
 
-        case = _assemble_masks(grid, fluid, sdf * fluid, inlet_u, nu)
+        from ..fv.cutcell import binary_masks_from_fluid
+        case = _assemble_masks(grid, fluid, sdf * fluid, inlet_u, nu,
+                               binary_masks_from_fluid(grid, fluid),
+                               cut=False)
         indices = np.argwhere(fluid > 0)
         return UnstructuredCase(case=case, resample=op, resample_back=op_back,
                                 indices=indices, channels=fr.channels)

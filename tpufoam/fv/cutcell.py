@@ -172,3 +172,34 @@ def cut_masks(grid, shape, inside_centers: np.ndarray,
 
     return dict(alpha=alpha, fluid=fluid, thx=thx, thy=thy,
                 wall_ax=wall_ax, wall_ay=wall_ay, wall_dist=wall_dist)
+
+
+def binary_masks_from_fluid(grid, fluid: np.ndarray) -> dict:
+    """Blank-mode cut-geometry from an arbitrary 0/1 fluid mask (no
+    analytic shape available — e.g. domains resampled from the
+    reference's unstructured datasets, eval/evaluation.py). Faces close
+    between fluid and non-fluid cells; stair wall areas at the half-cell
+    distance; no nearest-boundary-point data (wall_dist = h/2)."""
+    ny, nx = fluid.shape
+    f = fluid.astype(np.float64)
+    dx, dy = grid.dx, grid.dy
+    h = min(dx, dy)
+
+    thx = np.ones((ny, nx + 1))
+    thy = np.ones((ny + 1, nx))
+    thx[:, 1:-1] = f[:, :-1] * f[:, 1:]
+    thx[:, 0] = f[:, 0]
+    thx[:, -1] = f[:, -1]
+    thy[1:-1, :] = f[:-1, :] * f[1:, :]
+    thy[0, :] = f[0, :]
+    thy[-1, :] = f[-1, :]
+
+    tx = thx.copy(); tx[:, 0] = f[:, 0]; tx[:, -1] = f[:, -1]
+    ty = thy.copy(); ty[0, :] = f[0, :]; ty[-1, :] = f[-1, :]
+    wall_ax = -(tx[:, 1:] - tx[:, :-1]) * dy * f
+    wall_ay = -(ty[1:, :] - ty[:-1, :]) * dx * f
+    wall_len = np.hypot(wall_ax, wall_ay)
+    wall_dist = np.where(wall_len > 1e-12 * h, 0.5 * h, 1.0)
+
+    return dict(alpha=f, fluid=f, thx=thx, thy=thy,
+                wall_ax=wall_ax, wall_ay=wall_ay, wall_dist=wall_dist)
