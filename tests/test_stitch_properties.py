@@ -68,3 +68,43 @@ def test_lstsq_no_worse_than_scan_under_noise():
             d = rec - truth
             errs[name].append(np.sqrt(((d - d.mean()) ** 2).mean()))
     assert np.mean(errs["lstsq"]) <= np.mean(errs["scan"]) * 1.05, errs
+
+
+def test_grouped_extract_place_matches_slices():
+    """The uniform-lattice space-to-depth fast paths (extract_blocks /
+    assemble_lstsq placement — 4 fused reshapes instead of one op per
+    block, a ~1 ms/step win at 1M cells per the step budget) must equal
+    the per-block static-slice reference exactly."""
+    import jax.numpy as jnp
+
+    from tpufoam.surrogate.blocks import (_blend_window, _uniform_info,
+                                          assemble_lstsq,
+                                          build_block_layout, extract_blocks,
+                                          stitch_offsets_lstsq)
+
+    rng = np.random.default_rng(3)
+    for ny, nx, s in ((512, 2048, 128), (160, 352, 64), (384, 512, 128)):
+        lay = build_block_layout(ny, nx, size=s, overlap_ratio=0.25)
+        f = jnp.asarray(rng.standard_normal((ny, nx, 3)),
+                        dtype=jnp.float32)
+        ref = jnp.stack([f[y:y + s, x:x + s]
+                         for y, x in zip(lay.y0s, lay.x0s)])
+        np.testing.assert_array_equal(np.asarray(extract_blocks(lay, f)),
+                                      np.asarray(ref))
+
+        blocks = jnp.asarray(rng.standard_normal((lay.n_blocks, s, s)),
+                             dtype=jnp.float32)
+        masks = jnp.ones_like(blocks)
+        out = np.asarray(assemble_lstsq(lay, blocks, masks))
+        corr = np.asarray(stitch_offsets_lstsq(lay, blocks, masks))
+        w = _blend_window(s)
+        num = np.zeros((ny, nx))
+        den = np.zeros((ny, nx))
+        cb = np.asarray(blocks) - corr[:, None, None]
+        for k in range(lay.n_blocks):
+            y0, x0 = lay.y0s[k], lay.x0s[k]
+            num[y0:y0 + s, x0:x0 + s] += cb[k] * w
+            den[y0:y0 + s, x0:x0 + s] += w
+        res = num / np.maximum(den, 1e-8)
+        res = res - np.mean(3.0 * res[:, -1] - res[:, -2]) / 3.0
+        np.testing.assert_allclose(out, res, atol=2e-5)

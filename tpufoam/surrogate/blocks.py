@@ -94,11 +94,76 @@ def build_block_layout(ny: int, nx: int, size: int = 128,
                        idx_i=tuple(idx_i), idx_j=tuple(idx_j))
 
 
+def _uniform_info(layout: BlockLayout):
+    """If the block corners form a complete uniform step-strided lattice
+    (every multiple of step present in both axes — true for
+    power-of-two-ish production grids like 512x2048), return
+    (step, ys, xs, group factor g); else None. Uniform layouts take the
+    space-to-depth fast paths below (a handful of fused reshapes instead
+    of one op per block — the op-count overhead of ~100 small static
+    slices measured ~1.5 ms/step at 1M cells, scripts/profile_step_budget
+    .py)."""
+    step = layout.size - layout.overlap
+    ys = sorted(set(layout.y0s))
+    xs = sorted(set(layout.x0s))
+    if ys != list(range(0, ys[-1] + 1, step)):
+        return None
+    if xs != list(range(0, xs[-1] + 1, step)):
+        return None
+    if len(layout.y0s) != len(ys) * len(xs):
+        return None
+    pos = set(zip(layout.y0s, layout.x0s))
+    if len(pos) != len(layout.y0s):
+        return None
+    g = -(-layout.size // step)      # ceil: group stride g*step >= size
+    return step, ys, xs, g
+
+
+def _group_perms(layout: BlockLayout, step, ys, xs, g):
+    """Per-group (a, b) block sublattices + the permutation mapping the
+    concatenated group order back to layout (raster) order."""
+    pos_to_k = {(y, x): k
+                for k, (y, x) in enumerate(zip(layout.y0s, layout.x0s))}
+    groups = []
+    order = []
+    for a in range(min(g, len(ys))):
+        ys_g = ys[a::g]
+        for b in range(min(g, len(xs))):
+            xs_g = xs[b::g]
+            if not ys_g or not xs_g:
+                continue
+            ks = [pos_to_k[(y, x)] for y in ys_g for x in xs_g]
+            groups.append((ys_g, xs_g, np.asarray(ks)))
+            order.extend(ks)
+    inv = np.empty(len(order), dtype=np.int64)
+    inv[np.asarray(order)] = np.arange(len(order))
+    return groups, np.asarray(order), inv
+
+
 def extract_blocks(layout: BlockLayout, field: jnp.ndarray) -> jnp.ndarray:
-    """All blocks as (N, S, S[, C]) via static slices + stack (XLA lowers
-    these to cheap copies; a generic advanced-indexing gather of the same
-    elements is several times slower on TPU)."""
+    """All blocks as (N, S, S[, C]). Uniform lattices use the grouped
+    space-to-depth path (4 fused reshape/transpose ops + one leading-axis
+    permutation); irregular layouts (clamped edge blocks off the lattice)
+    fall back to static slices + stack (XLA lowers those to cheap copies;
+    a generic advanced-indexing element gather of the same data is several
+    times slower on TPU)."""
     s = layout.size
+    info = _uniform_info(layout)
+    if info is not None:
+        step, ys, xs, g = info
+        groups, order, inv = _group_perms(layout, step, ys, xs, g)
+        gs = g * step
+        pad = [(0, gs), (0, gs)] + [(0, 0)] * (field.ndim - 2)
+        fp = jnp.pad(field, pad)
+        parts = []
+        trail = field.shape[2:]
+        for ys_g, xs_g, _ in groups:
+            my, mx = len(ys_g), len(xs_g)
+            v = fp[ys_g[0]:ys_g[0] + my * gs, xs_g[0]:xs_g[0] + mx * gs]
+            v = v.reshape((my, gs, mx, gs) + trail)
+            v = jnp.moveaxis(v, 2, 1)[:, :, :s, :s]
+            parts.append(v.reshape((my * mx, s, s) + trail))
+        return jnp.concatenate(parts)[inv]
     return jnp.stack([field[y0:y0 + s, x0:x0 + s]
                       for y0, x0 in zip(layout.y0s, layout.x0s)])
 
@@ -393,18 +458,46 @@ def assemble_lstsq(layout: BlockLayout, blocks: jnp.ndarray,
     corr = stitch_offsets_lstsq(layout, blocks, masks, ref_bc)
     corrected = blocks - corr[:, None, None]
 
-    w = jnp.asarray(_blend_window(layout.size))
+    w_np = _blend_window(layout.size)
+    w = jnp.asarray(w_np)
     s = layout.size
-    # static per-block slice-adds: XLA lowers these to cheap pad+add
-    # fusions, unlike a generic 2M-element overlapping scatter-add which
-    # serializes badly on TPU
-    num = jnp.zeros((layout.ny, layout.nx), dtype=blocks.dtype)
-    den = jnp.zeros((layout.ny, layout.nx), dtype=blocks.dtype)
-    for k in range(layout.n_blocks):
-        y0, x0 = layout.y0s[k], layout.x0s[k]
-        num = num.at[y0:y0 + s, x0:x0 + s].add(corrected[k] * w)
-        den = den.at[y0:y0 + s, x0:x0 + s].add(w)
-    result = num / jnp.maximum(den, 1e-8)
+    # the weight-sum canvas only depends on the static layout: precompute
+    # it on host as a constant instead of accumulating on device
+    den_np = np.zeros((layout.ny, layout.nx), dtype=np.float32)
+    for y0, x0 in zip(layout.y0s, layout.x0s):
+        den_np[y0:y0 + s, x0:x0 + s] += w_np
+    inv_den = jnp.asarray(1.0 / np.maximum(den_np, 1e-8))
+
+    info = _uniform_info(layout)
+    if info is not None:
+        # grouped space-to-depth placement: one pad/reshape/slice-add per
+        # parity group (<= 4) instead of one per block (~100 small DUS ops
+        # measured ~1 ms/step at 1M cells, scripts/profile_step_budget.py)
+        step, ys, xs, g = info
+        groups, order, _ = _group_perms(layout, step, ys, xs, g)
+        gs = g * step
+        weighted = (corrected * w)[jnp.asarray(order)]
+        num = jnp.zeros((layout.ny + gs, layout.nx + gs),
+                        dtype=blocks.dtype)
+        off = 0
+        for ys_g, xs_g, _ in groups:
+            my, mx = len(ys_g), len(xs_g)
+            v = weighted[off:off + my * mx].reshape(my, mx, s, s)
+            off += my * mx
+            v = jnp.pad(v, ((0, 0), (0, 0), (0, gs - s), (0, gs - s)))
+            v = jnp.moveaxis(v, 1, 2).reshape(my * gs, mx * gs)
+            num = num.at[ys_g[0]:ys_g[0] + my * gs,
+                         xs_g[0]:xs_g[0] + mx * gs].add(v)
+        num = num[:layout.ny, :layout.nx]
+    else:
+        # static per-block slice-adds: XLA lowers these to cheap pad+add
+        # fusions, unlike a generic overlapping element scatter-add which
+        # serializes badly on TPU
+        num = jnp.zeros((layout.ny, layout.nx), dtype=blocks.dtype)
+        for k in range(layout.n_blocks):
+            y0, x0 = layout.y0s[k], layout.x0s[k]
+            num = num.at[y0:y0 + s, x0:x0 + s].add(corrected[k] * w)
+    result = num * inv_den
     result = result - jnp.mean(3.0 * result[:, -1] - result[:, -2]) / 3.0
     return result
 
