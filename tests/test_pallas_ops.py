@@ -166,3 +166,37 @@ def test_momentum_multisweep_matches_xla(sweeps):
                                atol=1e-5)
     np.testing.assert_allclose(np.asarray(v_pal), np.asarray(v_ref),
                                atol=1e-5)
+
+
+def test_momentum_multisweep_vmap_fold_rule():
+    """vmap over the momentum kernel: pallas's automatic batching rule
+    produces batched HBM block specs Mosaic rejects ON CHIP, so the entry
+    carries a custom_vmap rule folding the batch into the row axis with
+    zero separator rows. Must equal per-case invocation exactly (verified
+    bitwise on TPU; interpret mode here)."""
+    import jax
+
+    from tpufoam.fv.case import initial_flow
+    from tpufoam.fv.momentum import momentum_coeffs
+    from tpufoam.ops.stencil import momentum_multisweep_pallas
+
+    geom = channel_case_geometry("cylinder", length=4.0, height=1.0,
+                                 obstacle_size=0.3)
+    case = build_channel_case(geom, delta=1.0 / 64)
+    flow = initial_flow(case, dt0=2e-3)
+    coef = momentum_coeffs(case, flow.phi_x, flow.phi_y, flow.u, flow.v,
+                           flow.dt)
+    api = case.fluid / coef.a_p
+
+    def f(u, v):
+        return momentum_multisweep_pallas(
+            coef.a_e, coef.a_w, coef.a_n, coef.a_s, api, coef.b_u, coef.b_v,
+            u, v, sweeps=8, interpret=True)
+
+    ub = jnp.stack([flow.u, flow.u * 1.1, flow.u * 0.9])
+    vb = jnp.stack([flow.v, flow.v + 0.01, flow.v])
+    u_b, v_b = jax.vmap(f)(ub, vb)
+    for i in range(3):
+        ui, vi = f(ub[i], vb[i])
+        np.testing.assert_array_equal(np.asarray(u_b[i]), np.asarray(ui))
+        np.testing.assert_array_equal(np.asarray(v_b[i]), np.asarray(vi))

@@ -26,6 +26,7 @@ the XLA path otherwise (`pallas_available_for`).
 
 from __future__ import annotations
 
+import functools
 from functools import partial
 
 import jax
@@ -298,7 +299,6 @@ def _make_momentum_kernel(tile_y: int, halo: int, sweeps: int, nx: int):
     return kernel, n_ops
 
 
-@partial(jax.jit, static_argnames=("sweeps", "interpret"))
 def momentum_multisweep_pallas(a_e, a_w, a_n, a_s, ap_inv, bu, bv,
                                u0, v0, sweeps: int = 8,
                                interpret: bool = False):
@@ -306,7 +306,22 @@ def momentum_multisweep_pallas(a_e, a_w, a_n, a_s, ap_inv, bu, bv,
     round trip of all 9 operands (vs `sweeps` XLA passes of 11 arrays in
     fv.momentum.jacobi_momentum). ap_inv = fluid/a_P (zero in solids),
     bu/bv = b + src (the -grad(p)*V source folded in by the caller).
-    Exact (= jacobi_momentum) for sweeps <= 8 (f32 halo)."""
+    Exact (= jacobi_momentum) for sweeps <= 8 (f32 halo).
+
+    vmap-safe: pallas's automatic batching rule turns the whole-array HBM
+    operands into batched block specs that Mosaic REJECTS (verified on
+    chip), so this entry carries a custom_vmap rule that folds the batch
+    into the row axis with 2*halo zero separator rows per case — exact,
+    because zero-coefficient rows stay identically zero under the sweep
+    update, so each case evolves as if alone (the vmapped fleet path,
+    piso.batched)."""
+    return _msp_custom(sweeps, interpret)(a_e, a_w, a_n, a_s, ap_inv,
+                                          bu, bv, u0, v0)
+
+
+def _momentum_multisweep_impl(a_e, a_w, a_n, a_s, ap_inv, bu, bv,
+                              u0, v0, sweeps: int = 8,
+                              interpret: bool = False):
     ny, nx = u0.shape
     dtype = u0.dtype
     halo = _halo_for(dtype)
@@ -336,6 +351,55 @@ def momentum_multisweep_pallas(a_e, a_w, a_n, a_s, ap_inv, bu, bv,
     )(padh(u0), padh(v0), padh(a_e), padh(a_w), padh(a_n), padh(a_s),
       padh(ap_inv), padh(bu), padh(bv))
     return u_new, v_new
+
+
+@partial(jax.jit, static_argnames=("sweeps", "interpret"))
+def _msp_jit(a_e, a_w, a_n, a_s, ap_inv, bu, bv, u0, v0,
+             sweeps: int = 8, interpret: bool = False):
+    return _momentum_multisweep_impl(a_e, a_w, a_n, a_s, ap_inv, bu, bv,
+                                     u0, v0, sweeps=sweeps,
+                                     interpret=interpret)
+
+
+@partial(jax.jit, static_argnames=("sweeps", "interpret"))
+def _msp_batched(a_e, a_w, a_n, a_s, ap_inv, bu, bv, u0, v0,
+                 sweeps: int = 8, interpret: bool = False):
+    """Batched (B, ny, nx) operands folded into one (B*(ny+2h), nx)
+    kernel invocation with zero separator rows; see the custom_vmap note
+    on momentum_multisweep_pallas."""
+    b_sz, ny, nx = u0.shape
+    h = _halo_for(u0.dtype)
+
+    def fold(x):
+        xp = jnp.pad(x, ((0, 0), (h, h), (0, 0)))
+        return xp.reshape(b_sz * (ny + 2 * h), nx)
+
+    u, v = _momentum_multisweep_impl(
+        fold(a_e), fold(a_w), fold(a_n), fold(a_s), fold(ap_inv),
+        fold(bu), fold(bv), fold(u0), fold(v0),
+        sweeps=sweeps, interpret=interpret)
+    u = u.reshape(b_sz, ny + 2 * h, nx)[:, h:-h]
+    v = v.reshape(b_sz, ny + 2 * h, nx)[:, h:-h]
+    return u, v
+
+
+@functools.lru_cache(maxsize=32)
+def _msp_custom(sweeps: int, interpret: bool):
+    from jax.custom_batching import custom_vmap
+
+    @custom_vmap
+    def f(a_e, a_w, a_n, a_s, ap_inv, bu, bv, u0, v0):
+        return _msp_jit(a_e, a_w, a_n, a_s, ap_inv, bu, bv, u0, v0,
+                        sweeps=sweeps, interpret=interpret)
+
+    @f.def_vmap
+    def rule(axis_size, in_batched, *args):
+        ops = [a if b else jnp.broadcast_to(a, (axis_size,) + a.shape)
+               for a, b in zip(args, in_batched)]
+        u, v = _msp_batched(*ops, sweeps=sweeps, interpret=interpret)
+        return (u, v), (True, True)
+
+    return f
 
 
 @partial(jax.jit, static_argnames=("iters", "interpret"))
