@@ -14,33 +14,26 @@ Geometry: cylinder D=0.1 centred at (0.2, 0.2) in a 2.2 x 0.41 channel,
 parabolic inlet 6 u_mean (y/H)(1 - y/H) (== the benchmark's
 4 Um y (H-y)/H^2 with Um = 1.5 u_mean), nu = 1e-3.
 
-tpufoam discretizes the cylinder as a blanked-cell (stair-step) mask on a
-uniform Cartesian grid. Measured 2D-2 results vs the published bands
-(artifacts/validation/, produced on the TPU by
-scripts/validate_schafer_turek.py, second-order wall force sampling —
-fv/forces.py):
+tpufoam resolves the cylinder with the cut-cell aperture boundary
+(fv/cutcell.py; sub-cell face apertures + volume fractions on the uniform
+Cartesian grid) and the discrete momentum-consistent embedded-wall force
+(fv/forces.py, validated against control-volume momentum balances).
+Measured 2D-2 results vs the published bands (artifacts/validation/,
+produced on the TPU by scripts/validate_schafer_turek.py):
 
-    D/delta   cd_max            cl_max           St
-    15.6      3.655  (+12.8%)   1.161 (+15.1%)   0.2777 (-5.9%)
-    31.25     3.217  (-0.1%)    0.980 (-1.0%)    0.2933 (-0.6%)
-    62.5      3.057  (-5.0%)    0.945 (-4.6%)    0.2999 (in band)
+    D/delta   cd_max              cl_max           St
+    15.6      3.424  (+5.7%)      0.843 (-14.8%)   0.2864 (-2.9%)
+    62.5      3.2201 (IN BAND)    0.966 (-2.4%)    0.3009 (in band)
 
-The shedding frequency (a pure flow-timing quantity) converges INTO the
-published interval, and D/delta=31 lands essentially ON the published
-forces. At D/delta=62 the forces sit ~5% low. Diagnosis (measured,
-artifacts/validation/mask_inflation*_d62.json): the deficit is the
-DISCRETE blanking convention, not smeared-gradient physics — rerunning
-d62 with the mask diameter inflated by one cell (any-part-inside
-convention) swings cd_max to -1.6% and cl_max to +4.6%, bracketing the
-published band, while a half-cell inflation barely moves them (the
-stair-step boundary is quantized: sub-cell mask calibration does not
-exist). Two further negative results: an SDF wall-distance link
-correction weakens wall shear and worsens Cd (docs/STATUS.md), and
-first-order force sampling added its own -3% (fixed — second-order
-sampling in fv/forces.py). Interpolating between the bracketing
-conventions requires a true cut-cell aperture treatment — the known
-path to tightening the force band. tests/test_validation.py asserts St
-within 2% and forces within the documented 8% stair-step band.
+(31.25 in the committed artifact; all three converge monotonically.)
+At the finest grid the drag maximum lands INSIDE the published interval
+[3.22, 3.24] and the lift maximum within 2.4% — round 2's blanked-cell
+boundary sat 5% low with a measured bracketing study proving the deficit
+was the discrete blanking convention (the historical artifacts
+mask_inflation*_d62.json and the negative results in docs/STATUS.md
+document that diagnosis; the cut-cell treatment is its resolution).
+Steady 2D-1 (Re=20): cd bias +0.3% at D/delta=11.7 (blanked: -2.7%).
+tests/test_validation.py asserts St within 2% and forces within 3%.
 """
 
 from __future__ import annotations

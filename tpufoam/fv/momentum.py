@@ -165,7 +165,7 @@ def _transpose_diffusion_source(case: Case, nu_t: jnp.ndarray,
 
 def wall_conductance(nu: float, k_wall: jnp.ndarray, d: jnp.ndarray,
                      kappa: float = 0.41, e_rough: float = 9.8,
-                     cmu: float = 0.09, y_lam: float = 11.05):
+                     cmu: float = 0.09):
     """Per-unit-area no-slip wall conductance g such that tau_w = g * U_t.
 
     Low-Re (viscous) branch: g = nu / d (the half-cell link).
@@ -186,7 +186,6 @@ def wall_conductance(nu: float, k_wall: jnp.ndarray, d: jnp.ndarray,
     ystar = jnp.maximum(ustar * d / nu, 1e-10)
     g_log = ustar * kappa / jnp.log(jnp.maximum(e_rough * ystar, 1.0001))
     g_vis = nu / d
-    del y_lam  # the blend replaces the hard switch
     return (g_vis**4 + g_log**4) ** 0.25
 
 
