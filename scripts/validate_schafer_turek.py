@@ -27,6 +27,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--bench", default="2D-2", choices=["2D-1", "2D-2"])
     ap.add_argument("--delta", type=float, default=0.41 / 64)
     ap.add_argument("--t-end", type=float, default=12.0)
     ap.add_argument("--settle", type=float, default=0.6,
@@ -42,13 +43,13 @@ def main():
         import jax
         jax.config.update("jax_platforms", args.platform)
 
-    from tpufoam.eval.benchmark import (run_force_series, schafer_turek_case,
-                                        summarize_2d2)
+    from tpufoam.eval.benchmark import (PUBLISHED, run_force_series,
+                                        schafer_turek_case, summarize_2d2)
     from tpufoam.fv.case import initial_flow
     from tpufoam.piso.engine import PisoConfig
     from tpufoam.solvers.backends import MGBackend, MGCGBackend
 
-    case, u_mean = schafer_turek_case("2D-2", delta=args.delta)
+    case, u_mean = schafer_turek_case(args.bench, delta=args.delta)
     print(f"grid {case.grid.ny} x {case.grid.nx} "
           f"({case.grid.ny * case.grid.nx / 1e3:.0f}k cells, "
           f"D/delta = {0.1 / args.delta:.1f})", flush=True)
@@ -71,11 +72,27 @@ def main():
                                     progress=progress)
     steps = len(series.t) * 10
 
-    s = summarize_2d2(series, settle_t=args.settle * args.t_end)
-    result = dict(delta=args.delta, d_over_delta=0.1 / args.delta,
+    if args.bench == "2D-2":
+        s = summarize_2d2(series, settle_t=args.settle * args.t_end)
+        ref = dict(cd_max=[3.22, 3.24], cl_max=[0.99, 1.01],
+                   strouhal=[0.295, 0.305])
+    else:
+        # 2D-1 is STEADY (Re=20): summarize with time-averaged forces over
+        # the settled tail — cl is ~0.2% of cd there, so instantaneous
+        # samples are sign-unstable at coarse cut-cell resolution
+        # (docs/STATUS.md section 5); the tail mean is the fair estimator.
+        import numpy as np
+        sel = series.t > args.settle * args.t_end
+        s = dict(cd=float(series.cd[sel].mean()),
+                 cl=float(series.cl[sel].mean()),
+                 cd_std=float(series.cd[sel].std()),
+                 cl_std=float(series.cl[sel].std()))
+        ref = {k: list(v) for k, v in PUBLISHED["2D-1"].items()
+               if k in ("cd", "cl")}
+    result = dict(bench=args.bench, delta=args.delta,
+                  d_over_delta=0.1 / args.delta,
                   boundary="cutcell", t_end=args.t_end, steps=steps, **s,
-                  reference=dict(cd_max=[3.22, 3.24], cl_max=[0.99, 1.01],
-                                 strouhal=[0.295, 0.305]),
+                  reference=ref,
                   ms_per_step=(time.perf_counter() - t0) / steps * 1e3)
     print(json.dumps(result, indent=2), flush=True)
     if args.out:

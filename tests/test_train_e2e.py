@@ -210,3 +210,16 @@ def test_variance_weighted_training_runs(trained):
                                     overlap_ratio=0.25)
     assert np.isfinite(state.best_val)
     assert state.history[-1] < state.history[0]
+
+
+def test_sampler_rejects_undersized_grid():
+    """A grid smaller than the block size must fail loudly: negative
+    corner indices would silently wrap in jnp gathers and corrupt the
+    training blocks with opposite-edge rows."""
+    import jax
+
+    from tpufoam.train.sampler import sample_block_corners
+
+    with pytest.raises(ValueError, match="smaller than block"):
+        sample_block_corners(jax.random.PRNGKey(0), 8, ny=127, nx=511,
+                             block=128)

@@ -121,6 +121,7 @@ class EvalReport:
     field: ErrorReport | None          # crude stitched delta_p (deltap_res)
     p_field: ErrorReport | None
     field_weighted: ErrorReport | None = None
+    field_label: str = "delta field"   # "gradP field" for the U_gradP family
 
     def summary(self) -> str:
         lines = []
@@ -131,7 +132,7 @@ class EvalReport:
             lines.append(
                 f"** Error in delta_p - no weighting **\n{self.field}")
         elif self.field:
-            lines.append(f"** Error in delta field **\n{self.field}")
+            lines.append(f"** Error in {self.field_label} **\n{self.field}")
         if self.p_field:
             lines.append(f"** Error in p **\n{self.p_field}")
         return "\n\n".join(lines)
@@ -179,6 +180,10 @@ def evaluate_bundle(bundle: SurrogateBundle, case: Case, frames: list[dict],
     import jax
 
     family = FAMILIES[bundle.family]
+    if family.name == "U_gradP":
+        # deltaU-change weighting is a deltas-schema concept; the gradient
+        # family's field tier is gradient-space (see frame_eval below)
+        weighted = False
     layout = build_block_layout(case.grid.ny, case.grid.nx,
                                 bundle.block_size, bundle.overlap_ratio)
     predictor = make_predictor(bundle, stitch=stitch,
@@ -204,14 +209,20 @@ def evaluate_bundle(bundle: SurrogateBundle, case: Case, frames: list[dict],
             from ..surrogate.gradp_integrate import integrate_gradp
             lx = case.grid.nx * case.grid.dx
             ly = case.grid.ny * case.grid.dy
-            gx = assemble_lstsq(layout, yb_pred[..., 0], mb) * um**2 / lx
-            gy = assemble_lstsq(layout, yb_pred[..., 1], mb) * um**2 / ly
-            gx = gx * jnp.asarray(bundle.maxs_out)[0]
-            gy = gy * jnp.asarray(bundle.maxs_out)[1]
+            mo = jnp.asarray(bundle.maxs_out)
+            gx_nd = assemble_lstsq(layout, yb_pred[..., 0], mb) * mo[0]
+            gy_nd = assemble_lstsq(layout, yb_pred[..., 1], mb) * mo[1]
+            gx = gx_nd * um**2 / lx
+            gy = gy_nd * um**2 / ly
             p_hat = integrate_gradp(case, gx, gy)
+            # family-native field tier: stitched nondim gradients vs the
+            # target grid (the reference's U_to_gradP eval scores gradient
+            # fields, not per-step delta_p — train.py:312-357 targets)
+            g_pair = (jnp.stack([gx_nd, gy_nd], axis=-1), y_grid)
         else:
             p_hat = predictor(case, fields["p_prev"], fields)
-        return yb_pred, yb_true, p_hat, um
+            g_pair = None
+        return yb_pred, yb_true, p_hat, um, g_pair
 
     wgt_fn = None
     if weighted:
@@ -232,7 +243,7 @@ def evaluate_bundle(bundle: SurrogateBundle, case: Case, frames: list[dict],
             continue
         # block-level error (before assembly, SM_call.py:553-557) + full
         # predictor, one fused device dispatch
-        yb_pred, yb_true, p_hat, um = frame_eval(fields)
+        yb_pred, yb_true, p_hat, um, g_pair = frame_eval(fields)
         um = float(um)
         p_hat = np.asarray(p_hat)
 
@@ -256,15 +267,26 @@ def evaluate_bundle(bundle: SurrogateBundle, case: Case, frames: list[dict],
             fld_w_pred.append(dp_used[mask])
         prev_rel = fields
 
-        fld_pred.append(dp_crude[mask])
-        fld_true.append((p_true - p_prev)[mask])
+        if g_pair is not None:
+            # gradient family: the field tier scores the stitched nondim
+            # gradient components, NOT per-step delta_p (whose tiny norm
+            # would meaninglessly amplify integrated-p error)
+            g_pred, g_true = (np.asarray(g_pair[0]), np.asarray(g_pair[1]))
+            fld_pred.append(g_pred[mask].ravel())
+            fld_true.append(g_true[mask].ravel())
+            fld_frame = error_metrics(
+                g_pred, g_true, np.broadcast_to(mask[..., None], g_pred.shape))
+        else:
+            fld_pred.append(dp_crude[mask])
+            fld_true.append((p_true - p_prev)[mask])
+            fld_frame = error_metrics(dp_crude, p_true - p_prev, mask)
         # p reconstruction uses the (possibly weighted) field (SM_call.py:645)
         p_rec = p_prev + dp_used
         p_pred_all.append(p_rec[mask])
         p_true_all.append(p_true[mask])
 
         per_frame.append(dict(
-            field=error_metrics(dp_crude, p_true - p_prev, mask),
+            field=fld_frame,
             p=error_metrics(p_rec, p_true, mask)))
 
     if not fld_pred:
@@ -285,4 +307,6 @@ def evaluate_bundle(bundle: SurrogateBundle, case: Case, frames: list[dict],
     p_rep = error_metrics(np.concatenate(p_pred_all),
                           np.concatenate(p_true_all))
     return EvalReport(per_frame=per_frame, block=block_rep, field=field_rep,
-                      p_field=p_rep, field_weighted=field_w_rep)
+                      p_field=p_rep, field_weighted=field_w_rep,
+                      field_label=("gradP field" if family.name == "U_gradP"
+                                   else "delta field"))

@@ -32,6 +32,11 @@ def sample_block_corners(key: jax.Array, n: int, ny: int, nx: int,
                          block: int) -> np.ndarray:
     """(m, 2) unique top-left block corners (i, j) from an LHS over block
     centres, m <= n after dedup (train.py:90-93)."""
+    if ny < block or nx < block:
+        # negative corner indices would silently wrap in jnp gathers,
+        # mixing opposite-edge rows into training blocks
+        raise ValueError(f"grid {ny}x{nx} smaller than block size {block}; "
+                         f"pass a smaller --block-size")
     pts = np.asarray(lhs_sample(key, n))
     ii = np.round(pts[:, 0] * (ny - block)).astype(np.int64)
     jj = np.round(pts[:, 1] * (nx - block)).astype(np.int64)
