@@ -39,3 +39,10 @@ def test_gradp_train_and_eval():
     # integrated pressure should be within tens of % of range (small model,
     # tiny training set — this is a plumbing test, not an accuracy claim)
     assert rep.p_field.rmse_pct < 100.0
+    # the field tier is gradient-space for this family (the delta_p tier
+    # would divide integrated-p error by a ~100x smaller delta norm)
+    assert rep.field_label == "gradP field"
+    assert np.isfinite(rep.field.rmse_pct)
+    # gradient-space error of the model must be far tighter than the
+    # integrated-p error it would otherwise be conflated with
+    assert rep.field.rmse_pct < rep.p_field.rmse_pct
