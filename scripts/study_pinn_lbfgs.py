@@ -91,9 +91,17 @@ def run_schedule(schedule, cfg, batch, batch_eval, seed=0):
 
 
 def main():
+    import argparse
+
     import jax
 
-    jax.config.update("jax_platforms", "cpu")  # small nets; keep TPU free
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--platform", default=None, choices=["cpu", "tpu"])
+    args = ap.parse_args()
+    if args.platform == "cpu":
+        # measured ~1.3 s/step on this one-core host (third-order AD for
+        # PINN1's psi formulation) — prefer the TPU when it is free
+        jax.config.update("jax_platforms", "cpu")
 
     from tpufoam.models.pinn import PinnConfig, make_training_points
 

@@ -71,6 +71,24 @@ def test_2d1_steady_drag_re20():
     assert abs(cl) < 0.1 * cd
 
 
+def test_2d1_fine_artifact_drag():
+    """Committed fine-grid 2D-1 run (D/delta=46.9, tail-averaged forces):
+    cd within 1% of the published [5.57, 5.59] band. cl (published
+    0.0104-0.0110, i.e. 0.2% of the drag scale) is below cut-cell
+    discretization error at feasible grids — assert only its magnitude
+    stays in the sub-discretization regime (docs/STATUS.md section 5)."""
+    path = os.path.join(ARTIFACTS, "st_2d1_d47.json")
+    if not os.path.exists(path):
+        pytest.skip("no committed fine 2D-1 artifact")
+    with open(path) as f:
+        run = json.load(f)
+    assert run["d_over_delta"] > 40
+    assert abs(band_error(run["cd"], PUBLISHED["2D-1"]["cd"])) < 0.01, run
+    assert abs(run["cl"]) < 0.005, run
+    # the tail must actually be steady for the mean to be meaningful
+    assert run["cd_std"] < 1e-3 * abs(run["cd"])
+
+
 def _load_artifacts():
     paths = sorted(glob.glob(os.path.join(ARTIFACTS, "st_2d2_*.json")))
     if not paths:
@@ -86,17 +104,18 @@ def _load_artifacts():
 def test_2d2_artifacts_within_tolerance():
     """The committed TPU runs of the unsteady benchmark must be within
     tolerance of the published intervals at the finest grid: the Strouhal
-    number (pure flow timing) within 2% and the force maxima within 3% —
-    at D/delta=62.5 the cut-cell run lands cd_max INSIDE the published
-    band and cl_max within 2.4% (round 2's blanked grid needed an 8%
-    stair-step allowance; eval/benchmark.py tabulates the convergence)."""
+    number (pure flow timing) within 2%, cd_max within 1% and cl_max
+    within 2% — the cut-cell runs measure cd_max 3.2201 (IN the published
+    band) at D/delta=62.5 and cd_max -0.15% / cl_max -1.65% / St in-band
+    at D/delta=93.7 (round 2's blanked grid needed an 8% stair-step
+    allowance; eval/benchmark.py tabulates the convergence)."""
     runs = _load_artifacts()
     fine = runs[-1]
     assert fine["d_over_delta"] >= 60
     ref = PUBLISHED["2D-2"]
     assert abs(band_error(fine["strouhal"], ref["strouhal"])) < 0.02, fine
-    assert abs(band_error(fine["cd_max"], ref["cd_max"])) < 0.03, fine
-    assert abs(band_error(fine["cl_max"], ref["cl_max"])) < 0.03, fine
+    assert abs(band_error(fine["cd_max"], ref["cd_max"])) < 0.01, fine
+    assert abs(band_error(fine["cl_max"], ref["cl_max"])) < 0.02, fine
 
 
 def test_2d2_grid_convergence():

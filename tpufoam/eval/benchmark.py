@@ -24,16 +24,19 @@ produced on the TPU by scripts/validate_schafer_turek.py):
     D/delta   cd_max              cl_max           St
     15.6      3.424  (+5.7%)      0.843 (-14.8%)   0.2864 (-2.9%)
     62.5      3.2201 (IN BAND)    0.966 (-2.4%)    0.3009 (in band)
+    93.7      3.2151 (-0.15%)     0.974 (-1.65%)   0.3012 (in band)
 
-(31.25 in the committed artifact; all three converge monotonically.)
-At the finest grid the drag maximum lands INSIDE the published interval
-[3.22, 3.24] and the lift maximum within 2.4% — round 2's blanked-cell
-boundary sat 5% low with a measured bracketing study proving the deficit
-was the discrete blanking convention (the historical artifacts
-mask_inflation*_d62.json and the negative results in docs/STATUS.md
-document that diagnosis; the cut-cell treatment is its resolution).
-Steady 2D-1 (Re=20): cd bias +0.3% at D/delta=11.7 (blanked: -2.7%).
-tests/test_validation.py asserts St within 2% and forces within 3%.
+(31.25 also in the committed artifacts; all three converge.) At the two
+finest grids the drag maximum is inside-or-within-0.15% of the published
+interval [3.22, 3.24] and the lift maximum converges -2.4% -> -1.65% —
+round 2's blanked-cell boundary sat 5% low with a measured bracketing
+study proving the deficit was the discrete blanking convention (the
+historical artifacts mask_inflation*_d62.json and the negative results
+in docs/STATUS.md document that diagnosis; the cut-cell treatment is its
+resolution). Steady 2D-1 (Re=20): cd bias +0.3% at D/delta=11.7;
+-0.35% tail-averaged at D/delta=46.9 (blanked round 2: -2.7%).
+tests/test_validation.py asserts St within 2%, cd_max within 1%, cl_max
+within 2%.
 """
 
 from __future__ import annotations
