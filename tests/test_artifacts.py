@@ -1,0 +1,80 @@
+"""Committed artifact-bundle integrity: every trained surrogate bundle in
+artifacts/ must load and produce a finite forward prediction.
+
+The reference couples six sidecar files between training and serving with
+no integrity check (`python_module.py:103-110` silently picks between
+`ipca_*.pkl` variants); tpufoam's versioned bundle makes staleness a test
+failure instead of a serving-time surprise. A broken committed artifact
+would otherwise only surface in bench.py (deltaU families) or never
+(poisson/U_gradP, which bench does not load).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+ARTIFACTS = os.path.join(os.path.dirname(__file__), "..", "artifacts")
+
+BUNDLES = [d for d in ("sm_ref512", "sm_ref512v", "sm_cyl128", "sm_turb256",
+                       "sm_poisson128", "sm_gradp128")
+           if os.path.isdir(os.path.join(ARTIFACTS, d))]
+
+
+@pytest.fixture(scope="module")
+def toy_cases():
+    """One small channel case per block size, grid >= one block."""
+    from tpufoam.core.geometry import channel_case_geometry
+    from tpufoam.fv.case import build_channel_case
+
+    cases = {}
+    for block in (64, 128):
+        geom = channel_case_geometry("cylinder", length=2.0 * block / 64,
+                                     height=1.0, obstacle_size=0.3, nu=8e-3)
+        cases[block] = build_channel_case(geom, delta=1.0 / block)
+    return cases
+
+
+@pytest.mark.parametrize("name", BUNDLES)
+def test_bundle_loads_and_predicts(name, toy_cases):
+    import jax.numpy as jnp
+
+    from tpufoam.surrogate.blocks import build_block_layout
+    from tpufoam.surrogate.features import FAMILIES
+    from tpufoam.surrogate.pipeline import (SurrogateBundle,
+                                            surrogate_blocks_forward)
+
+    bundle = SurrogateBundle.load(os.path.join(ARTIFACTS, name))
+    family = FAMILIES[bundle.family]
+
+    # manifest consistency with the stored arrays (bundles may store the
+    # full trained component stack; pc_in/pc_out select at serve time)
+    assert bundle.pca_in.components.shape[0] >= bundle.pc_in
+    assert bundle.pca_out.components.shape[0] >= bundle.pc_out
+    d_in = bundle.block_size**2 * family.n_in
+    d_out = bundle.block_size**2 * family.n_out
+    assert bundle.pca_in.components.shape[1] == d_in
+    assert bundle.pca_out.components.shape[1] == d_out
+    assert np.asarray(bundle.maxs_in).shape[0] == family.n_in
+    assert np.all(np.asarray(bundle.maxs_in) > 0)
+
+    case = toy_cases[bundle.block_size]
+    ny, nx = case.grid.shape
+    x, y = np.meshgrid(np.linspace(0, 1, nx), np.linspace(0, 1, ny))
+    fields = dict(
+        u=jnp.asarray(np.sin(3 * x) * y * (1 - y)),
+        v=jnp.asarray(0.1 * np.cos(2 * y) * x),
+        p=jnp.asarray(np.cos(3 * x) * (1 - x)),
+    )
+    fields["u_prev"] = fields["u"] * 0.95
+    fields["v_prev"] = fields["v"] * 0.95
+    fields["p_prev"] = fields["p"] * 0.95
+
+    layout = build_block_layout(ny, nx, bundle.block_size,
+                                bundle.overlap_ratio)
+    x_grid = family.build_inputs(case, fields)
+    yb = surrogate_blocks_forward(bundle, layout, x_grid, case.sdf)
+    assert yb.shape == (layout.n_blocks, bundle.block_size,
+                        bundle.block_size, family.n_out)
+    assert bool(jnp.isfinite(yb).all()), name
+    assert float(jnp.abs(yb).max()) > 0, f"{name}: all-zero prediction"
