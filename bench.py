@@ -123,8 +123,8 @@ def main():
     # batched case-farming mode: 4 geometries x 1M cells vmapped in
     # lockstep (the production fleet configuration) — aggregate throughput
     def fleet_throughput():
-        from tpufoam.piso.batched import (run_piso_batched, stack_cases,
-                                          stack_flows)
+        from tpufoam.piso.batched import (run_piso_batched_eager,
+                                          stack_cases, stack_flows)
         shapes = [("cylinder", 0.5), ("rectangle", 0.4), ("triangle", 0.45),
                   ("ellipse", 0.6)]
         cs, fs = [], []
@@ -139,15 +139,18 @@ def main():
         # pallas_call has a vmap batching rule (the batch axis becomes a
         # leading grid dimension), so the fleet gets the fused momentum
         # kernel too — round 2 left the fleet on the XLA smoother
-        # (VERDICT r2 weak #2)
+        # (VERDICT r2 weak #2). Eager donated lockstep (no scan carry
+        # double-buffering), like the single-case production path.
         fleet_cfg = (_dc.replace(cfg, momentum_smoother="pallas")
                      if smoother == "pallas-momentum" else cfg)
-        out = run_piso_batched(cb, fb, n_steps, cfg=fleet_cfg, backend=be)
+        out = run_piso_batched_eager(cb, fb, n_steps, cfg=fleet_cfg,
+                                     backend=be)
         jax.block_until_ready(out.u)
         ts = []
         for _ in range(5):
             t0 = time.perf_counter()
-            out = run_piso_batched(cb, out, n_steps, cfg=fleet_cfg, backend=be)
+            out = run_piso_batched_eager(cb, out, n_steps, cfg=fleet_cfg,
+                                         backend=be)
             jax.block_until_ready(out.u)
             ts.append(time.perf_counter() - t0)
         return len(shapes) * n_cells / (float(np.median(ts)) / n_steps) / 1e6

@@ -174,6 +174,18 @@ def test_batched_multi_geometry_rollout():
     # geometries differ -> flows differ
     assert np.abs(u[0] - u[1]).max() > 1e-3
 
+    # the eager fleet rollout (donated buffers, no scan carry) is the
+    # same vmapped step function; separate compilations can shift the CG
+    # stopping point by one iteration on last-ulp dot differences, so
+    # assert trajectories match to well under the CG tolerance's effect
+    from tpufoam.piso.batched import run_piso_batched_eager
+    out_e = run_piso_batched_eager(
+        batch_c, stack_flows(flows), 5, cfg=PisoConfig(n_correctors=1),
+        backend=CGBackend(rtol=1e-5, maxiter=300))
+    np.testing.assert_allclose(np.asarray(out_e.u), u, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out_e.p), np.asarray(out.p),
+                               atol=2e-3)
+
 
 def test_train_checkpoint_resume(tmp_path):
     from tpufoam.train.dataset import BlockDataset
