@@ -143,19 +143,25 @@ def main():
         # double-buffering), like the single-case production path.
         fleet_cfg = (_dc.replace(cfg, momentum_smoother="pallas")
                      if smoother == "pallas-momentum" else cfg)
-        out = run_piso_batched_eager(cb, fb, n_steps, cfg=fleet_cfg,
-                                     backend=be)
-        jax.block_until_ready(out.u)
-        ts = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            out = run_piso_batched_eager(cb, out, n_steps, cfg=fleet_cfg,
-                                         backend=be)
+        def lane(sm):
+            out = run_piso_batched_eager(cb, fb, n_steps, cfg=fleet_cfg,
+                                         backend=be, sm_predict=sm)
             jax.block_until_ready(out.u)
-            ts.append(time.perf_counter() - t0)
-        return len(shapes) * n_cells / (float(np.median(ts)) / n_steps) / 1e6
+            ts = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                out = run_piso_batched_eager(cb, out, n_steps, cfg=fleet_cfg,
+                                             backend=be, sm_predict=sm)
+                jax.block_until_ready(out.u)
+                ts.append(time.perf_counter() - t0)
+            return (len(shapes) * n_cells
+                    / (float(np.median(ts)) / n_steps) / 1e6)
 
-    fleet_mcells_s = fleet_throughput()
+        # capped-MG lockstep farming AND the full production config
+        # (surrogate warm start + capped MG, vmapped over the fleet)
+        return lane(None), lane(predictor)
+
+    fleet_mcells_s, fleet_hybrid_mcells_s = fleet_throughput()
 
     # matched-accuracy check: hybrid rollout vs the CG-tolerance rollout
     import jax.numpy as jnp
@@ -191,6 +197,7 @@ def main():
             "hybrid_bundle": bundle_name if trained else "random-structural",
             "hybrid_smoother": smoother,
             "fleet_4x1M_mcells_s": round(fleet_mcells_s, 1),
+            "fleet_4x1M_hybrid_sm_mcells_s": round(fleet_hybrid_mcells_s, 1),
             "continuity_err_cg": float(continuity_error(case, flow_cg)),
             "device": str(jax.devices()[0]),
             "baseline_note": "1.0 Mcells/s = est. 1 s/step single-core "

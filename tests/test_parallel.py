@@ -186,6 +186,21 @@ def test_batched_multi_geometry_rollout():
     np.testing.assert_allclose(np.asarray(out_e.p), np.asarray(out.p),
                                atol=2e-3)
 
+    # production fleet config: surrogate warm start vmapped over cases
+    # (block extraction, PCA matmuls, lstsq stitch under the batch axis)
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from __graft_entry__ import _tiny_bundle
+
+    from tpufoam.solvers.backends import MGBackend
+    from tpufoam.surrogate.pipeline import make_predictor
+    pred = make_predictor(_tiny_bundle(block_size=16), stitch="lstsq")
+    out_h = run_piso_batched_eager(batch_c, stack_flows(flows), 5,
+                                   cfg=PisoConfig(n_correctors=1),
+                                   backend=MGBackend(cycles=2),
+                                   sm_predict=pred)
+    assert np.isfinite(np.asarray(out_h.u)).all()
+
 
 def test_train_checkpoint_resume(tmp_path):
     from tpufoam.train.dataset import BlockDataset
