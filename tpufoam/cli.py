@@ -731,3 +731,55 @@ def eval_main(argv=None):
         if args.save_plots:
             from .utils.plotting import save_eval_plots
             save_eval_plots(ucase.case, bundle, frames, args.plots_dir, sim=s)
+
+
+def bundle_main(argv=None):
+    """Artifact interop with the reference's serving sidecar format
+    (python_module.py:103-110): import a reference-trained sidecar dir as a
+    tpufoam bundle, or export a tpufoam bundle so the reference's embedded
+    serving stack (and its offline harness python_module_TEST.py) can run
+    the model unchanged."""
+    ap = argparse.ArgumentParser("tpufoam-bundle")
+    sub = ap.add_subparsers(dest="mode", required=True)
+
+    im = sub.add_parser("import-ref", help="reference sidecar dir -> bundle")
+    im.add_argument("--sidecars", required=True,
+                    help="dir with ipca_input[_more].pkl, ipca_p[_more].pkl, "
+                         "maxs, maxs_PCA, weights.h5/model.h5")
+    im.add_argument("--out", required=True, help="bundle output dir")
+    im.add_argument("--family", default="deltaU_deltaP")
+    im.add_argument("--block-size", type=int, default=128)
+    im.add_argument("--overlap", type=float, default=0.25)
+
+    ex = sub.add_parser("export-ref", help="bundle -> reference sidecar dir")
+    ex.add_argument("--bundle", required=True)
+    ex.add_argument("--out", required=True, help="sidecar output dir")
+    ex.add_argument("--suffix", default="_more",
+                    help="ipca pickle suffix (the solver loads "
+                         "ipca_*_more.pkl, python_module.py:103-104)")
+
+    info = sub.add_parser("info", help="print a bundle's manifest")
+    info.add_argument("--bundle", required=True)
+
+    args = ap.parse_args(argv)
+    from .surrogate.pipeline import SurrogateBundle
+
+    if args.mode == "import-ref":
+        from .surrogate.reference_io import bundle_from_reference_sidecars
+        b = bundle_from_reference_sidecars(args.sidecars, family=args.family,
+                                           block_size=args.block_size,
+                                           overlap_ratio=args.overlap)
+        b.save(args.out)
+        print(f"imported {args.sidecars} -> {args.out} "
+              f"(pc_in={b.pc_in}, pc_out={b.pc_out}, norm={b.norm_method})")
+    elif args.mode == "export-ref":
+        from .surrogate.reference_io import export_reference_sidecars
+        b = SurrogateBundle.load(args.bundle)
+        scales = export_reference_sidecars(b, args.out, suffix=args.suffix)
+        print(f"exported {args.bundle} -> {args.out} "
+              f"(maxs_PCA={scales['maxs_PCA']})")
+    else:
+        import json as _json
+        import os as _os
+        with open(_os.path.join(args.bundle, "manifest.json")) as f:
+            print(_json.dumps(_json.load(f), indent=2))

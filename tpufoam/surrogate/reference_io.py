@@ -14,6 +14,14 @@ be importable (a tolerant unpickler maps their classes to attribute bags —
 the arrays inside are plain numpy), and `bundle_from_reference_sidecars`
 assembles the full tpufoam serving bundle so a reference-trained SM can be
 served directly.
+
+`export_reference_sidecars` is the inverse: it writes a tpufoam-trained
+SurrogateBundle as exactly that sidecar set (real sklearn IncrementalPCA
+pickles when sklearn is importable, a plain attribute-bag fallback
+otherwise), folding tpufoam's std/min-max PCA-space normalization into the
+first/last dense layers so the reference's max-abs serving math
+(python_module.py:349-366: PC / maxs_PCA[0] -> MLP -> * maxs_PCA[1])
+reproduces tpufoam's predictions bit-for-bit in exact arithmetic.
 """
 
 from __future__ import annotations
@@ -147,3 +155,139 @@ def bundle_from_reference_sidecars(directory: str,
         maxs_out=np.asarray(maxs[-1:], dtype=np.float32),
         block_size=block_size, overlap_ratio=overlap_ratio,
     )
+
+
+# ---- export: tpufoam bundle -> reference serving sidecars ----------------
+
+class ExportedIPCA:
+    """Minimal picklable stand-in for a fitted sklearn IncrementalPCA,
+    used when sklearn is not importable at export time. Carries the same
+    fitted attributes, so load_sklearn_ipca (and sklearn itself, via the
+    tolerant-unpickler symmetry) can read it back."""
+
+
+def _as_sklearn_ipca(pca: PCAModel, k: int):
+    comps = np.asarray(pca.components[:k], dtype=np.float64)
+    ev = np.asarray(pca.explained_variance[:k], dtype=np.float64)
+    try:
+        from sklearn.decomposition import IncrementalPCA
+        ip = IncrementalPCA(n_components=k)
+    except ImportError:  # pragma: no cover - sklearn present in this env
+        ip = ExportedIPCA()
+        ip.n_components = k
+    # a nominal sample count consistent with singular_values_ = sqrt(ev*(n-1))
+    n_seen = 4096
+    ip.components_ = comps
+    ip.mean_ = np.asarray(pca.mean, dtype=np.float64)
+    ip.explained_variance_ = ev
+    ip.explained_variance_ratio_ = np.asarray(
+        pca.explained_variance_ratio[:k], dtype=np.float64)
+    ip.singular_values_ = np.sqrt(np.maximum(ev, 0.0) * (n_seen - 1))
+    ip.n_samples_seen_ = np.int64(n_seen)
+    ip.n_components_ = k
+    ip.n_features_in_ = comps.shape[1]
+    ip.noise_variance_ = 0.0
+    ip.whiten = False
+    ip.batch_size_ = 5 * k
+    return ip
+
+
+def _norm_affines(bundle) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """The bundle's PCA-space normalization as elementwise affines:
+    standardize_in(z) = a_in*z + c_in ; destandardize_out(z) = a_out*z + c_out."""
+    n = {k: np.asarray(v, dtype=np.float64) for k, v in bundle.norm.items()}
+    if bundle.norm_method == "std":
+        a_in = 1.0 / n["std_in"]
+        c_in = -n["mean_in"] / n["std_in"]
+        a_out = n["std_out"]
+        c_out = n["mean_out"]
+    elif bundle.norm_method == "min_max":
+        span_in = n["max_in"] - n["min_in"]
+        a_in = 1.0 / span_in
+        c_in = -n["min_in"] / span_in
+        a_out = n["max_out"] - n["min_out"]
+        c_out = n["min_out"]
+    elif bundle.norm_method == "max_abs":
+        a_in = 1.0 / n["max_abs_in"]
+        c_in = np.zeros_like(a_in)
+        a_out = n["max_abs_out"]
+        c_out = np.zeros_like(a_out)
+    else:
+        raise ValueError(f"unknown norm_method {bundle.norm_method!r}")
+    ones_in = np.ones(int(bundle.pc_in))
+    ones_out = np.ones(int(bundle.pc_out))
+    return (a_in * ones_in, c_in * ones_in, a_out * ones_out, c_out * ones_out)
+
+
+def export_reference_sidecars(bundle, directory: str,
+                              suffix: str = "_more") -> dict:
+    """Write a SurrogateBundle as the reference's serving sidecar set
+    (python_module.py:103-110): ipca_input{suffix}.pkl, ipca_p{suffix}.pkl,
+    maxs, maxs_PCA, weights.h5.
+
+    The reference's serving normalization is max-abs only (PC /
+    maxs_PCA[0] before the MLP, * maxs_PCA[1] after —
+    python_module.py:349-366). tpufoam bundles usually standardize per-PC
+    (std method). The export is exact anyway: the per-PC affine
+    normalizers are folded into the first dense layer (rows scaled by
+    a_in*M_in, bias shifted by c_in @ W1) and the head (columns scaled by
+    a_out/M_out, bias (b*a_out + c_out)/M_out), where M_in/M_out are the
+    representative max-abs scales written to maxs_PCA. A reference user
+    pointing python_module.py at the exported directory therefore
+    reproduces tpufoam's block predictions.
+
+    Only plain dense stacks export (the reference's embedded solver loads
+    weights-only dense .h5s — save_weights.py). Returns the exported
+    normalization scales {"maxs_PCA": (M_in, M_out)}.
+    """
+    if bundle.mdef.kind != "dense":
+        raise ValueError("reference serving only loads plain dense stacks; "
+                         f"cannot export kind={bundle.mdef.kind!r}")
+    from ..models.keras_compat import save_keras_dense_h5
+
+    os.makedirs(directory, exist_ok=True)
+    b = bundle.trimmed()
+    a_in, c_in, a_out, c_out = _norm_affines(b)
+
+    # representative max-abs PC scales for the maxs_PCA file: the inverse
+    # image of the normalized range [-1, 1] (exact bound for max_abs /
+    # min_max; mean+-4sigma envelope for std). Any positive value is
+    # mathematically exact (it cancels against the folded layers) — these
+    # keep the reference pipeline's intermediate z in O(1).
+    M_in = float(np.max(np.abs(c_in / np.maximum(np.abs(a_in), 1e-30))
+                        + (4.0 if b.norm_method == "std" else 1.0)
+                        / np.maximum(np.abs(a_in), 1e-30)))
+    M_out = float(np.max(np.abs(c_out) + (4.0 if b.norm_method == "std"
+                                          else 1.0) * np.abs(a_out)))
+
+    layers = [{"w": np.asarray(l["w"], dtype=np.float64),
+               "b": np.asarray(l["b"], dtype=np.float64)}
+              for l in b.params["layers"]]
+    head = {"w": np.asarray(b.params["head"]["w"], dtype=np.float64),
+            "b": np.asarray(b.params["head"]["b"], dtype=np.float64)}
+    stack = layers + [head]
+    # fold input affine (z = a_in*(M_in*z') + c_in) into the first layer
+    first = stack[0]
+    first["b"] = first["b"] + c_in @ first["w"]
+    first["w"] = first["w"] * (a_in * M_in)[:, None]
+    # fold output affine (y = (a_out*h + c_out)/M_out) into the last layer
+    last = stack[-1]
+    last["w"] = last["w"] * (a_out / M_out)[None, :]
+    last["b"] = (last["b"] * a_out + c_out) / M_out
+    folded = {"layers": [{k: jnp.asarray(v, dtype=jnp.float32)
+                          for k, v in l.items()} for l in stack[:-1]],
+              "head": {k: jnp.asarray(v, dtype=jnp.float32)
+                       for k, v in stack[-1].items()}}
+    save_keras_dense_h5(os.path.join(directory, "weights.h5"), folded)
+
+    for tag, pca, k in (("input", b.pca_in, b.pc_in), ("p", b.pca_out, b.pc_out)):
+        with open(os.path.join(directory, f"ipca_{tag}{suffix}.pkl"), "wb") as f:
+            pickle.dump(_as_sklearn_ipca(pca, int(k)), f)
+
+    # maxs layout (python_module.py:109 / train.py:325): input channel
+    # scales then the target scale(s), last entry = the pressure scale
+    np.savetxt(os.path.join(directory, "maxs"),
+               np.concatenate([np.asarray(b.maxs_in, dtype=np.float64).ravel(),
+                               np.asarray(b.maxs_out, dtype=np.float64).ravel()]))
+    np.savetxt(os.path.join(directory, "maxs_PCA"), np.array([M_in, M_out]))
+    return {"maxs_PCA": (M_in, M_out)}
