@@ -1,9 +1,14 @@
-"""External physics validation: Schaefer & Turek (1996) benchmark 2D-2.
+"""External physics validation: Schaefer & Turek (1996) benchmarks.
 
-Unsteady flow around a cylinder (D = 0.1) at (0.2, 0.2) in a 2.2 x 0.41
-channel, parabolic inlet, nu = 1e-3 -> Re = 100. Published intervals:
+Flow around a cylinder (D = 0.1) at (0.2, 0.2) in a 2.2 x 0.41 channel,
+parabolic inlet, nu = 1e-3. Published intervals:
 
-    cd_max in [3.22, 3.24]   cl_max in [0.99, 1.01]   St in [0.295, 0.305]
+    2D-1 (steady, Re=20):    cd in [5.57, 5.59]
+    2D-2 (unsteady, Re=100): cd_max in [3.22, 3.24], cl_max in [0.99, 1.01],
+                             St in [0.295, 0.305]
+    2D-3 (ramped inlet sin(pi t/8), t in [0,8], Re 0->100->0):
+                             cd_max in [2.93, 2.97], cl_max in [0.47, 0.49],
+                             dP(t=8) in [-0.115, -0.105]
 
 Runs the case on a blanked-cell grid, logs Cd/Cl, extracts cd_max /
 cl_max / Strouhal from the settled signal, and writes the artifact JSON
@@ -27,9 +32,11 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--bench", default="2D-2", choices=["2D-1", "2D-2"])
+    ap.add_argument("--bench", default="2D-2",
+                    choices=["2D-1", "2D-2", "2D-3"])
     ap.add_argument("--delta", type=float, default=0.41 / 64)
-    ap.add_argument("--t-end", type=float, default=12.0)
+    ap.add_argument("--t-end", type=float, default=None,
+                    help="default 12 (2D-1/2D-2) or the fixed 8 (2D-3)")
     ap.add_argument("--settle", type=float, default=0.6,
                     help="fraction of the run treated as transient")
     ap.add_argument("--max-co", type=float, default=0.4)
@@ -44,11 +51,14 @@ def main():
         jax.config.update("jax_platforms", args.platform)
 
     from tpufoam.eval.benchmark import (PUBLISHED, run_force_series,
-                                        schafer_turek_case, summarize_2d2)
+                                        schafer_turek_case, summarize_2d2,
+                                        summarize_2d3)
     from tpufoam.fv.case import initial_flow
     from tpufoam.piso.engine import PisoConfig
     from tpufoam.solvers.backends import MGBackend, MGCGBackend
 
+    if args.t_end is None:
+        args.t_end = 8.0 if args.bench == "2D-3" else 12.0
     case, u_mean = schafer_turek_case(args.bench, delta=args.delta)
     print(f"grid {case.grid.ny} x {case.grid.nx} "
           f"({case.grid.ny * case.grid.nx / 1e3:.0f}k cells, "
@@ -67,12 +77,22 @@ def main():
             print(f"t={t:.3f} Cd={cd:.3f} Cl={cl:+.3f} "
                   f"[{el / steps * 1e3:.1f} ms/step]", flush=True)
 
+    inlet_scale = None
+    if args.bench == "2D-3":
+        import math
+        # Schaefer & Turek 2D-3: U(t) = sin(pi t / 8) ramp over t in [0,8]
+        inlet_scale = lambda t: math.sin(math.pi * t / 8.0)
     flow, series = run_force_series(case, flow, args.t_end, u_ref=u_mean,
                                     cfg=cfg, backend=backend,
-                                    progress=progress)
+                                    progress=progress,
+                                    inlet_scale=inlet_scale)
     steps = len(series.t) * 10
 
-    if args.bench == "2D-2":
+    if args.bench == "2D-3":
+        s = summarize_2d3(series, case, flow)
+        ref = {k: list(v) for k, v in PUBLISHED["2D-3"].items()
+               if k in ("cd_max", "cl_max", "dp_final")}
+    elif args.bench == "2D-2":
         s = summarize_2d2(series, settle_t=args.settle * args.t_end)
         ref = dict(cd_max=[3.22, 3.24], cl_max=[0.99, 1.01],
                    strouhal=[0.295, 0.305])

@@ -45,13 +45,21 @@ import dataclasses
 
 import numpy as np
 
-# Published intervals from Schaefer & Turek (1996), Tables 2 & 4.
+# Published intervals from Schaefer & Turek (1996), Tables 2, 4 & 5.
+# 2D-3 is the fully unsteady variant: the inlet ramps as sin(pi t / 8)
+# over t in [0, 8] (flow starts from rest, Re sweeps 0 -> 100 -> 0);
+# coefficients are normalized with the peak mean velocity U = 1, and the
+# benchmark also reports the front-rear pressure difference
+# p(0.15, 0.2) - p(0.25, 0.2) at the final time t = 8.
 PUBLISHED = {
     "2D-1": dict(u_mean=0.2, re=20,
                  cd=(5.57, 5.59), cl=(0.0104, 0.0110)),
     "2D-2": dict(u_mean=1.0, re=100,
                  cd_max=(3.22, 3.24), cl_max=(0.99, 1.01),
                  strouhal=(0.295, 0.305)),
+    "2D-3": dict(u_mean=1.0, re=100,
+                 cd_max=(2.93, 2.97), cl_max=(0.47, 0.49),
+                 dp_final=(-0.115, -0.105)),
 }
 
 D_CYL = 0.1
@@ -80,10 +88,17 @@ class ForceSeries:
 
 def run_force_series(case, flow, t_end: float, u_ref: float,
                      cfg=None, backend=None, sample_steps: int = 10,
-                     d_ref: float = D_CYL, progress=None):
+                     d_ref: float = D_CYL, progress=None,
+                     inlet_scale=None):
     """Advance to t_end in `sample_steps`-step jitted chunks, recording
     Cd/Cl at every sample (the forceCoeffs functionObject role,
-    controlDict:61-107). Returns (final_flow, ForceSeries)."""
+    controlDict:61-107). Returns (final_flow, ForceSeries).
+
+    `inlet_scale(t) -> float` makes the inlet time-dependent (the 2D-3
+    sin(pi t/8) ramp): `case.inlet_u` is a pytree leaf, so rescaling it
+    per chunk re-dispatches the SAME compiled program with new buffer
+    values — no recompilation. The scale is frozen within one
+    `sample_steps` chunk (<= 0.05 t-units here, a <0.2% ramp lag)."""
     from ..fv.forces import obstacle_force
     from ..piso.engine import PisoConfig, run_piso_chunked
     from ..solvers.backends import MGCGBackend
@@ -91,9 +106,13 @@ def run_force_series(case, flow, t_end: float, u_ref: float,
     cfg = cfg or PisoConfig(max_co=0.4, max_dt=5e-3)
     backend = backend or MGCGBackend(rtol=1e-6)
 
+    base_inlet = case.inlet_u
     ts, cds, cls_ = [], [], []
     steps = 0
     while float(flow.t) < t_end:
+        if inlet_scale is not None:
+            s = float(inlet_scale(min(float(flow.t), t_end)))
+            case = case.replace(inlet_u=base_inlet * s)
         flow = run_piso_chunked(case, flow, sample_steps, cfg=cfg,
                                 backend=backend, chunk=sample_steps)
         steps += sample_steps
@@ -121,6 +140,53 @@ def strouhal_from_cl(ts, cls, d: float = D_CYL, u: float = 1.0) -> float:
                                                             - mid[ups])
     period = float(np.median(np.diff(tc)))
     return d / (u * period)
+
+
+def pressure_probe(case, p, x: float, y: float, k: int = 4) -> float:
+    """Pressure at a physical point by inverse-distance weighting of the
+    k nearest FLUID cell centres (the benchmark's front/rear cylinder
+    probes sit on the wall, where the nearest cut cells carry the
+    discrete wall pressure). Host-side diagnostic."""
+    g = case.grid
+    p = np.asarray(p)
+    fluid = np.asarray(case.fluid) > 0
+    i0 = int(y / g.dy)
+    j0 = int(x / g.dx)
+    w = 6  # search window (cells) around the probe
+    i_lo, i_hi = max(i0 - w, 0), min(i0 + w + 1, g.ny)
+    j_lo, j_hi = max(j0 - w, 0), min(j0 + w + 1, g.nx)
+    ii, jj = np.mgrid[i_lo:i_hi, j_lo:j_hi]
+    sel = fluid[i_lo:i_hi, j_lo:j_hi]
+    if not sel.any():
+        return float("nan")
+    yc = (ii[sel] + 0.5) * g.dy
+    xc = (jj[sel] + 0.5) * g.dx
+    d = np.hypot(xc - x, yc - y)
+    order = np.argsort(d)[:k]
+    wts = 1.0 / np.maximum(d[order], 1e-12)
+    return float((p[i_lo:i_hi, j_lo:j_hi][sel][order] * wts).sum()
+                 / wts.sum())
+
+
+def summarize_2d3(series: ForceSeries, case, flow,
+                  t_skip: float = 0.5) -> dict:
+    """cd_max / cl_max over the ramped run (excluding the impulsive
+    start-up) + the front-rear pressure difference at the final time
+    (Schaefer & Turek Table 5: dP = p(0.15,0.2) - p(0.25,0.2) at t=8)."""
+    sel = series.t > t_skip
+    i_cd = int(np.argmax(series.cd[sel]))
+    i_cl = int(np.argmax(series.cl[sel]))
+    cy = CHANNEL["cy"]
+    r = 0.5 * D_CYL
+    dp = (pressure_probe(case, flow.p, CHANNEL["cx"] - r, cy)
+          - pressure_probe(case, flow.p, CHANNEL["cx"] + r, cy))
+    return dict(
+        cd_max=float(series.cd[sel][i_cd]),
+        t_cd_max=float(series.t[sel][i_cd]),
+        cl_max=float(series.cl[sel][i_cl]),
+        t_cl_max=float(series.t[sel][i_cl]),
+        dp_final=dp,
+    )
 
 
 def summarize_2d2(series: ForceSeries, settle_t: float) -> dict:
