@@ -58,9 +58,10 @@ def build_dataset(cache_path: str, n_frames: int, samples: int):
         turb = init_turbulence(case)
         flow, turb = run_piso_sst_eager(case, flow, turb, warmup, cfg=cfg,
                                         backend=backend)
-        frames = frames_from_sst_rollout(case, flow, turb, n_frames=n_frames,
-                                         steps_per_frame=5, cfg=cfg,
-                                         backend=backend)
+        frames, _, _ = frames_from_sst_rollout(case, flow, turb,
+                                               n_frames=n_frames,
+                                               steps_per_frame=5, cfg=cfg,
+                                               backend=backend)
         ds = build_block_dataset(case, frames, family="deltaU_deltaP",
                                  n_samples_per_frame=samples, block_size=128,
                                  seed=(hash(shape) + i) % 10_000)

@@ -68,6 +68,49 @@ def test_blank_mode_binary_limit():
     np.testing.assert_allclose(np.abs(np.asarray(case.wall_ay)),
                                np.clip(stair_y, 0, None) * case.grid.dx,
                                atol=1e-6)
+    # the friction (wetted) length is the PER-FACE stair sum — not the
+    # net-vector norm, which cancels opposing faces and shrinks corners
+    np.testing.assert_allclose(
+        np.asarray(case.wall_len),
+        stair + np.clip(stair_y, 0, None) * case.grid.dx, atol=1e-6)
+
+
+def test_wetted_length_slot_and_corner():
+    """Degenerate stair cells that the net wall-area VECTOR mishandles:
+    a one-cell slot (solid both sides -> vector cancels to zero, but the
+    friction area is two faces) and a stair corner (vector shrinks to the
+    diagonal, friction area is both faces). The wetted length must keep
+    full no-slip friction on both."""
+    from tpufoam.core.grid import make_grid
+    from tpufoam.fv.cutcell import binary_masks_from_fluid
+
+    grid = make_grid(0.0, 0.8, 0.0, 0.8, delta=0.1)
+    f = np.ones((8, 8))
+    f[2:5, 2] = 0.0
+    f[2:5, 4] = 0.0          # column 3 rows 2..4 is a one-cell slot
+    f[5:, :] = 0.0           # solid floor block: cell (4,1) is a concave
+    #                          corner seeing solid E (slot wall) and N
+    cg = binary_masks_from_fluid(grid, f)
+    dy = dx = 0.1
+    slot = (3, 3)
+    assert cg["wall_ax"][slot] == 0.0
+    np.testing.assert_allclose(cg["wall_len"][slot], 2 * dy)
+    corner = (4, 1)
+    np.testing.assert_allclose(abs(cg["wall_ax"][corner]), dy)
+    np.testing.assert_allclose(abs(cg["wall_ay"][corner]), dx)
+    np.testing.assert_allclose(cg["wall_len"][corner], dx + dy)
+
+
+def test_cut_mode_wetted_length_matches_vector_on_convex_shape():
+    """Cut mode uses |A_w| as the wetted length (exact for the single
+    straight facet, including near-tangent cells where one facet crosses
+    both opposite faces) — pinning that the committed Schaefer-Turek
+    cut-cell artifacts are unaffected by the blank-mode wetted-length
+    fix."""
+    case = _cyl_case()
+    wl = np.asarray(case.wall_len)
+    vec = np.hypot(np.asarray(case.wall_ax), np.asarray(case.wall_ay))
+    np.testing.assert_allclose(wl, vec, atol=1e-12)
 
 
 def test_cutcell_piso_health():

@@ -385,9 +385,11 @@ def datagen_main(argv=None):
             flow, turb = run_piso_sst_eager(case, flow, turb,
                                             args.warmup_steps, cfg=cfg,
                                             backend=MGCGBackend())
-            frames = frames_from_sst_rollout(case, flow, turb, args.n_frames,
-                                             args.steps_per_frame, cfg=cfg,
-                                             backend=MGCGBackend())
+            frames, _, _ = frames_from_sst_rollout(case, flow, turb,
+                                                   args.n_frames,
+                                                   args.steps_per_frame,
+                                                   cfg=cfg,
+                                                   backend=MGCGBackend())
         else:
             cfg = PisoConfig()
             flow = run_piso(case, flow, args.warmup_steps, cfg=cfg,

@@ -148,10 +148,12 @@ def pressure_probe(case, p, x: float, y: float, k: int = 4) -> float:
     probes sit on the wall, where the nearest cut cells carry the
     discrete wall pressure). Host-side diagnostic."""
     g = case.grid
+    x0 = getattr(g, "x0", 0.0)
+    y0 = getattr(g, "y0", 0.0)
     p = np.asarray(p)
     fluid = np.asarray(case.fluid) > 0
-    i0 = int(y / g.dy)
-    j0 = int(x / g.dx)
+    i0 = int((y - y0) / g.dy)
+    j0 = int((x - x0) / g.dx)
     w = 6  # search window (cells) around the probe
     i_lo, i_hi = max(i0 - w, 0), min(i0 + w + 1, g.ny)
     j_lo, j_hi = max(j0 - w, 0), min(j0 + w + 1, g.nx)
@@ -159,8 +161,8 @@ def pressure_probe(case, p, x: float, y: float, k: int = 4) -> float:
     sel = fluid[i_lo:i_hi, j_lo:j_hi]
     if not sel.any():
         return float("nan")
-    yc = (ii[sel] + 0.5) * g.dy
-    xc = (jj[sel] + 0.5) * g.dx
+    yc = y0 + (ii[sel] + 0.5) * g.dy
+    xc = x0 + (jj[sel] + 0.5) * g.dx
     d = np.hypot(xc - x, yc - y)
     order = np.argsort(d)[:k]
     wts = 1.0 / np.maximum(d[order], 1e-12)

@@ -54,6 +54,9 @@ class Case:
     alpha: jnp.ndarray          # (ny, nx) fluid volume fraction
     wall_ax: jnp.ndarray        # embedded-wall area vector (outward into the
     wall_ay: jnp.ndarray        #   solid); reduces to stair faces when binary
+    wall_len: jnp.ndarray       # embedded-wall wetted length (friction area;
+                                #   >= |(wall_ax, wall_ay)| — opposing stair
+                                #   faces add here but cancel in the vector)
     wall_dist: jnp.ndarray      # centroid->wall distance (1.0 where no wall)
     cut: bool = flax.struct.field(pytree_node=False, default=False)
 
@@ -178,7 +181,8 @@ def _assemble_masks(grid: Grid2D, fluid: np.ndarray, sdf: np.ndarray,
         wall_e=j(wall_e), wall_w=j(wall_w), wall_n=j(wall_n), wall_s=j(wall_s),
         inlet_w=j(inlet_w), outlet_e=j(outlet_e),
         alpha=j32(cg["alpha"]), wall_ax=j32(cg["wall_ax"]),
-        wall_ay=j32(cg["wall_ay"]), wall_dist=j32(cg["wall_dist"]),
+        wall_ay=j32(cg["wall_ay"]), wall_len=j32(cg["wall_len"]),
+        wall_dist=j32(cg["wall_dist"]),
     )
 
 

@@ -12,6 +12,9 @@ tpufoam's uniform TPU grid instead represents the body by sub-cell geometry:
                       solid) from the aperture deficits: by the divergence
                       theorem over the fluid part of a cell,
                       A_wall = -((th_e - th_w) dy, (th_n - th_s) dx)
+  wall_len (ny, nx)   embedded-wall WETTED length (the friction area; see
+                      _wetted_length — NOT |A_wall|, which cancels on
+                      opposing stair faces and shrinks corners)
   wall_dist           fluid-centroid -> discrete-wall distance (the wall-link
                       length scale), clipped to [0.05 h, h/2]
 
@@ -152,18 +155,18 @@ def cut_masks(grid, shape, inside_centers: np.ndarray,
     ty[-1, :] = fluid[-1, :]
     wall_ax = -(tx[:, 1:] - tx[:, :-1]) * dy * fluid
     wall_ay = -(ty[1:, :] - ty[:-1, :]) * dx * fluid
-    wall_len = np.hypot(wall_ax, wall_ay)
+    wall_len = _wetted_length(tx, ty, fluid, dx, dy, mode)
 
     # --- wall distance + nearest boundary point (force probe anchors) -------
     wall_dist = np.ones((ny, nx), dtype=np.float64)
     sel = wall_len > 1e-12 * h
     if shape is not None and sel.any():
-        from scipy.spatial import cKDTree
-        bpts = shape.boundary_points(n_boundary)
-        tree = cKDTree(bpts)
-        cen = np.stack([cent_x[sel], cent_y[sel]], axis=-1)
-        d, idx = tree.query(cen)
         if mode == "cutcell":
+            from scipy.spatial import cKDTree
+            bpts = shape.boundary_points(n_boundary)
+            tree = cKDTree(bpts)
+            cen = np.stack([cent_x[sel], cent_y[sel]], axis=-1)
+            d, _ = tree.query(cen)
             wall_dist[sel] = np.clip(d, 0.05 * h, 0.5 * h)
         else:
             # blank mode: the discrete wall IS the closed face, h/2 away
@@ -171,7 +174,42 @@ def cut_masks(grid, shape, inside_centers: np.ndarray,
             wall_dist[sel] = 0.5 * h
 
     return dict(alpha=alpha, fluid=fluid, thx=thx, thy=thy,
-                wall_ax=wall_ax, wall_ay=wall_ay, wall_dist=wall_dist)
+                wall_ax=wall_ax, wall_ay=wall_ay, wall_len=wall_len,
+                wall_dist=wall_dist)
+
+
+def _wetted_length(tx: np.ndarray, ty: np.ndarray, fluid: np.ndarray,
+                   dx: float, dy: float, mode: str) -> np.ndarray:
+    """Per-cell embedded-wall WETTED length for the no-slip friction link.
+
+    The net area vector |A_w| (= hypot of the aperture-deficit sums) is
+    the correct pressure-closure area but UNDERCOUNTS friction area
+    whenever a cell has wall on more than one side: opposing wall faces
+    cancel entirely (a one-cell slot would become free-slip) and stair
+    corners shrink to the diagonal. So:
+
+    - blank/binary mode: the per-face sum (dE + dW) dy + (dN + dS) dx —
+      every closed stair face is a wall face at the half-cell distance,
+      which IS the round-2 blanked scheme this mode claims parity with
+      (the vector norm was a silent round-3 regression for multi-face
+      stair cells: -29% corner friction, -100% slots);
+    - cutcell mode: |A_w| = hypot of the NET per-direction deficits.
+      This is exact for a single straight facet, INCLUDING the common
+      near-tangent cell where one facet crosses both opposite faces
+      (their same-side closed fractions then largely cancel in the net —
+      a per-face or min-overlap sum would double-count that facet).
+      The one case it undercounts — a genuinely two-sided thin feature
+      inside one cell — is sub-grid by definition; alpha_cut blanking
+      removes most such slivers, and shapes thinner than a cell need a
+      finer grid regardless.
+    """
+    d_e = (1.0 - tx[:, 1:]) * fluid
+    d_w = (1.0 - tx[:, :-1]) * fluid
+    d_n = (1.0 - ty[1:, :]) * fluid
+    d_s = (1.0 - ty[:-1, :]) * fluid
+    if mode != "cutcell":
+        return (d_e + d_w) * dy + (d_n + d_s) * dx
+    return np.hypot((d_e - d_w) * dy, (d_n - d_s) * dx)
 
 
 def binary_masks_from_fluid(grid, fluid: np.ndarray) -> dict:
@@ -198,8 +236,9 @@ def binary_masks_from_fluid(grid, fluid: np.ndarray) -> dict:
     ty = thy.copy(); ty[0, :] = f[0, :]; ty[-1, :] = f[-1, :]
     wall_ax = -(tx[:, 1:] - tx[:, :-1]) * dy * f
     wall_ay = -(ty[1:, :] - ty[:-1, :]) * dx * f
-    wall_len = np.hypot(wall_ax, wall_ay)
+    wall_len = _wetted_length(tx, ty, f, dx, dy, "blank")
     wall_dist = np.where(wall_len > 1e-12 * h, 0.5 * h, 1.0)
 
     return dict(alpha=f, fluid=f, thx=thx, thy=thy,
-                wall_ax=wall_ax, wall_ay=wall_ay, wall_dist=wall_dist)
+                wall_ax=wall_ax, wall_ay=wall_ay, wall_len=wall_len,
+                wall_dist=wall_dist)

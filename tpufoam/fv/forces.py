@@ -75,7 +75,7 @@ def _obstacle_force_cut(case: Case, u: jnp.ndarray, v: jnp.ndarray,
     D/delta=23.4 (probe 5.806 vs CV 5.477/5.506 vs discrete 5.505,
     scripts/exp_cutcell_force.py); the discrete form agrees with the CV
     arbiter to <0.5% and is pure elementwise (no gathers)."""
-    wall_len = jnp.sqrt(case.wall_ax**2 + case.wall_ay**2)
+    wall_len = case.wall_len  # wetted length (fv.cutcell._wetted_length)
     fpx = jnp.sum(p * case.wall_ax)
     fpy = jnp.sum(p * case.wall_ay)
     a_wall = case.nu * wall_len / case.wall_dist

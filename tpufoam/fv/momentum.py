@@ -184,7 +184,15 @@ def wall_conductance(nu: float, k_wall: jnp.ndarray, d: jnp.ndarray,
     fully implicit and linear."""
     ustar = cmu**0.25 * jnp.sqrt(jnp.maximum(k_wall, 0.0))
     ystar = jnp.maximum(ustar * d / nu, 1e-10)
-    g_log = ustar * kappa / jnp.log(jnp.maximum(e_rough * ystar, 1.0001))
+    # clamp the log at 1 (E y* <= e): below the crossover the log-law is
+    # meaningless and g_log must vanish with u*, not blow up — an upper
+    # clamp just above 1.0 would send g_log -> u* kappa / ~0 for
+    # 0 < y* < 1/E and the 4-norm blend would pick that up as a ~40-400x
+    # spurious wall friction in transitional/startup cells. With log >= 1,
+    # g_log <= kappa u* = kappa y* g_vis stays below the viscous branch
+    # for all y* < 2.4, so the low-Re limit g = nu/d is recovered.
+    g_log = ustar * kappa / jnp.maximum(
+        jnp.log(jnp.maximum(e_rough * ystar, 1e-10)), 1.0)
     g_vis = nu / d
     return (g_vis**4 + g_log**4) ** 0.25
 
@@ -255,7 +263,7 @@ def momentum_coeffs(case: Case, phi_x: jnp.ndarray, phi_y: jnp.ndarray,
     # half-cell link (L_w = face area, d_w = h/2) on axis-aligned faces.
     dom_n = jnp.zeros_like(case.fluid).at[-1, :].set(1.0) * case.fluid
     dom_s = jnp.zeros_like(case.fluid).at[0, :].set(1.0) * case.fluid
-    wall_len = jnp.sqrt(case.wall_ax**2 + case.wall_ay**2)
+    wall_len = case.wall_len  # wetted length (fv.cutcell._wetted_length)
     if k_turb is not None:
         # turbulent wall functions: g = tau_w / U_t from the log law
         g_dom = wall_conductance(nu, k_turb, 0.5 * dy)
@@ -333,7 +341,13 @@ def jacobi_momentum(coef: MomentumCoeffs, case: Case,
                 mesh, coef.a_e, coef.a_w, coef.a_n, coef.a_s, api,
                 coef.b_u + src_u, coef.b_v + src_v, u0, v0, sweeps=sweeps,
                 interpret=_st._INTERPRET)
-        if _st.pallas_available_for(u0.shape, u0.dtype) and sweeps <= 8:
+        # single-device kernel ONLY when no mesh is given: under a GSPMD
+        # jit the un-partitioned pallas_call would force replication (or
+        # be rejected by the partitioner) on sharded operands, so a mesh
+        # whose decomposition the sharded kernel can't take falls through
+        # to the XLA smoother instead
+        if mesh is None and _st.pallas_available_for(u0.shape, u0.dtype) \
+                and sweeps <= 8:
             api = inv_ap * case.fluid
             return _st.momentum_multisweep_pallas(
                 coef.a_e, coef.a_w, coef.a_n, coef.a_s, api,

@@ -106,7 +106,7 @@ def _transport_solve(case: Case, phi_x, phi_y, gamma, dt, old, su, sp,
     # domain-row walls (half-cell) + embedded-wall link (fv.cutcell)
     dom_n = jnp.zeros_like(case.fluid).at[-1, :].set(1.0) * case.fluid
     dom_s = jnp.zeros_like(case.fluid).at[0, :].set(1.0) * case.fluid
-    wall_len = jnp.sqrt(case.wall_ax**2 + case.wall_ay**2)
+    wall_len = case.wall_len  # wetted length (fv.cutcell._wetted_length)
     wall = (dom_n + dom_s) * 2.0 * gamma * dx / dy \
         + gamma * wall_len / case.wall_dist
     wall_contrib = wall if wall_dirichlet_zero else 0.0
@@ -134,7 +134,7 @@ def wall_cell_masks(case: Case):
     centroid distance (fv.cutcell)."""
     dom = jnp.zeros_like(case.fluid).at[-1, :].set(1.0).at[0, :].set(1.0) \
         * case.fluid
-    wall_len = jnp.sqrt(case.wall_ax**2 + case.wall_ay**2)
+    wall_len = case.wall_len  # wetted length (fv.cutcell._wetted_length)
     obst = (wall_len > 1e-12).astype(case.fluid.dtype)
     mask = jnp.maximum(dom, obst)
     d = jnp.where(obst > 0, case.wall_dist, 0.5 * case.grid.dy)

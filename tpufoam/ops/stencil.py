@@ -473,9 +473,12 @@ HALO_X = 128
 
 def pallas_sharded_available_for(shape: tuple[int, int], mesh,
                                  axes=("data", "model"),
-                                 dtype=jnp.float32) -> bool:
+                                 dtype=jnp.float32,
+                                 interpret: bool | None = None) -> bool:
     """Can the shard_map pallas path handle per-device blocks of this
-    global shape over `mesh`?"""
+    global shape over `mesh`? `interpret=True` checks the geometry only
+    (for tests driving the kernel in interpret mode off-TPU); None uses
+    the module-level _INTERPRET flag, i.e. production semantics."""
     ny, nx = shape
     dy = mesh.shape[axes[0]]
     dx = mesh.shape[axes[1]]
@@ -484,7 +487,9 @@ def pallas_sharded_available_for(shape: tuple[int, int], mesh,
     nyl, nxl = ny // dy, nx // dx
     if dx > 1 and nxl < 2 * HALO_X:   # halo would exceed the local block
         return False
-    if not _INTERPRET and jax.default_backend() not in ("tpu", "axon"):
+    if interpret is None:
+        interpret = _INTERPRET
+    if not interpret and jax.default_backend() not in ("tpu", "axon"):
         return False
     min_rows = 16 if jnp.dtype(dtype).itemsize == 2 else 8
     return nxl % 128 == 0 and nyl % min_rows == 0

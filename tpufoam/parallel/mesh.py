@@ -124,7 +124,8 @@ def _case_specs(case: Case) -> Case:
                 open_e=cell, open_w=cell, open_n=cell, open_s=cell,
                 wall_e=cell, wall_w=cell, wall_n=cell, wall_s=cell,
                 inlet_w=cell, outlet_e=cell,
-                alpha=cell, wall_ax=cell, wall_ay=cell, wall_dist=cell)
+                alpha=cell, wall_ax=cell, wall_ay=cell, wall_len=cell,
+                wall_dist=cell)
 
 
 def shard_flow(mesh: Mesh, flow: Flow) -> Flow:
@@ -148,9 +149,19 @@ def make_sharded_piso_step(mesh: Mesh, cfg: PisoConfig = PisoConfig(),
     device block under shard_map (explicit ppermute halo exchange) instead
     of falling back to XLA."""
     backend = backend or CGBackend(rtol=1e-5, maxiter=200)
+    import dataclasses as _dc
     if cfg.momentum_smoother == "pallas" and cfg.shard_mesh is None:
-        import dataclasses as _dc
         cfg = _dc.replace(cfg, shard_mesh=mesh)
+    if getattr(backend, "smoother", None) == "pallas":
+        # the PRESSURE multisweep kernel has no GSPMD dispatch inside the
+        # MG hierarchy (only the momentum kernel is shard_map-wired via
+        # cfg.shard_mesh); an un-partitioned pallas_call under this
+        # sharded jit would replicate its operands per device. Downgrade
+        # loudly rather than silently degrade.
+        print("make_sharded_piso_step: pressure smoother 'pallas' has no "
+              "sharded dispatch — using 'xla' (the production config; "
+              "docs/STATUS.md)", flush=True)
+        backend = _dc.replace(backend, smoother="xla")
 
     @partial(jax.jit, static_argnames=())
     def step(case: Case, flow: Flow) -> Flow:

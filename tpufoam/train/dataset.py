@@ -177,7 +177,8 @@ def frames_from_sst_rollout(case: Case, flow0, turb0, n_frames: int,
     """Turbulent-data production: the frames_from_rollout role for k-omega
     SST runs (the reference's For_kwSST dataset family,
     Generate_blockMeshDict/For_kwSST/rect_alpha.py). Returns (frames,
-    final flow, final turb) snapshots including nu_t (available to
+    final flow, final turb) — the state pair lets callers checkpoint or
+    extend the rollout; frame snapshots include nu_t (available to
     turbulence-aware feature families)."""
     from ..piso.engine import PisoConfig, run_piso_sst_eager
     from ..solvers.backends import CGBackend
@@ -193,4 +194,4 @@ def frames_from_sst_rollout(case: Case, flow0, turb0, n_frames: int,
             u=np.asarray(flow.u), v=np.asarray(flow.v), p=np.asarray(flow.p),
             u_prev=np.asarray(flow.u_prev), v_prev=np.asarray(flow.v_prev),
             p_prev=np.asarray(flow.p_prev), nu_t=np.asarray(turb.nu_t)))
-    return frames
+    return frames, flow, turb
