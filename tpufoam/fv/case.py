@@ -61,6 +61,16 @@ class Case:
     cut: bool = flax.struct.field(pytree_node=False, default=False)
 
 
+
+def domain_row_masks(case: "Case"):
+    """(dom_n, dom_s): fluid cells in the top/bottom DOMAIN wall rows.
+    One implementation for the momentum / pressure / SST wall links,
+    which all apply half-cell channel-wall closures on these rows."""
+    dom_n = jnp.zeros_like(case.fluid).at[-1, :].set(1.0) * case.fluid
+    dom_s = jnp.zeros_like(case.fluid).at[0, :].set(1.0) * case.fluid
+    return dom_n, dom_s
+
+
 @flax.struct.dataclass
 class Flow:
     u: jnp.ndarray       # (ny, nx)

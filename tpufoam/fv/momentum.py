@@ -18,7 +18,7 @@ import flax.struct
 import jax.numpy as jnp
 from jax import lax
 
-from .case import Case
+from .case import Case, domain_row_masks
 from .operators import nb_e, nb_n, nb_s, nb_w
 
 
@@ -261,8 +261,7 @@ def momentum_coeffs(case: Case, phi_x: jnp.ndarray, phi_y: jnp.ndarray,
     # deficit wall-area vector and the centroid wall distance (fv.cutcell);
     # in the binary-aperture limit this reduces to the classic stair-step
     # half-cell link (L_w = face area, d_w = h/2) on axis-aligned faces.
-    dom_n = jnp.zeros_like(case.fluid).at[-1, :].set(1.0) * case.fluid
-    dom_s = jnp.zeros_like(case.fluid).at[0, :].set(1.0) * case.fluid
+    dom_n, dom_s = domain_row_masks(case)
     wall_len = case.wall_len  # wetted length (fv.cutcell._wetted_length)
     if k_turb is not None:
         # turbulent wall functions: g = tau_w / U_t from the log law

@@ -21,7 +21,7 @@ from __future__ import annotations
 import flax.struct
 import jax.numpy as jnp
 
-from .case import Case
+from .case import Case, domain_row_masks
 from .operators import divergence, nb_e, nb_n, nb_s, nb_w
 
 
@@ -110,8 +110,7 @@ def pressure_gradient(case: Case, p: jnp.ndarray):
     s_e = case.open_e * 0.5 * (p + nb_e(p))
     s_w = case.open_w * 0.5 * (p + nb_w(p)) + case.inlet_w * p
     # outlet face: Dirichlet p = 0 -> contributes nothing
-    dom_n = jnp.zeros_like(case.fluid).at[-1, :].set(1.0) * case.fluid
-    dom_s = jnp.zeros_like(case.fluid).at[0, :].set(1.0) * case.fluid
+    dom_n, dom_s = domain_row_masks(case)
     s_n = case.open_n * 0.5 * (p + nb_n(p)) + dom_n * p
     s_s = case.open_s * 0.5 * (p + nb_s(p)) + dom_s * p
 

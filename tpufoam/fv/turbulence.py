@@ -22,7 +22,7 @@ import flax.struct
 import jax.numpy as jnp
 from jax import lax
 
-from .case import Case
+from .case import Case, domain_row_masks
 from .operators import nb_e, nb_n, nb_s, nb_w
 
 # Menter (2003) constants
@@ -104,8 +104,7 @@ def _transport_solve(case: Case, phi_x, phi_y, gamma, dt, old, su, sp,
                                         jnp.maximum(f_s, 0.0), 0.0)
 
     # domain-row walls (half-cell) + embedded-wall link (fv.cutcell)
-    dom_n = jnp.zeros_like(case.fluid).at[-1, :].set(1.0) * case.fluid
-    dom_s = jnp.zeros_like(case.fluid).at[0, :].set(1.0) * case.fluid
+    dom_n, dom_s = domain_row_masks(case)
     wall_len = case.wall_len  # wetted length (fv.cutcell._wetted_length)
     wall = (dom_n + dom_s) * 2.0 * gamma * dx / dy \
         + gamma * wall_len / case.wall_dist
