@@ -79,9 +79,12 @@ def main():
 
     inlet_scale = None
     if args.bench == "2D-3":
-        import math
-        # Schaefer & Turek 2D-3: U(t) = sin(pi t / 8) ramp over t in [0,8]
-        inlet_scale = lambda t: math.sin(math.pi * t / 8.0)
+        # Schaefer & Turek 2D-3: U(t) = sin(pi t / 8) ramp over t in [0,8],
+        # traced inside the step (benchmark.ramp_2d3), flow from rest.
+        from tpufoam.eval.benchmark import ramp_2d3
+        inlet_scale = ramp_2d3
+        flow = initial_flow(case.replace(inlet_u=case.inlet_u * 0.0),
+                            dt0=2e-4)
     flow, series = run_force_series(case, flow, args.t_end, u_ref=u_mean,
                                     cfg=cfg, backend=backend,
                                     progress=progress,

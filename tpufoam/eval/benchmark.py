@@ -66,6 +66,17 @@ D_CYL = 0.1
 CHANNEL = dict(length=2.2, height=0.41, cx=0.2, cy=0.2, nu=1e-3)
 
 
+def ramp_2d3(t):
+    """The 2D-3 inlet ramp sin(pi t / 8), clamped flat past t = 8.
+    Module-level (stable identity) so it can live in PisoConfig as a jit
+    static and be traced inside the step — the in-step form is REQUIRED
+    for the dP(t=8) quantity: a per-chunk host rescale freezes the inlet
+    within each chunk, removing dU/dt (and with it the deceleration
+    pressure gradient, ~-0.1 of the published -0.11) from the field."""
+    import jax.numpy as jnp
+    return jnp.sin(jnp.pi * jnp.clip(t, 0.0, 8.0) / 8.0)
+
+
 def schafer_turek_case(bench: str, delta: float):
     """Build the benchmark Case. Returns (case, u_mean)."""
     from ..core.geometry import channel_case_geometry
@@ -94,28 +105,37 @@ def run_force_series(case, flow, t_end: float, u_ref: float,
     Cd/Cl at every sample (the forceCoeffs functionObject role,
     controlDict:61-107). Returns (final_flow, ForceSeries).
 
-    `inlet_scale(t) -> float` makes the inlet time-dependent (the 2D-3
-    sin(pi t/8) ramp): `case.inlet_u` is a pytree leaf, so rescaling it
-    per chunk re-dispatches the SAME compiled program with new buffer
-    values — no recompilation. The scale is frozen within one
-    `sample_steps` chunk (<= 0.05 t-units here, a <0.2% ramp lag)."""
+    `inlet_scale` (a stable jnp callable t -> scale, e.g. `ramp_2d3`)
+    makes the inlet time-dependent INSIDE the jitted step via
+    `PisoConfig.inlet_scale_fn` — the BC is evaluated at each step's new
+    time level, so the momentum balance sees dU_in/dt continuously. (A
+    per-chunk host-side rescale is NOT a valid substitute: it freezes the
+    inlet within each chunk, so the deceleration pressure gradient that
+    dominates 2D-3's dP(t=8) never forms in the field.)"""
     from ..fv.forces import obstacle_force
     from ..piso.engine import PisoConfig, run_piso_chunked
     from ..solvers.backends import MGCGBackend
 
     cfg = cfg or PisoConfig(max_co=0.4, max_dt=5e-3)
     backend = backend or MGCGBackend(rtol=1e-6)
+    if inlet_scale is not None:
+        # in-step ramp + land EXACTLY on t_end: dP(t=8) is a point
+        # quantity of the decelerating field — a single step past the
+        # ramp (dU/dt = 0) and the elliptic pressure loses it.
+        cfg = dataclasses.replace(cfg, inlet_scale_fn=inlet_scale,
+                                  t_stop=float(t_end))
 
-    base_inlet = case.inlet_u
     ts, cds, cls_ = [], [], []
     steps = 0
     while float(flow.t) < t_end:
-        if inlet_scale is not None:
-            s = float(inlet_scale(min(float(flow.t), t_end)))
-            case = case.replace(inlet_u=base_inlet * s)
-        flow = run_piso_chunked(case, flow, sample_steps, cfg=cfg,
-                                backend=backend, chunk=sample_steps)
-        steps += sample_steps
+        n = sample_steps
+        if cfg.t_stop and (t_end - float(flow.t)
+                           < 2.0 * sample_steps * float(flow.dt)):
+            n = 1   # single-step tail: the t_stop-capped landing step
+                    # (which ends at exactly t_end) must be the LAST one
+        flow = run_piso_chunked(case, flow, n, cfg=cfg,
+                                backend=backend, chunk=n)
+        steps += n
         rep = obstacle_force(case, flow.u, flow.v, flow.p,
                              u_ref=u_ref, d_ref=d_ref)
         ts.append(float(flow.t))

@@ -58,6 +58,34 @@ class PisoConfig:
                                       # wall_fn; needed on uniform grids
                                       # whose first cell sits in the log
                                       # layer). Laminar runs ignore it.
+    inlet_scale_fn: object = None     # optional traced callable t -> scale
+                                      # applied to case.inlet_u at the NEW
+                                      # time level inside the jitted step
+                                      # (time-dependent inlet BCs, e.g. the
+                                      # Schaefer-Turek 2D-3 sin(pi t/8)
+                                      # ramp). Must be a stable (module-
+                                      # level) jnp function: cfg is a jit
+                                      # static, so the callable is hashed
+                                      # by identity. A per-chunk host-side
+                                      # rescale is NOT equivalent: freezing
+                                      # the inlet within a chunk removes
+                                      # dU/dt from the momentum balance, so
+                                      # the deceleration pressure gradient
+                                      # (the 2D-3 dP(t=8) quantity) never
+                                      # forms.
+    t_stop: float = 0.0               # when > 0, cap the adaptive dt so the
+                                      # run lands EXACTLY on t_stop
+                                      # (OpenFOAM adjustTimeStep-to-
+                                      # writeTime semantics). Required for
+                                      # final-time point quantities like
+                                      # 2D-3's dP(t=8): overshooting t=8
+                                      # even a few steps puts the flow past
+                                      # the ramp (dU/dt = 0) and the
+                                      # elliptic pressure field instantly
+                                      # loses the deceleration gradient
+                                      # that dominates the published value.
+                                      # Steps at/past t_stop take a 1e-6
+                                      # floor dt (harmless chunk filler).
     shard_mesh: object = None         # jax.sharding.Mesh (hashable) when
                                       # the step runs GSPMD-sharded: the
                                       # pallas momentum kernel then runs
@@ -92,6 +120,10 @@ def _next_dt(case: Case, flow: Flow, cfg: PisoConfig) -> jnp.ndarray:
     co = courant_number(case, flow) / jnp.maximum(flow.dt, 1e-12)  # Co per unit dt
     dt_co = cfg.max_co / jnp.maximum(co, 1e-12)
     new_dt = jnp.minimum(jnp.minimum(dt_co, 1.2 * flow.dt), cfg.max_dt)
+    if cfg.t_stop and cfg.t_stop > 0:
+        # land exactly on t_stop (adjustTimeStep-to-writeTime semantics)
+        new_dt = jnp.minimum(new_dt,
+                             jnp.maximum(cfg.t_stop - flow.t, 1e-6))
     return new_dt.astype(flow.dt.dtype)
 
 
@@ -112,6 +144,13 @@ def _piso_step_impl(case: Case, flow: Flow, cfg: PisoConfig = PisoConfig(),
     vol = grid.dx * grid.dy
     volc = case.alpha * vol       # cut-cell fluid volumes (== vol when blank)
     dt = _next_dt(case, flow, cfg) if cfg.adjust_dt else flow.dt
+
+    # time-dependent inlet: evaluate the profile scale at the new time level
+    # (backward-Euler BC treatment — the implicit momentum solve then sees
+    # dU_in/dt, which is what produces the deceleration pressure gradient)
+    if cfg.inlet_scale_fn is not None:
+        case = case.replace(
+            inlet_u=case.inlet_u * cfg.inlet_scale_fn(flow.t + dt))
 
     u, v, p = flow.u, flow.v, flow.p
     phi_x, phi_y = flow.phi_x, flow.phi_y
