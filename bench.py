@@ -120,11 +120,16 @@ def main():
             sm_predict=predictor)
         smoother = "xla"
 
-    # batched case-farming mode: 4 geometries x 1M cells vmapped in
-    # lockstep (the production fleet configuration) — aggregate throughput
+    # batched case-farming mode: 4 geometries x 1M cells — aggregate
+    # throughput. Production form is SEQUENTIAL eager rollouts per case
+    # (each case runs the optimal single-case program; async dispatch
+    # pipelines host latency), which the on-chip A/B measured decisively
+    # ahead of the vmapped lockstep it replaces: 483 vs 311 Mcells/s
+    # capped-MG, 375 vs 244 hybrid (artifacts/fleet_ab_tpu.json; the
+    # vmapped path stays tested in tests/test_parallel.py and available
+    # via piso.batched for lockstep-coupled studies).
     def fleet_throughput():
-        from tpufoam.piso.batched import (run_piso_batched_eager,
-                                          stack_cases, stack_flows)
+        from tpufoam.piso.engine import run_piso_eager
         shapes = [("cylinder", 0.5), ("rectangle", 0.4), ("triangle", 0.45),
                   ("ellipse", 0.6)]
         cs, fs = [], []
@@ -134,31 +139,30 @@ def main():
             c = build_channel_case(g, delta=delta)
             cs.append(c)
             fs.append(initial_flow(c, dt0=5e-4))
-        cb, fb = stack_cases(cs), stack_flows(fs)
         be = MGBackend(cycles=2, precision="bf16")
-        # pallas_call has a vmap batching rule (the batch axis becomes a
-        # leading grid dimension), so the fleet gets the fused momentum
-        # kernel too — round 2 left the fleet on the XLA smoother
-        # (VERDICT r2 weak #2). Eager donated lockstep (no scan carry
-        # double-buffering), like the single-case production path.
         fleet_cfg = (_dc.replace(cfg, momentum_smoother="pallas")
                      if smoother == "pallas-momentum" else cfg)
+
         def lane(sm):
-            out = run_piso_batched_eager(cb, fb, n_steps, cfg=fleet_cfg,
-                                         backend=be, sm_predict=sm)
-            jax.block_until_ready(out.u)
+            state = [run_piso_eager(c, f, n_steps, cfg=fleet_cfg,
+                                    backend=be, sm_predict=sm)
+                     for c, f in zip(cs, fs)]
+            for o in state:
+                jax.block_until_ready(o.u)
             ts = []
             for _ in range(5):
                 t0 = time.perf_counter()
-                out = run_piso_batched_eager(cb, out, n_steps, cfg=fleet_cfg,
-                                             backend=be, sm_predict=sm)
-                jax.block_until_ready(out.u)
+                state = [run_piso_eager(c, f, n_steps, cfg=fleet_cfg,
+                                        backend=be, sm_predict=sm)
+                         for c, f in zip(cs, state)]
+                for o in state:
+                    jax.block_until_ready(o.u)
                 ts.append(time.perf_counter() - t0)
             return (len(shapes) * n_cells
                     / (float(np.median(ts)) / n_steps) / 1e6)
 
-        # capped-MG lockstep farming AND the full production config
-        # (surrogate warm start + capped MG, vmapped over the fleet)
+        # capped-MG case farming AND the full production config
+        # (surrogate warm start + capped MG), both sequential-eager
         return lane(None), lane(predictor)
 
     fleet_mcells_s, fleet_hybrid_mcells_s = fleet_throughput()
@@ -198,6 +202,8 @@ def main():
             "hybrid_smoother": smoother,
             "fleet_4x1M_mcells_s": round(fleet_mcells_s, 1),
             "fleet_4x1M_hybrid_sm_mcells_s": round(fleet_hybrid_mcells_s, 1),
+            "fleet_mode": "sequential-eager per case (A/B vs vmapped "
+                          "lockstep: artifacts/fleet_ab_tpu.json)",
             "continuity_err_cg": float(continuity_error(case, flow_cg)),
             "device": str(jax.devices()[0]),
             "baseline_note": "1.0 Mcells/s = est. 1 s/step single-core "

@@ -200,3 +200,43 @@ def test_momentum_multisweep_vmap_fold_rule():
         ui, vi = f(ub[i], vb[i])
         np.testing.assert_array_equal(np.asarray(u_b[i]), np.asarray(ui))
         np.testing.assert_array_equal(np.asarray(v_b[i]), np.asarray(vi))
+
+
+def test_vmem_fit_tile_shrinks_and_stays_exact(monkeypatch):
+    """Scoped VMEM on the chip is 16 MiB; the 11-buffer momentum kernel at
+    tile 64 exceeds it at nx=4096 (a compile-time OOM, hit live in the
+    4.2M-cell scaling study). _fit_tile_y must shrink the tile to fit —
+    and a shrunken tile must still reproduce the XLA sweeps exactly."""
+    from tpufoam.fv.case import initial_flow
+    from tpufoam.fv.momentum import jacobi_momentum, momentum_coeffs
+    from tpufoam.ops import stencil as st
+
+    # the live-crash shape: 1024 x 4096 f32 momentum kernel -> tile 32
+    assert st._fit_tile_y(1024, 4096, 8, 11, 2, 4) == 32
+    # comfortably small shapes keep the full tile
+    assert st._fit_tile_y(1024, 1024, 8, 11, 2, 4) == 64
+    # nothing fits -> None, and the availability gate mirrors it
+    assert st._fit_tile_y(8, 16384, 8, 11, 2, 4) is None
+
+    # force the budget down so a small interpret-mode problem exercises
+    # the shrunken-tile code path end to end (128 x 256: a shape no other
+    # test jits, so the cached-trace tile can't mask the monkeypatch)
+    geom = channel_case_geometry("cylinder", length=2.0, height=1.0,
+                                 obstacle_size=0.3)
+    case = build_channel_case(geom, delta=1.0 / 128)    # 128 x 256
+    flow = initial_flow(case, dt0=2e-3)
+    coef = momentum_coeffs(case, flow.phi_x, flow.phi_y, flow.u, flow.v,
+                           flow.dt)
+    api = case.fluid / coef.a_p
+    u_ref, v_ref = jacobi_momentum(coef, case, flow.u, flow.v,
+                                   0.0 * flow.u, 0.0 * flow.v, sweeps=8)
+    assert st._fit_tile_y(128, 256, 8, 11, 2, 4) == 64
+    monkeypatch.setattr(st, "VMEM_LIMIT", 400_000)       # forces tile 16
+    assert st._fit_tile_y(128, 256, 8, 11, 2, 4) == 16
+    u_pal, v_pal = st.momentum_multisweep_pallas(
+        coef.a_e, coef.a_w, coef.a_n, coef.a_s, api, coef.b_u, coef.b_v,
+        flow.u, flow.v, sweeps=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(u_pal), np.asarray(u_ref),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v_pal), np.asarray(v_ref),
+                               atol=1e-5)

@@ -36,13 +36,44 @@ from jax.experimental.pallas import tpu as pltpu
 
 TILE_Y = 64
 
+# Scoped-VMEM budget for kernel-resident buffers. The chip limit is 16 MiB;
+# exceeding it is a COMPILE error ("Ran out of memory in memory space vmem
+# ... on stack", hit at 1024x4096 with the 11-buffer momentum kernel at
+# t=64). Leave headroom for compiler-managed temporaries.
+VMEM_LIMIT = 14 * 2**20
+
+
+def _fit_tile_y(ny: int, nx: int, halo: int, n_scratch: int,
+                n_out_bands: int, itemsize: int):
+    """Largest power-of-2 tile height (divisor of ny, >= halo) whose
+    kernel-resident VMEM — n_scratch haloed bands + n_out_bands output
+    bands — fits the scoped budget. None if even the minimum tile does
+    not fit (callers fall back to the XLA path via
+    pallas_available_for)."""
+    t = max(_tile_y(ny), halo)
+
+    def vmem(tt):
+        return (n_scratch * (tt + 2 * halo) + n_out_bands * tt) \
+            * nx * itemsize
+
+    while vmem(t) > VMEM_LIMIT:
+        if t // 2 < max(halo, 8) or ny % (t // 2):
+            return None
+        t //= 2
+    return t
+
 
 def pallas_available_for(shape: tuple[int, int], dtype=jnp.float32) -> bool:
     ny, nx = shape
     if not _INTERPRET and jax.default_backend() not in ("tpu", "axon"):
         return False
-    min_rows = 16 if dtype in (jnp.bfloat16, jnp.dtype(jnp.bfloat16)) else 8
-    return nx % 128 == 0 and ny % min_rows == 0
+    dtype = jnp.dtype(dtype)
+    min_rows = 16 if dtype == jnp.dtype(jnp.bfloat16) else 8
+    if nx % 128 or ny % min_rows:
+        return False
+    # the largest kernel (momentum multisweep: 9 operands + 2 staging
+    # scratch bands, 2 output bands) must fit scoped VMEM at SOME tile
+    return _fit_tile_y(ny, nx, min_rows, 11, 2, dtype.itemsize) is not None
 
 
 def _tile_y(ny: int) -> int:
@@ -330,7 +361,11 @@ def _momentum_multisweep_impl(a_e, a_w, a_n, a_s, ap_inv, bu, bv,
     if nx % 128 or ny % halo:
         raise ValueError(f"unsupported shape {(ny, nx)}; gate on "
                          "pallas_available_for")
-    t = max(_tile_y(ny), halo)
+    # 9 operand scratch bands + 2 staging, 2 output bands resident in VMEM
+    t = _fit_tile_y(ny, nx, halo, 11, 2, jnp.dtype(dtype).itemsize)
+    if t is None:
+        raise ValueError(f"shape {(ny, nx)} exceeds scoped VMEM at the "
+                         "minimum tile; gate on pallas_available_for")
     band = _band_spec(nx, t)
 
     def padh(f):
@@ -419,8 +454,13 @@ def jacobi_multisweep_pallas(coef, x: jnp.ndarray, b: jnp.ndarray,
     if nx % 128 or ny % halo:
         raise ValueError(f"unsupported shape {(ny, nx)} for dtype {dtype}; "
                          "gate calls on pallas_available_for")
-    t = _tile_y(ny)  # power-of-2 divisor of ny in [8, 64] -> multiple of
-    t = max(t, halo)  # halo given the ny % halo == 0 precondition
+    # 7 operand scratch bands + 1 staging, 1 output band resident in VMEM;
+    # tile shrinks to fit scoped VMEM at wide nx (power-of-2 divisor of
+    # ny, >= halo, given the ny % halo == 0 precondition)
+    t = _fit_tile_y(ny, nx, halo, 8, 1, jnp.dtype(dtype).itemsize)
+    if t is None:
+        raise ValueError(f"shape {(ny, nx)} exceeds scoped VMEM at the "
+                         "minimum tile; gate on pallas_available_for")
     band = _band_spec(nx, t)
 
     def padh(f, value=0.0):
