@@ -436,6 +436,12 @@ def train_main(argv=None):
     ap.add_argument("--regularization", type=float, default=None)
     ap.add_argument("--standardization", default="std",
                     choices=["std", "min_max", "max_abs"])
+    ap.add_argument("--loss-weighting", default="uniform",
+                    choices=["uniform", "variance"],
+                    help="'variance' weights the standardized-PC MSE by "
+                         "explained variance so the objective equals "
+                         "physical-space block MSE (tpufoam extension; "
+                         "the reference trains uniform, train.py:493-499)")
     ap.add_argument("--out", required=True, help="bundle output dir")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cache", default=None,
@@ -503,7 +509,8 @@ def train_main(argv=None):
                       var_in=args.var_in, var_out=args.var_p,
                       max_num_pc=args.max_num_pc, dropout=args.dropout,
                       l2=args.regularization,
-                      standardization=args.standardization, seed=args.seed)
+                      standardization=args.standardization,
+                      loss_weighting=args.loss_weighting, seed=args.seed)
     bundle, state = train_surrogate(ds, args.family, cfg,
                                     overlap_ratio=args.overlap,
                                     checkpoint_path=args.checkpoint,
