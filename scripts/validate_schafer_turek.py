@@ -41,6 +41,10 @@ def main():
                     help="fraction of the run treated as transient")
     ap.add_argument("--max-co", type=float, default=0.4)
     ap.add_argument("--backend", default="mgcg", choices=["mgcg", "mg"])
+    ap.add_argument("--ddt", default="euler", choices=["euler", "backward"],
+                    help="'backward' = variable-step BDF2; the published "
+                         "bands come from high-order solvers, and Euler's "
+                         "limit-cycle damping costs ~2% of cl_max")
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     ap.add_argument("--out", default=None)
     ap.add_argument("--series-out", default=None)
@@ -66,7 +70,7 @@ def main():
 
     backend = MGCGBackend(rtol=1e-6) if args.backend == "mgcg" \
         else MGBackend(cycles=4)
-    cfg = PisoConfig(max_co=args.max_co, max_dt=5e-3)
+    cfg = PisoConfig(max_co=args.max_co, max_dt=5e-3, ddt=args.ddt)
     flow = initial_flow(case, dt0=2e-4)
 
     t0 = time.perf_counter()
@@ -89,7 +93,7 @@ def main():
                                     cfg=cfg, backend=backend,
                                     progress=progress,
                                     inlet_scale=inlet_scale)
-    steps = len(series.t) * 10
+    steps = series.n_steps or len(series.t) * 10
 
     if args.bench == "2D-3":
         s = summarize_2d3(series, case, flow)
@@ -114,7 +118,8 @@ def main():
                if k in ("cd", "cl")}
     result = dict(bench=args.bench, delta=args.delta,
                   d_over_delta=0.1 / args.delta,
-                  boundary="cutcell", t_end=args.t_end, steps=steps, **s,
+                  boundary="cutcell", ddt=args.ddt,
+                  t_end=args.t_end, steps=steps, **s,
                   reference=ref,
                   ms_per_step=(time.perf_counter() - t0) / steps * 1e3)
     print(json.dumps(result, indent=2), flush=True)

@@ -166,3 +166,49 @@ def test_chunked_rollout_matches_eager():
         assert float(jnp.max(jnp.abs(a - b))) / scale < 1e-4
     assert float(f_c.t) == pytest.approx(float(f_e.t), rel=1e-6)
     assert bool(jnp.isfinite(flow.u).all())
+
+
+def test_backward_ddt_temporal_order(empty_channel):
+    """ddt='backward' (variable-step BDF2) on a pure-diffusion decay —
+    u = sin(pi y/H) in an inlet-off channel, so convection and its
+    lagged-coefficient O(dt) error vanish and the ddt scheme dominates.
+    BDF2 must be strictly more accurate than Euler at matched dt (the
+    remaining first-order flux/pressure lag keeps the max-norm ORDER
+    near 1 for both — OpenFOAM's pisoFoam has the same structure — but
+    the ddt-driven error component drops, which is what recovers the
+    Euler-damped vortex-shedding force peaks: 2D-2 cl_max 0.843 -> 0.912
+    at D/delta=15.6, artifacts/validation/st_2d2ddt_d16_backward.json)."""
+    from tpufoam.fv.case import fluxes_from_velocity
+    geom, case0 = empty_channel
+    case = case0.replace(inlet_u=case0.inlet_u * 0.0)
+    ny, nx = case.grid.ny, case.grid.nx
+    y = (np.arange(ny) + 0.5) * case.grid.dy
+    u0 = (jnp.asarray(np.sin(np.pi * y)[:, None] * np.ones((1, nx)),
+                      jnp.float32) * case.fluid)
+    v0 = jnp.zeros_like(u0)
+    phx, phy = fluxes_from_velocity(case, u0, v0)
+    base = initial_flow(case, dt0=1.0)
+    f0 = base.replace(u=u0, v=v0, phi_x=phx, phi_y=phy,
+                      u_prev=u0, v_prev=v0)
+    T = 0.64
+
+    def run(dt, ddt):
+        cfg = PisoConfig(n_correctors=2, momentum_sweeps=64,
+                         adjust_dt=False, ddt=ddt)
+        f = f0.replace(dt=np.float32(dt))
+        return np.asarray(run_piso(case, f, int(round(T / dt)), cfg=cfg,
+                                   backend=CGBackend(rtol=1e-10)).u)
+
+    errs = {}
+    for ddt in ("euler", "backward"):
+        ref = run(T / 128, ddt)
+        e1 = np.abs(run(T / 8, ddt) - ref).max()
+        e2 = np.abs(run(T / 16, ddt) - ref).max()
+        errs[ddt] = (e1, e2, e1 / e2)
+
+    # both converge under dt refinement ...
+    assert errs["euler"][2] > 1.4, errs
+    assert errs["backward"][2] > 1.4, errs
+    # ... and BDF2 is strictly more accurate at both step sizes
+    assert errs["backward"][0] < 0.8 * errs["euler"][0], errs
+    assert errs["backward"][1] < 0.8 * errs["euler"][1], errs

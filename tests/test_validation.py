@@ -173,3 +173,29 @@ def test_2d2_live():
     ref = PUBLISHED["2D-2"]
     assert abs(band_error(s["strouhal"], ref["strouhal"])) < 0.02, s
     assert abs(band_error(s["cd_max"], ref["cd_max"])) < 0.03, s
+
+
+def test_2d2_backward_ddt_recovers_euler_damped_lift():
+    """First-order Euler time stepping damps the vortex-shedding limit
+    cycle by ~pi*omega*dt per period (2.4% of cl_max at D/delta=62.5,
+    9-10% at 15.6 — matching the measured euler-run deficits). The
+    committed ddt A/B at the coarse grid must show 'backward' (variable-
+    step BDF2, PisoConfig.ddt) recovering most of that damping at
+    matched resolution."""
+    p_euler = os.path.join(ARTIFACTS, "st_2d2_d16.json")
+    p_bdf2 = os.path.join(ARTIFACTS, "st_2d2ddt_d16_backward.json")
+    if not (os.path.exists(p_euler) and os.path.exists(p_bdf2)):
+        pytest.skip("ddt A/B artifacts not committed")
+    with open(p_euler) as f:
+        euler = json.load(f)
+    with open(p_bdf2) as f:
+        bdf2 = json.load(f)
+    assert bdf2.get("ddt") == "backward"
+    assert abs(euler["d_over_delta"] - bdf2["d_over_delta"]) < 1e-6
+    # Euler damping estimate at this grid is ~9% of cl_max; BDF2 must
+    # recover at least two thirds of it
+    assert bdf2["cl_max"] > euler["cl_max"] + 0.05, (euler["cl_max"],
+                                                     bdf2["cl_max"])
+    # and not by blowing up the rest of the solution
+    assert abs(bdf2["cd_max"] - euler["cd_max"]) < 0.1
+    assert abs(bdf2["strouhal"] - euler["strouhal"]) < 0.01

@@ -155,6 +155,10 @@ def piso_main(argv=None):
                          "(fvSchemes:20) and is the default")
     ap.add_argument("--convection-blend", type=float, default=1.0,
                     help="deferred-central weight for --convection blend")
+    ap.add_argument("--ddt", default="euler", choices=["euler", "backward"],
+                    help="time scheme: 'euler' matches the reference's "
+                         "ddtSchemes default (fvSchemes:19); 'backward' is "
+                         "variable-step BDF2 (second-order in time)")
     ap.add_argument("--forces-out", default=None,
                     help="CSV path for the Cd/Cl time series (the "
                          "controlDict:61-107 forceCoeffs function object "
@@ -188,6 +192,7 @@ def piso_main(argv=None):
     cfg = PisoConfig(n_correctors=args.n_correctors, max_co=args.max_co,
                      convection=args.convection,
                      convection_blend=args.convection_blend,
+                     ddt=args.ddt,
                      momentum_smoother=args.momentum_smoother,
                      turb_wall_fn=args.turb_wall_fn)
     backend, sm_predict = _backend(args.backend, args.bundle, args.stitch,

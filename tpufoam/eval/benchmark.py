@@ -95,6 +95,9 @@ class ForceSeries:
     t: np.ndarray
     cd: np.ndarray
     cl: np.ndarray
+    n_steps: int = 0    # total solver steps taken (samples are not
+                        # uniformly spaced once the single-step t_stop
+                        # tail engages)
 
 
 def run_force_series(case, flow, t_end: float, u_ref: float,
@@ -144,7 +147,7 @@ def run_force_series(case, flow, t_end: float, u_ref: float,
         if progress is not None:
             progress(steps, ts[-1], cds[-1], cls_[-1])
     return flow, ForceSeries(t=np.asarray(ts), cd=np.asarray(cds),
-                             cl=np.asarray(cls_))
+                             cl=np.asarray(cls_), n_steps=steps)
 
 
 def strouhal_from_cl(ts, cls, d: float = D_CYL, u: float = 1.0) -> float:

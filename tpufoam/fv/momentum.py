@@ -203,7 +203,11 @@ def momentum_coeffs(case: Case, phi_x: jnp.ndarray, phi_y: jnp.ndarray,
                     convection_blend: float = 0.0,
                     nu_t: jnp.ndarray | None = None,
                     convection: str = "blend",
-                    k_turb: jnp.ndarray | None = None) -> MomentumCoeffs:
+                    k_turb: jnp.ndarray | None = None,
+                    ddt: str = "euler",
+                    u_nm1: jnp.ndarray | None = None,
+                    v_nm1: jnp.ndarray | None = None,
+                    dt_prev: jnp.ndarray | None = None) -> MomentumCoeffs:
     """convection: 'limitedLinear' applies the reference's limitedLinearV-1
     limiter (fvSchemes:20) as a deferred correction; 'blend' applies an
     unlimited central deferred correction scaled by `convection_blend`
@@ -222,7 +226,18 @@ def momentum_coeffs(case: Case, phi_x: jnp.ndarray, phi_y: jnp.ndarray,
     the nutkWallFunction role): on uniform grids the first cell centre
     sits at y+ ~ 30-100 in turbulent regimes, where the plain half-cell
     viscous link grossly underestimates tau_w. Validated against Dean's
-    turbulent-channel Cf correlation (tests/test_turbulence.py)."""
+    turbulent-channel Cf correlation (tests/test_turbulence.py).
+
+    ddt: 'euler' (the reference's ddtSchemes default, fvSchemes:19) or
+    'backward' — variable-step BDF2 using u_nm1/v_nm1 (= u^{n-1}, the
+    Flow.u_prev fields) and dt_prev (= the previous step size, Flow.dt
+    at step entry). With r = dt/dt_prev the implicit coefficient is
+    c1 = (1+2r)/(1+r) and the source carries c2 u^n - c3 u^{n-1}
+    (c2 = 1+r, c3 = r^2/(1+r)); r=1 recovers classic BDF2, and
+    u^{n-1} == u^n (the bootstrap step) is consistent since
+    c1 - (c2 - c3) = 0. Second-order in time: first-order Euler damping
+    of the vortex-shedding limit cycle is what holds the 2D-2 cl_max
+    ~2% under the published band (docs/STATUS.md)."""
     grid = case.grid
     dx, dy, nu = grid.dx, grid.dy, case.nu
     vol = dx * dy
@@ -279,11 +294,19 @@ def momentum_coeffs(case: Case, phi_x: jnp.ndarray, phi_y: jnp.ndarray,
 
     volc = case.alpha * vol
     div_f = f_e - f_w + f_n - f_s
+    if ddt == "backward":
+        r = dt / jnp.maximum(dt_prev, 1e-30)
+        c1 = (1.0 + 2.0 * r) / (1.0 + r)
+        ddt_u = (volc / dt) * ((1.0 + r) * u_old
+                               - (r * r / (1.0 + r)) * u_nm1)
+        ddt_v = (volc / dt) * ((1.0 + r) * v_old
+                               - (r * r / (1.0 + r)) * v_nm1)
+    else:
+        c1 = 1.0
+        ddt_u = (volc / dt) * u_old
+        ddt_v = (volc / dt) * v_old
     a_p = (a_e + a_w + a_n + a_s + wall_contrib + a_wall + a_in + div_f
-           + volc / dt) * case.fluid + (1.0 - case.fluid)
-
-    ddt_u = (volc / dt) * u_old
-    ddt_v = (volc / dt) * v_old
+           + c1 * volc / dt) * case.fluid + (1.0 - case.fluid)
     b_u = (ddt_u + a_in * case.inlet_u[:, None]) * case.fluid
     b_v = ddt_v * case.fluid
     if convection == "limitedLinear":

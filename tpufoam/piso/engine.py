@@ -48,6 +48,14 @@ class PisoConfig:
                                       # default ON) | 'blend' | 'upwind'
     convection_blend: float = 0.0     # gamma for convection='blend'
                                       # (0 upwind .. 1 deferred central)
+    ddt: str = "euler"                # 'euler' (ddtSchemes default,
+                                      # fvSchemes:19) | 'backward'
+                                      # (variable-step BDF2 from the
+                                      # already-carried u_prev/v_prev and
+                                      # the previous step size — second-
+                                      # order in time; closes the Euler
+                                      # limit-cycle damping on unsteady
+                                      # force peaks)
     momentum_smoother: str = "xla"    # 'pallas': all momentum sweeps in
                                       # one fused temporal-blocked kernel
                                       # pass (ops.stencil); falls back to
@@ -167,7 +175,10 @@ def _piso_step_impl(case: Case, flow: Flow, cfg: PisoConfig = PisoConfig(),
     coef = momentum_coeffs(case, phi_x, phi_y, u, v, dt,
                            convection_blend=cfg.convection_blend, nu_t=nu_t,
                            convection=cfg.convection,
-                           k_turb=k_turb if cfg.turb_wall_fn else None)
+                           k_turb=k_turb if cfg.turb_wall_fn else None,
+                           ddt=cfg.ddt,
+                           u_nm1=flow.u_prev, v_nm1=flow.v_prev,
+                           dt_prev=flow.dt)
     gpx, gpy = pressure_gradient(case, p)
     u, v = jacobi_momentum(coef, case, u, v, -gpx * volc, -gpy * volc,
                            sweeps=cfg.momentum_sweeps,
