@@ -212,3 +212,26 @@ def test_backward_ddt_temporal_order(empty_channel):
     # ... and BDF2 is strictly more accurate at both step sizes
     assert errs["backward"][0] < 0.8 * errs["euler"][0], errs
     assert errs["backward"][1] < 0.8 * errs["euler"][1], errs
+
+
+def test_inlet_scale_fn_matches_prescaled_inlet(empty_channel):
+    """PisoConfig.inlet_scale_fn with a constant scale must reproduce a
+    run whose case.inlet_u was pre-scaled by the same factor bitwise —
+    the traced in-step BC path and the host-side path are the same
+    discretization when the scale is time-independent."""
+    _, case = empty_channel
+
+    def half(t):
+        return jnp.float32(0.5) + 0.0 * t
+
+    cfg = PisoConfig(adjust_dt=False, inlet_scale_fn=half)
+    f0 = initial_flow(case, dt0=2e-3)
+    out_fn = run_piso(case, f0, 20, cfg=cfg, backend=CGBackend(rtol=1e-9))
+
+    case2 = case.replace(inlet_u=case.inlet_u * 0.5)
+    out_pre = run_piso(case2, f0, 20, cfg=PisoConfig(adjust_dt=False),
+                       backend=CGBackend(rtol=1e-9))
+    np.testing.assert_array_equal(np.asarray(out_fn.u),
+                                  np.asarray(out_pre.u))
+    np.testing.assert_array_equal(np.asarray(out_fn.p),
+                                  np.asarray(out_pre.p))
