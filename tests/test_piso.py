@@ -235,3 +235,30 @@ def test_inlet_scale_fn_matches_prescaled_inlet(empty_channel):
                                   np.asarray(out_pre.u))
     np.testing.assert_array_equal(np.asarray(out_fn.p),
                                   np.asarray(out_pre.p))
+
+
+def test_ddt_corr_parity_flag(empty_channel):
+    """PisoConfig.ddt_corr reproduces pEqn.H:7 `fvc::interpolate(rAU) *
+    fvc::ddtCorr(U, phi)`. From a flux-consistent initial state the
+    first-step correction is identically zero (phi^0 == interp(u^0)&Sf),
+    and a rollout with it enabled must stay conservative and close to
+    the uncorrected solution (the term is a consistency correction, not
+    a new physics source). Step-1 equality is to rounding: the host-side
+    initial fluxes and the fused in-jit interpolation differ at the ulp
+    level, and the correction divides by dt."""
+    _, case = empty_channel
+    f0 = initial_flow(case, dt0=2e-3)
+    be = CGBackend(rtol=1e-9)
+    cfg0 = PisoConfig(adjust_dt=False)
+    cfg1 = PisoConfig(adjust_dt=False, ddt_corr=True)
+
+    s0 = piso_step(case, f0, cfg=cfg0, backend=be)
+    s1 = piso_step(case, f0, cfg=cfg1, backend=be)
+    np.testing.assert_allclose(np.asarray(s0.u), np.asarray(s1.u),
+                               atol=1e-4)
+
+    out0 = run_piso(case, f0, 50, cfg=cfg0, backend=be)
+    out1 = run_piso(case, f0, 50, cfg=cfg1, backend=be)
+    assert float(continuity_error(case, out1)) < 1e-6
+    du = np.abs(np.asarray(out1.u) - np.asarray(out0.u)).max()
+    assert du < 0.05 * float(np.abs(np.asarray(out0.u)).max()), du

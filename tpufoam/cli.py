@@ -159,6 +159,10 @@ def piso_main(argv=None):
                     help="time scheme: 'euler' matches the reference's "
                          "ddtSchemes default (fvSchemes:19); 'backward' is "
                          "variable-step BDF2 (second-order in time)")
+    ap.add_argument("--ddt-corr", action="store_true",
+                    help="fvc::ddtCorr(U, phi) in the pressure equation "
+                         "(pEqn.H:7 parity; Rhie-Chow transient "
+                         "consistency)")
     ap.add_argument("--forces-out", default=None,
                     help="CSV path for the Cd/Cl time series (the "
                          "controlDict:61-107 forceCoeffs function object "
@@ -192,7 +196,7 @@ def piso_main(argv=None):
     cfg = PisoConfig(n_correctors=args.n_correctors, max_co=args.max_co,
                      convection=args.convection,
                      convection_blend=args.convection_blend,
-                     ddt=args.ddt,
+                     ddt=args.ddt, ddt_corr=args.ddt_corr,
                      momentum_smoother=args.momentum_smoother,
                      turb_wall_fn=args.turb_wall_fn)
     backend, sm_predict = _backend(args.backend, args.bundle, args.stitch,

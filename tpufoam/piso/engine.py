@@ -81,6 +81,19 @@ class PisoConfig:
                                       # the deceleration pressure gradient
                                       # (the 2D-3 dP(t=8) quantity) never
                                       # forms.
+    ddt_corr: bool = False            # fvc::ddtCorr in pEqn (pEqn.H:4
+                                      # `phiHbyA += rAUf*ddtCorr(U,phi)`):
+                                      # restores the old-time FACE flux
+                                      # information the cell-centred H/A
+                                      # interpolation loses — the
+                                      # Rhie-Chow transient inconsistency
+                                      # that caps the step's temporal
+                                      # accuracy at first order even
+                                      # under ddt='backward'. Off by
+                                      # default (the committed validation
+                                      # ladder ran without it); enable
+                                      # together with ddt='backward' for
+                                      # time-accurate unsteady runs.
     t_stop: float = 0.0               # when > 0, cap the adaptive dt so the
                                       # run lands EXACTLY on t_stop
                                       # (OpenFOAM adjustTimeStep-to-
@@ -195,6 +208,25 @@ def _piso_step_impl(case: Case, flow: Flow, cfg: PisoConfig = PisoConfig(),
         hbya_u = hu * case.fluid / coef.a_p  # HbyA = H()/A() = h/a_P
         hbya_v = hv * case.fluid / coef.a_p
         phi_hx, phi_hy = face_fluxes_hbya(case, hbya_u, hbya_v)
+        if cfg.ddt_corr:
+            # fvc::ddtCorr(U, phi): the b-vector's ddt source enters
+            # phiHbyA as interp(u^n); replace that face value with the
+            # face-native old flux phi^n, scaled by rAU_f/dt and
+            # OpenFOAM's coupling limiter (EulerDdtScheme::fvcDdtPhiCorr).
+            # Interior faces only — domain-boundary fluxes are
+            # constrained (constrainHbyA).
+            from ..fv.case import fluxes_from_velocity
+            phi_ux, phi_uy = fluxes_from_velocity(case, flow.u, flow.v)
+            dpx = flow.phi_x[:, 1:-1] - phi_ux[:, 1:-1]
+            dpy = flow.phi_y[1:-1, :] - phi_uy[1:-1, :]
+            lim_x = 1.0 - jnp.minimum(
+                jnp.abs(dpx) / (jnp.abs(flow.phi_x[:, 1:-1]) + 1e-30), 1.0)
+            lim_y = 1.0 - jnp.minimum(
+                jnp.abs(dpy) / (jnp.abs(flow.phi_y[1:-1, :]) + 1e-30), 1.0)
+            rau_fx = 0.5 * (rau[:, :-1] + rau[:, 1:])
+            rau_fy = 0.5 * (rau[:-1, :] + rau[1:, :])
+            phi_hx = phi_hx.at[:, 1:-1].add(lim_x * rau_fx / dt * dpx)
+            phi_hy = phi_hy.at[1:-1, :].add(lim_y * rau_fy / dt * dpy)
 
         pcoef = pressure_coeffs(case, rau)
         rhs = pressure_rhs(case, phi_hx, phi_hy)
