@@ -104,7 +104,8 @@ def main():
     # fails on this runtime.
     import dataclasses as _dc
     from tpufoam.ops.stencil import pallas_available_for
-    if pallas_available_for(case.fluid.shape, case.fluid.dtype):
+    if pallas_available_for(case.fluid.shape, case.fluid.dtype,
+                            kernel="momentum"):
         # pallas supported here: a failure is a REAL regression — let it
         # fail the benchmark rather than silently re-timing as xla
         # (ADVICE r2: the old blanket except hid genuine breakage)

@@ -64,7 +64,8 @@ def main():
         case = build_channel_case(geom, delta=delta)
         n_cells = case.grid.n_cells
         cfg = PisoConfig(n_correctors=2, max_co=0.5, max_dt=2e-3)
-        if pallas_available_for(case.fluid.shape, case.fluid.dtype):
+        if pallas_available_for(case.fluid.shape, case.fluid.dtype,
+                                kernel="momentum"):
             cfg = dc.replace(cfg, momentum_smoother="pallas")
         flow0 = initial_flow(case, dt0=5e-4)
 

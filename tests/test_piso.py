@@ -262,3 +262,18 @@ def test_ddt_corr_parity_flag(empty_channel):
     assert float(continuity_error(case, out1)) < 1e-6
     du = np.abs(np.asarray(out1.u) - np.asarray(out0.u)).max()
     assert du < 0.05 * float(np.abs(np.asarray(out0.u)).max()), du
+
+
+def test_t_stop_lands_exactly_with_fixed_dt(empty_channel):
+    """The exact-landing contract (PisoConfig.t_stop) must hold for
+    fixed-dt configs too — the cap lives in piso_step, not only in the
+    adaptive-dt path."""
+    _, case = empty_channel
+    f = initial_flow(case, dt0=3e-3)
+    cfg = PisoConfig(adjust_dt=False, t_stop=0.01)  # 0.01/3e-3 not integral
+    be = CGBackend(rtol=1e-8)
+    for _ in range(5):
+        f = piso_step(case, f, cfg=cfg, backend=be)
+    # exact in f32 terms: t equals float32(0.01) bit-for-bit
+    assert float(f.t) <= float(np.float32(0.01)) + 2e-6, float(f.t)
+    assert abs(float(f.t) - float(np.float32(0.01))) < 3e-6, float(f.t)

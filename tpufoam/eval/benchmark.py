@@ -130,12 +130,21 @@ def run_force_series(case, flow, t_end: float, u_ref: float,
 
     ts, cds, cls_ = [], [], []
     steps = 0
-    while float(flow.t) < t_end:
+    # compare against the f32 rendering of t_end: flow.t lives in f32, and
+    # a non-representable t_end (e.g. 0.01) would otherwise force one
+    # extra floor-dt step past the t_stop landing
+    t_end32 = float(np.float32(t_end))
+    while float(flow.t) < t_end32:
         n = sample_steps
+        # single-step tail: the t_stop-capped landing step (which ends at
+        # exactly t_end) must be the LAST step executed — any same-chunk
+        # step past the ramp (dU/dt = 0) destroys the dP(t=8) field. The
+        # margin must cover the worst n-step advance under the 1.2x/step
+        # growth cap: sum(1.2^i) = 5*(1.2^n - 1) ~= 26*dt at n=10, hence
+        # the factor 3n.
         if cfg.t_stop and (t_end - float(flow.t)
-                           < 2.0 * sample_steps * float(flow.dt)):
-            n = 1   # single-step tail: the t_stop-capped landing step
-                    # (which ends at exactly t_end) must be the LAST one
+                           < 3.0 * sample_steps * float(flow.dt)):
+            n = 1
         flow = run_piso_chunked(case, flow, n, cfg=cfg,
                                 backend=backend, chunk=n)
         steps += n

@@ -368,7 +368,8 @@ def jacobi_momentum(coef: MomentumCoeffs, case: Case,
         # be rejected by the partitioner) on sharded operands, so a mesh
         # whose decomposition the sharded kernel can't take falls through
         # to the XLA smoother instead
-        if mesh is None and _st.pallas_available_for(u0.shape, u0.dtype) \
+        if mesh is None and _st.pallas_available_for(u0.shape, u0.dtype,
+                                                     kernel="momentum") \
                 and sweeps <= 8:
             api = inv_ap * case.fluid
             return _st.momentum_multisweep_pallas(

@@ -63,7 +63,21 @@ def _fit_tile_y(ny: int, nx: int, halo: int, n_scratch: int,
     return t
 
 
-def pallas_available_for(shape: tuple[int, int], dtype=jnp.float32) -> bool:
+# kernel-resident VMEM band counts (scratch bands incl. staging, output
+# bands) per kernel family — see the pallas_call scratch_shapes/out_specs
+_KERNEL_BANDS = {
+    "momentum": (11, 2),   # 9 operands + 2 staging, u/v out
+    "jacobi": (8, 1),      # 7 operands + 1 staging, 1 out
+}
+
+
+def pallas_available_for(shape: tuple[int, int], dtype=jnp.float32,
+                         kernel: str = "momentum") -> bool:
+    """True when the named kernel family compiles for `shape` on this
+    backend: lane/sublane divisibility AND the kernel's resident bands
+    fit scoped VMEM at some tile. Gate each call site with its OWN
+    kernel (the momentum kernel is the largest — using it as a proxy
+    would wrongly disable the smaller jacobi smoother at wide shapes)."""
     ny, nx = shape
     if not _INTERPRET and jax.default_backend() not in ("tpu", "axon"):
         return False
@@ -71,9 +85,9 @@ def pallas_available_for(shape: tuple[int, int], dtype=jnp.float32) -> bool:
     min_rows = 16 if dtype == jnp.dtype(jnp.bfloat16) else 8
     if nx % 128 or ny % min_rows:
         return False
-    # the largest kernel (momentum multisweep: 9 operands + 2 staging
-    # scratch bands, 2 output bands) must fit scoped VMEM at SOME tile
-    return _fit_tile_y(ny, nx, min_rows, 11, 2, dtype.itemsize) is not None
+    n_scratch, n_out = _KERNEL_BANDS[kernel]
+    return _fit_tile_y(ny, nx, min_rows, n_scratch, n_out,
+                       dtype.itemsize) is not None
 
 
 def _tile_y(ny: int) -> int:

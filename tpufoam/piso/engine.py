@@ -91,9 +91,14 @@ class PisoConfig:
                                       # accuracy at first order even
                                       # under ddt='backward'. Off by
                                       # default (the committed validation
-                                      # ladder ran without it); enable
-                                      # together with ddt='backward' for
-                                      # time-accurate unsteady runs.
+                                      # ladder ran without it). Under
+                                      # ddt='backward' the correction is
+                                      # scaled by the BDF2 implicit
+                                      # coefficient but omits the
+                                      # phi^{n-1} term (old-old fluxes
+                                      # are not carried) — an
+                                      # approximation of
+                                      # backwardDdtScheme::fvcDdtPhiCorr.
     t_stop: float = 0.0               # when > 0, cap the adaptive dt so the
                                       # run lands EXACTLY on t_stop
                                       # (OpenFOAM adjustTimeStep-to-
@@ -141,10 +146,6 @@ def _next_dt(case: Case, flow: Flow, cfg: PisoConfig) -> jnp.ndarray:
     co = courant_number(case, flow) / jnp.maximum(flow.dt, 1e-12)  # Co per unit dt
     dt_co = cfg.max_co / jnp.maximum(co, 1e-12)
     new_dt = jnp.minimum(jnp.minimum(dt_co, 1.2 * flow.dt), cfg.max_dt)
-    if cfg.t_stop and cfg.t_stop > 0:
-        # land exactly on t_stop (adjustTimeStep-to-writeTime semantics)
-        new_dt = jnp.minimum(new_dt,
-                             jnp.maximum(cfg.t_stop - flow.t, 1e-6))
     return new_dt.astype(flow.dt.dtype)
 
 
@@ -165,6 +166,12 @@ def _piso_step_impl(case: Case, flow: Flow, cfg: PisoConfig = PisoConfig(),
     vol = grid.dx * grid.dy
     volc = case.alpha * vol       # cut-cell fluid volumes (== vol when blank)
     dt = _next_dt(case, flow, cfg) if cfg.adjust_dt else flow.dt
+    if cfg.t_stop and cfg.t_stop > 0:
+        # land exactly on t_stop (adjustTimeStep-to-writeTime semantics).
+        # Applied to fixed-dt configs too, so the exact-landing contract
+        # holds regardless of adjust_dt.
+        dt = jnp.minimum(dt, jnp.maximum(cfg.t_stop - flow.t,
+                                         1e-6)).astype(flow.dt.dtype)
 
     # time-dependent inlet: evaluate the profile scale at the new time level
     # (backward-Euler BC treatment — the implicit momentum solve then sees
@@ -211,11 +218,21 @@ def _piso_step_impl(case: Case, flow: Flow, cfg: PisoConfig = PisoConfig(),
         if cfg.ddt_corr:
             # fvc::ddtCorr(U, phi): the b-vector's ddt source enters
             # phiHbyA as interp(u^n); replace that face value with the
-            # face-native old flux phi^n, scaled by rAU_f/dt and
-            # OpenFOAM's coupling limiter (EulerDdtScheme::fvcDdtPhiCorr).
-            # Interior faces only — domain-boundary fluxes are
-            # constrained (constrainHbyA).
+            # face-native old flux phi^n, scaled by rAU_f * (implicit ddt
+            # coefficient)/dt and OpenFOAM's coupling limiter
+            # (EulerDdtScheme::fvcDdtPhiCorr). Under ddt='backward' the
+            # implicit coefficient c1 is applied but the phi^{n-1} term of
+            # backwardDdtScheme::fvcDdtPhiCorr is omitted (Flow does not
+            # carry old-old fluxes) — a first-order-consistent
+            # approximation of that scheme's corrector. Interior faces
+            # only — domain-boundary fluxes are constrained
+            # (constrainHbyA).
             from ..fv.case import fluxes_from_velocity
+            if cfg.ddt == "backward":
+                rr = dt / jnp.maximum(flow.dt, 1e-30)
+                cddt = (1.0 + 2.0 * rr) / (1.0 + rr)
+            else:
+                cddt = 1.0
             phi_ux, phi_uy = fluxes_from_velocity(case, flow.u, flow.v)
             dpx = flow.phi_x[:, 1:-1] - phi_ux[:, 1:-1]
             dpy = flow.phi_y[1:-1, :] - phi_uy[1:-1, :]
@@ -225,8 +242,8 @@ def _piso_step_impl(case: Case, flow: Flow, cfg: PisoConfig = PisoConfig(),
                 jnp.abs(dpy) / (jnp.abs(flow.phi_y[1:-1, :]) + 1e-30), 1.0)
             rau_fx = 0.5 * (rau[:, :-1] + rau[:, 1:])
             rau_fy = 0.5 * (rau[:-1, :] + rau[1:, :])
-            phi_hx = phi_hx.at[:, 1:-1].add(lim_x * rau_fx / dt * dpx)
-            phi_hy = phi_hy.at[1:-1, :].add(lim_y * rau_fy / dt * dpy)
+            phi_hx = phi_hx.at[:, 1:-1].add(cddt * lim_x * rau_fx / dt * dpx)
+            phi_hy = phi_hy.at[1:-1, :].add(cddt * lim_y * rau_fy / dt * dpy)
 
         pcoef = pressure_coeffs(case, rau)
         rhs = pressure_rhs(case, phi_hx, phi_hy)

@@ -137,7 +137,7 @@ def _smooth(coef: PressureCoeffs, x: jnp.ndarray, b: jnp.ndarray,
     if smoother == "pallas":
         from ..ops.stencil import (_halo_for, jacobi_multisweep_pallas,
                                    pallas_available_for)
-        if (pallas_available_for(x.shape, x.dtype)
+        if (pallas_available_for(x.shape, x.dtype, kernel="jacobi")
                 and iters <= _halo_for(x.dtype)):
             return jacobi_multisweep_pallas(coef, x, b, iters=iters,
                                             omega=omega)
