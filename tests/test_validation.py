@@ -199,3 +199,27 @@ def test_2d2_backward_ddt_recovers_euler_damped_lift():
     # and not by blowing up the rest of the solution
     assert abs(bdf2["cd_max"] - euler["cd_max"]) < 0.1
     assert abs(bdf2["strouhal"] - euler["strouhal"]) < 0.01
+
+
+def test_2d2_backward_ddt_lift_in_published_band():
+    """With ddt='backward' the 2D-2 lift maximum must sit inside (or
+    within 1% of) the published band at every committed backward-run
+    resolution of D/delta >= 30 — something the Euler scheme (the
+    reference's config) never achieves: its ~pi*omega*dt limit-cycle
+    damping keeps cl_max ~2% low even at D/delta=125. Measured at
+    D/delta=31.25: cl_max 1.0090 vs published [0.99, 1.01] (euler at the
+    same grid: 0.965)."""
+    paths = sorted(glob.glob(os.path.join(ARTIFACTS,
+                                          "st_2d2ddt_d*_backward.json")))
+    runs = []
+    for p in paths:
+        with open(p) as f:
+            r = json.load(f)
+        if r.get("ddt") == "backward" and r["d_over_delta"] >= 30:
+            runs.append(r)
+    if not runs:
+        pytest.skip("no committed backward-ddt runs at D/delta >= 30")
+    ref = PUBLISHED["2D-2"]
+    for r in runs:
+        assert abs(band_error(r["cl_max"], ref["cl_max"])) < 0.01, r
+        assert abs(band_error(r["strouhal"], ref["strouhal"])) < 0.02, r
