@@ -45,6 +45,9 @@ def main():
                     help="'backward' = variable-step BDF2; the published "
                          "bands come from high-order solvers, and Euler's "
                          "limit-cycle damping costs ~2% of cl_max")
+    ap.add_argument("--ddt-corr", action="store_true",
+                    help="fvc::ddtCorr in the pressure equation "
+                         "(pEqn.H:7 parity)")
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     ap.add_argument("--out", default=None)
     ap.add_argument("--series-out", default=None)
@@ -70,7 +73,8 @@ def main():
 
     backend = MGCGBackend(rtol=1e-6) if args.backend == "mgcg" \
         else MGBackend(cycles=4)
-    cfg = PisoConfig(max_co=args.max_co, max_dt=5e-3, ddt=args.ddt)
+    cfg = PisoConfig(max_co=args.max_co, max_dt=5e-3, ddt=args.ddt,
+                     ddt_corr=args.ddt_corr)
     flow = initial_flow(case, dt0=2e-4)
 
     t0 = time.perf_counter()
@@ -118,7 +122,7 @@ def main():
                if k in ("cd", "cl")}
     result = dict(bench=args.bench, delta=args.delta,
                   d_over_delta=0.1 / args.delta,
-                  boundary="cutcell", ddt=args.ddt,
+                  boundary="cutcell", ddt=args.ddt, ddt_corr=args.ddt_corr,
                   t_end=args.t_end, steps=steps, **s,
                   reference=ref,
                   ms_per_step=(time.perf_counter() - t0) / steps * 1e3)
