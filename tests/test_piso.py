@@ -277,3 +277,24 @@ def test_t_stop_lands_exactly_with_fixed_dt(empty_channel):
     # exact in f32 terms: t equals float32(0.01) bit-for-bit
     assert float(f.t) <= float(np.float32(0.01)) + 2e-6, float(f.t)
     assert abs(float(f.t) - float(np.float32(0.01))) < 3e-6, float(f.t)
+
+
+def test_ramped_rollout_chunked_matches_eager(empty_channel):
+    """The jitted-chunk rollout and the eager donated rollout must agree
+    on a time-dependent-inlet (ramped) run — guards the inlet_scale_fn /
+    t_stop plumbing through both production stepping paths."""
+    from tpufoam.piso.engine import run_piso_chunked, run_piso_eager
+
+    _, case = empty_channel
+
+    def ramp(t):
+        return jnp.clip(t / 0.05, 0.0, 1.0)
+
+    cfg = PisoConfig(adjust_dt=False, inlet_scale_fn=ramp, t_stop=0.08)
+    be = CGBackend(rtol=1e-9)
+    f0 = initial_flow(case.replace(inlet_u=case.inlet_u * 0.0), dt0=2e-3)
+    out_c = run_piso_chunked(case, f0, 40, cfg=cfg, backend=be, chunk=10)
+    out_e = run_piso_eager(case, f0, 40, cfg=cfg, backend=be)
+    assert float(out_c.t) == float(out_e.t)
+    np.testing.assert_allclose(np.asarray(out_c.u), np.asarray(out_e.u),
+                               atol=1e-6)
