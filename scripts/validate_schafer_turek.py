@@ -40,11 +40,21 @@ def main():
     ap.add_argument("--settle", type=float, default=0.6,
                     help="fraction of the run treated as transient")
     ap.add_argument("--max-co", type=float, default=0.4)
-    ap.add_argument("--backend", default="mgcg", choices=["mgcg", "mg"])
+    ap.add_argument("--backend", default="mgcg",
+                    choices=["mgcg", "mg", "hybrid"],
+                    help="'hybrid' = the PRODUCTION path bench.py times: "
+                         "surrogate pressure warm start (--bundle) + "
+                         "capped bf16 multigrid polish (--mg-cycles)")
+    ap.add_argument("--bundle", default=None,
+                    help="surrogate bundle dir for --backend hybrid "
+                         "(e.g. artifacts/sm_st128)")
+    ap.add_argument("--mg-cycles", type=int, default=2,
+                    help="polish V-cycles per corrector in hybrid mode "
+                         "(bench.py production config: 2)")
     ap.add_argument("--ddt", default="euler", choices=["euler", "backward"],
                     help="'backward' = variable-step BDF2; the published "
                          "bands come from high-order solvers, and Euler's "
-                         "limit-cycle damping costs ~2% of cl_max")
+                         "limit-cycle damping costs ~2%% of cl_max")
     ap.add_argument("--ddt-corr", action="store_true",
                     help="fvc::ddtCorr in the pressure equation "
                          "(pEqn.H:7 parity)")
@@ -71,8 +81,27 @@ def main():
           f"({case.grid.ny * case.grid.nx / 1e3:.0f}k cells, "
           f"D/delta = {0.1 / args.delta:.1f})", flush=True)
 
-    backend = MGCGBackend(rtol=1e-6) if args.backend == "mgcg" \
-        else MGBackend(cycles=4)
+    sm_predict = None
+    bundle_name = None
+    if args.backend == "hybrid":
+        # The production configuration bench.py times: SM warm start +
+        # capped mixed-precision V-cycle polish (Algorithm 2 semantics).
+        if not args.bundle:
+            ap.error("--backend hybrid requires --bundle")
+        from tpufoam.surrogate.pipeline import SurrogateBundle, make_predictor
+        bundle = SurrogateBundle.load(args.bundle)
+        bundle_name = os.path.basename(os.path.normpath(args.bundle))
+        sm_predict = make_predictor(bundle, stitch="lstsq")
+        backend = MGBackend(cycles=args.mg_cycles, precision="bf16")
+        if case.grid.ny < bundle.block_size or case.grid.nx < bundle.block_size:
+            raise SystemExit(
+                f"grid {case.grid.ny}x{case.grid.nx} smaller than the "
+                f"bundle block size {bundle.block_size}; use a finer "
+                f"--delta (<= {0.41 / bundle.block_size:.5f})")
+    elif args.backend == "mgcg":
+        backend = MGCGBackend(rtol=1e-6)
+    else:
+        backend = MGBackend(cycles=4)
     cfg = PisoConfig(max_co=args.max_co, max_dt=5e-3, ddt=args.ddt,
                      ddt_corr=args.ddt_corr)
     flow = initial_flow(case, dt0=2e-4)
@@ -96,7 +125,8 @@ def main():
     flow, series = run_force_series(case, flow, args.t_end, u_ref=u_mean,
                                     cfg=cfg, backend=backend,
                                     progress=progress,
-                                    inlet_scale=inlet_scale)
+                                    inlet_scale=inlet_scale,
+                                    sm_predict=sm_predict)
     steps = series.n_steps or len(series.t) * 10
 
     if args.bench == "2D-3":
@@ -123,9 +153,12 @@ def main():
     result = dict(bench=args.bench, delta=args.delta,
                   d_over_delta=0.1 / args.delta,
                   boundary="cutcell", ddt=args.ddt, ddt_corr=args.ddt_corr,
-                  t_end=args.t_end, steps=steps, **s,
+                  backend=args.backend, t_end=args.t_end, steps=steps, **s,
                   reference=ref,
                   ms_per_step=(time.perf_counter() - t0) / steps * 1e3)
+    if bundle_name is not None:
+        result["bundle"] = bundle_name
+        result["mg_cycles"] = args.mg_cycles
     print(json.dumps(result, indent=2), flush=True)
     if args.out:
         os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)

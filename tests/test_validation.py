@@ -239,3 +239,51 @@ def test_2d2_backward_ddt_lift_in_published_band():
     for r in runs:
         assert abs(band_error(r["cl_max"], ref["cl_max"])) < 0.01, r
         assert abs(band_error(r["strouhal"], ref["strouhal"])) < 0.02, r
+
+
+def test_hybrid_force_series_smoke():
+    """The SM-in-the-loop validation path (validate_schafer_turek
+    --backend hybrid): run_force_series with a surrogate warm start +
+    capped bf16 multigrid polish — the exact production configuration
+    bench.py times — must advance the benchmark case and produce finite
+    forces. Uses a structural random bundle on a coarse grid; the
+    physics-grade run (trained sm_st128 bundle at D/delta=62.5 on TPU)
+    ships as the st_2d2_hybrid artifact."""
+    from __graft_entry__ import _tiny_bundle
+
+    from tpufoam.fv.case import initial_flow
+    from tpufoam.piso.engine import PisoConfig
+    from tpufoam.solvers.backends import MGBackend
+    from tpufoam.surrogate.pipeline import make_predictor
+
+    case, u_mean = schafer_turek_case("2D-2", delta=0.41 / 32)
+    flow = initial_flow(case, dt0=1e-3)
+    predictor = make_predictor(_tiny_bundle(block_size=16), stitch="lstsq")
+    cfg = PisoConfig(max_co=0.4, max_dt=5e-3)
+    flow, series = run_force_series(
+        case, flow, t_end=0.02, u_ref=u_mean, cfg=cfg,
+        backend=MGBackend(cycles=2, precision="bf16"),
+        sample_steps=5, sm_predict=predictor)
+    assert len(series.t) >= 1
+    assert np.isfinite(series.cd).all() and np.isfinite(series.cl).all()
+    assert np.isfinite(np.asarray(flow.p)).all()
+
+
+def test_2d2_hybrid_production_path_matches_published():
+    """SM-in-the-loop external validation: the committed hybrid-backend
+    2D-2 artifact (surrogate warm start from the held-out-trained
+    sm_st128 bundle + 2 bf16 V-cycles of polish per corrector) must stay
+    within the same tolerances as the pure solver — i.e. the production
+    path preserves published physics, not just solver-internal L2. The
+    reference never validates its coupled solver externally at all."""
+    paths = sorted(glob.glob(os.path.join(ARTIFACTS,
+                                          "st_2d2_hybrid_*.json")))
+    runs = [json.load(open(p)) for p in paths]
+    runs = [r for r in runs if r.get("backend") == "hybrid"]
+    if not runs:
+        pytest.skip("no committed hybrid-backend 2D-2 runs")
+    ref = PUBLISHED["2D-2"]
+    for r in runs:
+        assert abs(band_error(r["cd_max"], ref["cd_max"])) < 0.01, r
+        assert abs(band_error(r["cl_max"], ref["cl_max"])) < 0.03, r
+        assert abs(band_error(r["strouhal"], ref["strouhal"])) < 0.02, r

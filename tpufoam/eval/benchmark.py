@@ -103,7 +103,7 @@ class ForceSeries:
 def run_force_series(case, flow, t_end: float, u_ref: float,
                      cfg=None, backend=None, sample_steps: int = 10,
                      d_ref: float = D_CYL, progress=None,
-                     inlet_scale=None):
+                     inlet_scale=None, sm_predict=None):
     """Advance to t_end in `sample_steps`-step jitted chunks, recording
     Cd/Cl at every sample (the forceCoeffs functionObject role,
     controlDict:61-107). Returns (final_flow, ForceSeries).
@@ -114,7 +114,12 @@ def run_force_series(case, flow, t_end: float, u_ref: float,
     time level, so the momentum balance sees dU_in/dt continuously. (A
     per-chunk host-side rescale is NOT a valid substitute: it freezes the
     inlet within each chunk, so the deceleration pressure gradient that
-    dominates 2D-3's dP(t=8) never forms in the field.)"""
+    dominates 2D-3's dP(t=8) never forms in the field.)
+
+    `sm_predict` (a `make_predictor(bundle)` callable) runs the benchmark
+    through the PRODUCTION hybrid step — surrogate pressure warm start +
+    capped-cycle polish (Algorithm 2, DLPoissonFoam.C:104-119) — so the
+    external validation exercises the exact configuration bench.py times."""
     from ..fv.forces import obstacle_force
     from ..piso.engine import PisoConfig, run_piso_chunked
     from ..solvers.backends import MGCGBackend
@@ -146,7 +151,8 @@ def run_force_series(case, flow, t_end: float, u_ref: float,
                            < 3.0 * sample_steps * float(flow.dt)):
             n = 1
         flow = run_piso_chunked(case, flow, n, cfg=cfg,
-                                backend=backend, chunk=n)
+                                backend=backend, chunk=n,
+                                sm_predict=sm_predict)
         steps += n
         rep = obstacle_force(case, flow.u, flow.v, flow.p,
                              u_ref=u_ref, d_ref=d_ref)
