@@ -51,6 +51,11 @@ def main():
     ap.add_argument("--mg-cycles", type=int, default=2,
                     help="polish V-cycles per corrector in hybrid mode "
                          "(bench.py production config: 2)")
+    ap.add_argument("--momentum-smoother", default="xla",
+                    choices=["xla", "pallas"],
+                    help="'pallas' = the fused temporal-blocked momentum "
+                         "multisweep kernel (bench.py production config; "
+                         "auto-falls back to xla off-TPU)")
     ap.add_argument("--ddt", default="euler", choices=["euler", "backward"],
                     help="'backward' = variable-step BDF2; the published "
                          "bands come from high-order solvers, and Euler's "
@@ -61,6 +66,12 @@ def main():
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     ap.add_argument("--out", default=None)
     ap.add_argument("--series-out", default=None)
+    ap.add_argument("--state", default=None,
+                    help="checkpoint/resume path (.npz, solver state + "
+                         "force series; `startFrom latestTime` role). If "
+                         "the file exists the run RESUMES from it; it is "
+                         "refreshed every --ckpt-every wall seconds")
+    ap.add_argument("--ckpt-every", type=float, default=300.0)
     args = ap.parse_args()
 
     if args.platform:
@@ -103,7 +114,8 @@ def main():
     else:
         backend = MGBackend(cycles=4)
     cfg = PisoConfig(max_co=args.max_co, max_dt=5e-3, ddt=args.ddt,
-                     ddt_corr=args.ddt_corr)
+                     ddt_corr=args.ddt_corr,
+                     momentum_smoother=args.momentum_smoother)
     flow = initial_flow(case, dt0=2e-4)
 
     t0 = time.perf_counter()
@@ -122,11 +134,41 @@ def main():
         inlet_scale = ramp_2d3
         flow = initial_flow(case.replace(inlet_u=case.inlet_u * 0.0),
                             dt0=2e-4)
+
+    prefix = None
+    resumed = False
+    if args.state and os.path.exists(args.state):
+        from tpufoam.eval.benchmark import load_run_state
+        flow, prefix = load_run_state(args.state)
+        resumed = True
+        print(f"resumed from {args.state}: t={float(flow.t):.4f}, "
+              f"{prefix.n_steps} steps, {len(prefix.t)} samples", flush=True)
+
+    on_sample = None
+    if args.state:
+        from tpufoam.eval.benchmark import merge_series, save_run_state
+        last_ckpt = [time.perf_counter()]
+
+        def on_sample(fl, seg):
+            if time.perf_counter() - last_ckpt[0] >= args.ckpt_every:
+                full = merge_series(prefix, seg) if prefix is not None \
+                    else seg
+                save_run_state(args.state, fl, full)
+                last_ckpt[0] = time.perf_counter()
+
     flow, series = run_force_series(case, flow, args.t_end, u_ref=u_mean,
                                     cfg=cfg, backend=backend,
                                     progress=progress,
                                     inlet_scale=inlet_scale,
-                                    sm_predict=sm_predict)
+                                    sm_predict=sm_predict,
+                                    on_sample=on_sample)
+    seg_steps = series.n_steps  # this segment only (wall-clock basis)
+    if prefix is not None:
+        from tpufoam.eval.benchmark import merge_series
+        series = merge_series(prefix, series)
+    if args.state:
+        from tpufoam.eval.benchmark import save_run_state
+        save_run_state(args.state, flow, series)
     steps = series.n_steps or len(series.t) * 10
 
     if args.bench == "2D-3":
@@ -155,10 +197,15 @@ def main():
                   boundary="cutcell", ddt=args.ddt, ddt_corr=args.ddt_corr,
                   backend=args.backend, t_end=args.t_end, steps=steps, **s,
                   reference=ref,
-                  ms_per_step=(time.perf_counter() - t0) / steps * 1e3)
+                  ms_per_step=(time.perf_counter() - t0)
+                  / max(seg_steps, 1) * 1e3)
+    if resumed:
+        result["resumed"] = True
     if bundle_name is not None:
         result["bundle"] = bundle_name
         result["mg_cycles"] = args.mg_cycles
+    if args.momentum_smoother != "xla":
+        result["momentum_smoother"] = args.momentum_smoother
     print(json.dumps(result, indent=2), flush=True)
     if args.out:
         os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)

@@ -269,6 +269,43 @@ def test_hybrid_force_series_smoke():
     assert np.isfinite(np.asarray(flow.p)).all()
 
 
+def test_force_series_checkpoint_resume_is_exact(tmp_path):
+    """Run-state checkpoint/resume (the reference's `startFrom
+    latestTime`, controlDict:20, extended with the forceCoeffs history):
+    a force-series run saved mid-way and resumed must reproduce the
+    straight run exactly — same chunk boundaries, same state, bitwise-
+    equal fields and force samples."""
+    from tpufoam.eval.benchmark import (load_run_state, merge_series,
+                                        save_run_state)
+    from tpufoam.fv.case import initial_flow
+    from tpufoam.piso.engine import PisoConfig
+    from tpufoam.solvers.backends import MGBackend
+
+    case, u_mean = schafer_turek_case("2D-2", delta=0.41 / 24)
+    cfg = PisoConfig(max_co=0.4, max_dt=5e-3)
+    be = MGBackend(cycles=2)
+
+    def series(flow, t_end):
+        return run_force_series(case, flow, t_end, u_ref=u_mean, cfg=cfg,
+                                backend=be, sample_steps=5)
+
+    flow_a, ser_a = series(initial_flow(case, dt0=1e-3), 0.04)
+
+    flow_h, ser_h = series(initial_flow(case, dt0=1e-3), 0.02)
+    path = str(tmp_path / "run_state.npz")
+    save_run_state(path, flow_h, ser_h)
+    flow_r, ser_tail = series(*[load_run_state(path)[0]], 0.04)
+    ser_b = merge_series(load_run_state(path)[1], ser_tail)
+
+    np.testing.assert_array_equal(np.asarray(flow_a.u), np.asarray(flow_r.u))
+    np.testing.assert_array_equal(np.asarray(flow_a.p), np.asarray(flow_r.p))
+    assert float(flow_a.t) == float(flow_r.t)
+    np.testing.assert_array_equal(ser_a.t, ser_b.t)
+    np.testing.assert_array_equal(ser_a.cd, ser_b.cd)
+    np.testing.assert_array_equal(ser_a.cl, ser_b.cl)
+    assert ser_a.n_steps == ser_b.n_steps
+
+
 def test_2d2_hybrid_production_path_matches_published():
     """SM-in-the-loop external validation: the committed hybrid-backend
     2D-2 artifact (surrogate warm start from the held-out-trained

@@ -100,10 +100,44 @@ class ForceSeries:
                         # tail engages)
 
 
+def save_run_state(path: str, flow, series: "ForceSeries") -> None:
+    """Atomically persist a force-series run (solver state + the series
+    so far) for restart — the reference's `startFrom latestTime` role
+    (controlDict:20), extended to carry the forceCoeffs history too so a
+    killed 100k-step benchmark run resumes instead of restarting."""
+    import os
+
+    from ..fv.case import _FLOW_FIELDS
+    arrays = {f: np.asarray(getattr(flow, f)) for f in _FLOW_FIELDS}
+    arrays.update(series_t=np.asarray(series.t),
+                  series_cd=np.asarray(series.cd),
+                  series_cl=np.asarray(series.cl),
+                  series_steps=np.asarray(series.n_steps))
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **arrays)
+    os.replace(tmp, path)
+
+
+def load_run_state(path: str):
+    """Returns (flow, ForceSeries) saved by save_run_state."""
+    from ..fv.case import load_flow
+    d = np.load(path)
+    return load_flow(path), ForceSeries(
+        t=d["series_t"], cd=d["series_cd"], cl=d["series_cl"],
+        n_steps=int(d["series_steps"]))
+
+
+def merge_series(a: "ForceSeries", b: "ForceSeries") -> "ForceSeries":
+    return ForceSeries(t=np.concatenate([a.t, b.t]),
+                       cd=np.concatenate([a.cd, b.cd]),
+                       cl=np.concatenate([a.cl, b.cl]),
+                       n_steps=a.n_steps + b.n_steps)
+
+
 def run_force_series(case, flow, t_end: float, u_ref: float,
                      cfg=None, backend=None, sample_steps: int = 10,
                      d_ref: float = D_CYL, progress=None,
-                     inlet_scale=None, sm_predict=None):
+                     inlet_scale=None, sm_predict=None, on_sample=None):
     """Advance to t_end in `sample_steps`-step jitted chunks, recording
     Cd/Cl at every sample (the forceCoeffs functionObject role,
     controlDict:61-107). Returns (final_flow, ForceSeries).
@@ -119,7 +153,11 @@ def run_force_series(case, flow, t_end: float, u_ref: float,
     `sm_predict` (a `make_predictor(bundle)` callable) runs the benchmark
     through the PRODUCTION hybrid step — surrogate pressure warm start +
     capped-cycle polish (Algorithm 2, DLPoissonFoam.C:104-119) — so the
-    external validation exercises the exact configuration bench.py times."""
+    external validation exercises the exact configuration bench.py times.
+
+    `on_sample(flow, series_so_far)` is called after every force sample
+    (the checkpoint hook; see save_run_state). Resuming = passing a
+    loaded flow back in and merge_series-ing the returned segment."""
     from ..fv.forces import obstacle_force
     from ..piso.engine import PisoConfig, run_piso_chunked
     from ..solvers.backends import MGCGBackend
@@ -161,6 +199,10 @@ def run_force_series(case, flow, t_end: float, u_ref: float,
         cls_.append(float(rep.cl))
         if progress is not None:
             progress(steps, ts[-1], cds[-1], cls_[-1])
+        if on_sample is not None:
+            on_sample(flow, ForceSeries(t=np.asarray(ts),
+                                        cd=np.asarray(cds),
+                                        cl=np.asarray(cls_), n_steps=steps))
     return flow, ForceSeries(t=np.asarray(ts), cd=np.asarray(cds),
                              cl=np.asarray(cls_), n_steps=steps)
 
