@@ -116,7 +116,14 @@ def main():
 
     from tpufoam.train.trainer import TrainConfig, train_surrogate
 
-    ds = build_dataset(args.cache, args.delta, args.n_frames, args.samples,
+    # key the stage cache on every generation parameter: a stale cache
+    # from a different resolution must never silently train the bundle
+    # (the artifact's provenance claim depends on it)
+    key = (f"d{args.delta:g}_f{args.n_frames}_s{args.samples}"
+           f"_w{args.warmup_t:g}")
+    cache = (args.cache[:-4] if args.cache.endswith(".npz")
+             else args.cache) + f"_{key}.npz"
+    ds = build_dataset(cache, args.delta, args.n_frames, args.samples,
                        args.warmup_t)
 
     tcfg = TrainConfig(arch="MLP_small", lr=2e-4, batch_size=1024,

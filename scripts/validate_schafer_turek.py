@@ -135,11 +135,19 @@ def main():
         flow = initial_flow(case.replace(inlet_u=case.inlet_u * 0.0),
                             dt0=2e-4)
 
+    # fingerprint: a checkpoint must not silently resume under a
+    # different bench/grid/scheme/backend (load raises on mismatch)
+    run_meta = dict(bench=args.bench, delta=args.delta, ddt=args.ddt,
+                    ddt_corr=bool(args.ddt_corr), backend=args.backend,
+                    max_co=args.max_co,
+                    bundle=bundle_name, mg_cycles=args.mg_cycles
+                    if args.backend == "hybrid" else None)
+
     prefix = None
     resumed = False
     if args.state and os.path.exists(args.state):
         from tpufoam.eval.benchmark import load_run_state
-        flow, prefix = load_run_state(args.state)
+        flow, prefix = load_run_state(args.state, expect_meta=run_meta)
         resumed = True
         print(f"resumed from {args.state}: t={float(flow.t):.4f}, "
               f"{prefix.n_steps} steps, {len(prefix.t)} samples", flush=True)
@@ -149,11 +157,12 @@ def main():
         from tpufoam.eval.benchmark import merge_series, save_run_state
         last_ckpt = [time.perf_counter()]
 
-        def on_sample(fl, seg):
+        def on_sample(fl, make_series):
             if time.perf_counter() - last_ckpt[0] >= args.ckpt_every:
+                seg = make_series()
                 full = merge_series(prefix, seg) if prefix is not None \
                     else seg
-                save_run_state(args.state, fl, full)
+                save_run_state(args.state, fl, full, meta=run_meta)
                 last_ckpt[0] = time.perf_counter()
 
     flow, series = run_force_series(case, flow, args.t_end, u_ref=u_mean,
@@ -168,7 +177,7 @@ def main():
         series = merge_series(prefix, series)
     if args.state:
         from tpufoam.eval.benchmark import save_run_state
-        save_run_state(args.state, flow, series)
+        save_run_state(args.state, flow, series, meta=run_meta)
     steps = series.n_steps or len(series.t) * 10
 
     if args.bench == "2D-3":

@@ -305,13 +305,23 @@ def test_force_series_checkpoint_resume_is_exact(tmp_path):
     np.testing.assert_array_equal(ser_a.cl, ser_b.cl)
     assert ser_a.n_steps == ser_b.n_steps
 
+    # configuration fingerprint: a state file written under one config
+    # must refuse to resume under another (and must name the mismatch)
+    meta = dict(bench="2D-2", delta=0.41 / 24, ddt="euler")
+    save_run_state(path, flow_h, ser_h, meta=meta)
+    load_run_state(path, expect_meta=meta)  # matching: fine
+    with pytest.raises(ValueError, match="ddt"):
+        load_run_state(path, expect_meta=dict(meta, ddt="backward"))
+
 
 def test_2d2_hybrid_production_path_matches_published():
     """SM-in-the-loop external validation: the committed hybrid-backend
     2D-2 artifact (surrogate warm start from the held-out-trained
-    sm_st128 bundle + 2 bf16 V-cycles of polish per corrector) must stay
-    within the same tolerances as the pure solver — i.e. the production
-    path preserves published physics, not just solver-internal L2. The
+    sm_st128 bundle + 2 bf16 V-cycles of polish per corrector) must keep
+    published physics: cd_max within 1% and St within 2% of the bands
+    (the pure-solver tolerances), cl_max within 3% (one point looser
+    than the pure path's 2%, budgeting for SM-induced drift in the
+    lift-peak amplitude — the most damping-sensitive quantity). The
     reference never validates its coupled solver externally at all."""
     paths = sorted(glob.glob(os.path.join(ARTIFACTS,
                                           "st_2d2_hybrid_*.json")))

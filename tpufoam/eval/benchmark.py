@@ -100,29 +100,50 @@ class ForceSeries:
                         # tail engages)
 
 
-def save_run_state(path: str, flow, series: "ForceSeries") -> None:
+def save_run_state(path: str, flow, series: "ForceSeries",
+                   turb=None, meta: dict | None = None) -> None:
     """Atomically persist a force-series run (solver state + the series
     so far) for restart — the reference's `startFrom latestTime` role
     (controlDict:20), extended to carry the forceCoeffs history too so a
-    killed 100k-step benchmark run resumes instead of restarting."""
-    import os
+    killed 100k-step benchmark run resumes instead of restarting.
+    `meta` (a flat json-able dict, e.g. bench/delta/ddt/backend) is
+    stored as a fingerprint and VERIFIED on load, so a checkpoint cannot
+    silently resume under a different configuration."""
+    import json as _json
 
-    from ..fv.case import _FLOW_FIELDS
-    arrays = {f: np.asarray(getattr(flow, f)) for f in _FLOW_FIELDS}
-    arrays.update(series_t=np.asarray(series.t),
-                  series_cd=np.asarray(series.cd),
-                  series_cl=np.asarray(series.cl),
-                  series_steps=np.asarray(series.n_steps))
-    tmp = path + ".tmp.npz"
-    np.savez(tmp, **arrays)
-    os.replace(tmp, path)
+    from ..fv.case import save_flow
+    extra = dict(series_t=np.asarray(series.t),
+                 series_cd=np.asarray(series.cd),
+                 series_cl=np.asarray(series.cl),
+                 series_steps=np.asarray(series.n_steps))
+    if meta is not None:
+        extra["run_meta"] = np.frombuffer(
+            _json.dumps(meta, sort_keys=True).encode(), dtype=np.uint8)
+    save_flow(path, flow, turb=turb, extra=extra)
 
 
-def load_run_state(path: str):
-    """Returns (flow, ForceSeries) saved by save_run_state."""
+def load_run_state(path: str, expect_meta: dict | None = None):
+    """Returns (flow, ForceSeries[, turb via load_turbulence(path)])
+    saved by save_run_state. If `expect_meta` is given and the stored
+    fingerprint differs, raises ValueError naming the mismatched keys —
+    a state file for another bench/grid/scheme must not silently
+    resume."""
+    import json as _json
+
     from ..fv.case import load_flow
     d = np.load(path)
-    return load_flow(path), ForceSeries(
+    if expect_meta is not None:
+        stored = {}
+        if "run_meta" in d.files:
+            stored = _json.loads(bytes(d["run_meta"]).decode())
+        bad = {k: (stored.get(k), v) for k, v in expect_meta.items()
+               if stored.get(k) != v}
+        if bad:
+            raise ValueError(
+                f"run state {path} was written under a different "
+                f"configuration: {{stored vs requested}} = {bad}; "
+                f"delete the state file (or fix the flags) to proceed")
+    return load_flow(d), ForceSeries(
         t=d["series_t"], cd=d["series_cd"], cl=d["series_cl"],
         n_steps=int(d["series_steps"]))
 
@@ -155,9 +176,12 @@ def run_force_series(case, flow, t_end: float, u_ref: float,
     capped-cycle polish (Algorithm 2, DLPoissonFoam.C:104-119) — so the
     external validation exercises the exact configuration bench.py times.
 
-    `on_sample(flow, series_so_far)` is called after every force sample
-    (the checkpoint hook; see save_run_state). Resuming = passing a
-    loaded flow back in and merge_series-ing the returned segment."""
+    `on_sample(flow, make_series)` is called after every force sample
+    (the checkpoint hook; see save_run_state). `make_series` is a
+    zero-arg callable producing the segment's ForceSeries — materialize
+    it only when actually checkpointing (the arrays are O(samples) and
+    a 100k-step run takes ~10k samples). Resuming = passing a loaded
+    flow back in and merge_series-ing the returned segment."""
     from ..fv.forces import obstacle_force
     from ..piso.engine import PisoConfig, run_piso_chunked
     from ..solvers.backends import MGCGBackend
@@ -200,9 +224,10 @@ def run_force_series(case, flow, t_end: float, u_ref: float,
         if progress is not None:
             progress(steps, ts[-1], cds[-1], cls_[-1])
         if on_sample is not None:
-            on_sample(flow, ForceSeries(t=np.asarray(ts),
-                                        cd=np.asarray(cds),
-                                        cl=np.asarray(cls_), n_steps=steps))
+            n_now = steps
+            on_sample(flow, lambda: ForceSeries(
+                t=np.asarray(ts), cd=np.asarray(cds),
+                cl=np.asarray(cls_), n_steps=n_now))
     return flow, ForceSeries(t=np.asarray(ts), cd=np.asarray(cds),
                              cl=np.asarray(cls_), n_steps=steps)
 

@@ -214,25 +214,36 @@ _FLOW_FIELDS = ("u", "v", "p", "phi_x", "phi_y", "dt", "t",
                 "u_prev", "v_prev", "p_prev")
 
 
-def save_flow(path: str, flow: Flow, turb=None) -> None:
+def save_flow(path: str, flow: Flow, turb=None, extra=None) -> None:
     """Persist the full solver state for restart (the reference relies on
     OpenFOAM's `startFrom latestTime`, controlDict:20). `turb` optionally
-    appends the k-omega SST state (the 0/k, 0/omega restart fields)."""
+    appends the k-omega SST state (the 0/k, 0/omega restart fields);
+    `extra` appends caller arrays (e.g. a force-series history). The
+    write is atomic (tmp + rename) so a mid-write kill cannot truncate
+    the previous checkpoint."""
+    import os
+
     arrays = {f: np.asarray(getattr(flow, f)) for f in _FLOW_FIELDS}
     if turb is not None:
         arrays.update({f"turb_{f}": np.asarray(getattr(turb, f))
                        for f in ("k", "omega", "nu_t", "k_in", "w_in")})
-    np.savez(path, **arrays)
+    if extra:
+        arrays.update({k: np.asarray(v) for k, v in extra.items()})
+    tmp = path + ".tmp.npz"
+    np.savez(tmp, **arrays)
+    os.replace(tmp, path)
 
 
-def load_flow(path: str) -> Flow:
-    d = np.load(path)
+def load_flow(path) -> Flow:
+    """Load a Flow from a save_flow .npz path (or an already-opened
+    NpzFile, to avoid re-parsing when the caller also reads extras)."""
+    d = path if hasattr(path, "files") else np.load(path)
     return Flow(**{k: jnp.asarray(d[k]) for k in _FLOW_FIELDS})
 
 
-def load_turbulence(path: str):
+def load_turbulence(path):
     """Returns the saved TurbState, or None if the state file is laminar."""
-    d = np.load(path)
+    d = path if hasattr(path, "files") else np.load(path)
     if "turb_k" not in d.files:
         return None
     from .turbulence import TurbState
