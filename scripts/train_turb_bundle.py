@@ -64,7 +64,7 @@ def build_dataset(cache_path: str, n_frames: int, samples: int):
                                                backend=backend)
         ds = build_block_dataset(case, frames, family="deltaU_deltaP",
                                  n_samples_per_frame=samples, block_size=128,
-                                 seed=(hash(shape) + i) % 10_000)
+                                 seed=8001 + i)
         print(f"{shape}@{size}/nu={nu}: {ds.n} blocks "
               f"[{time.perf_counter() - t0:.0f}s]", flush=True)
         parts.append(ds)

@@ -412,6 +412,32 @@ def test_sharded_pallas_momentum_matches_single_device():
                                atol=1e-5)
 
 
+def test_sharded_gate_matches_kernel_preconditions():
+    """pallas_sharded_available_for must reject exactly what the kernel
+    would crash on at trace time inside shard_map — VMEM overflow on the
+    HALO-EXTENDED local block, bf16 16-row tiling of that block — not
+    just lane divisibility. The wrapper's contract is fall-through to
+    the XLA smoother, never a trace-time ValueError."""
+    from tpufoam.ops import stencil
+    from tpufoam.parallel.mesh import device_mesh
+
+    mesh = device_mesh(8)   # (4, 2)
+    # the production 1M-cell bench shape fits
+    assert stencil.pallas_sharded_available_for((512, 2048), mesh,
+                                                interpret=True)
+    # (a) a very wide local block whose minimum-tile kernel residency
+    # exceeds the scoped-VMEM budget must be rejected by the gate
+    # (the kernel itself would raise 'exceeds scoped VMEM' mid-trace)
+    assert not stencil.pallas_sharded_available_for((512, 65536), mesh,
+                                                    interpret=True)
+    # (b) bf16 requires 16-row alignment of the HALOED block: nyl=24
+    # passes the old nyl%8 check but (24 + 2*16) % 16 != 0
+    assert not stencil.pallas_sharded_available_for(
+        (96, 2048), mesh, dtype=jnp.bfloat16, interpret=True)
+    assert stencil.pallas_sharded_available_for(
+        (96, 2048), mesh, dtype=jnp.float32, interpret=True)
+
+
 def test_sharded_pallas_jacobi_matches_single_device():
     """Same for the pressure multisweep smoother."""
     from tpufoam.core.geometry import channel_case_geometry

@@ -239,8 +239,12 @@ def piso_main(argv=None):
         el = time.perf_counter() - t0
         force_txt = ""
         if args.forces_out:
-            rep = obstacle_force(case, flow.u, flow.v, flow.p,
-                                 u_ref=1.0, d_ref=args.obstacle_size)
+            rep = obstacle_force(
+                case, flow.u, flow.v, flow.p,
+                u_ref=1.0, d_ref=args.obstacle_size,
+                nu_t=None if turb is None else turb.nu_t,
+                k_turb=turb.k if (turb is not None
+                                  and cfg.turb_wall_fn) else None)
             cd, cl = float(rep.cd), float(rep.cl)
             force_rows.append((float(flow.t), cd, cl))
             force_txt = f" Cd={cd:.4f} Cl={cl:.4f}"

@@ -206,11 +206,13 @@ def run_force_series(case, flow, t_end: float, u_ref: float,
         # single-step tail: the t_stop-capped landing step (which ends at
         # exactly t_end) must be the LAST step executed — any same-chunk
         # step past the ramp (dU/dt = 0) destroys the dP(t=8) field. The
-        # margin must cover the worst n-step advance under the 1.2x/step
-        # growth cap: sum(1.2^i) = 5*(1.2^n - 1) ~= 26*dt at n=10, hence
-        # the factor 3n.
-        if cfg.t_stop and (t_end - float(flow.t)
-                           < 3.0 * sample_steps * float(flow.dt)):
+        # margin must cover the WORST n-step advance under the 1.2x/step
+        # growth cap: sum_{i=1..n} 1.2^i * dt = 6*(1.2^n - 1)*dt
+        # (~31.2*dt at n=10), times a 1.25 safety factor — near t=8 the
+        # ramped inlet decelerates the flow, so dt grows at exactly that
+        # cap and a tight margin would let the landing happen mid-chunk.
+        worst_advance = 6.0 * (1.2 ** sample_steps - 1.0) * float(flow.dt)
+        if cfg.t_stop and (t_end - float(flow.t) < 1.25 * worst_advance):
             n = 1
         flow = run_piso_chunked(case, flow, n, cfg=cfg,
                                 backend=backend, chunk=n,

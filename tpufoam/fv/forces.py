@@ -60,25 +60,36 @@ def _second_order_wall(f: jnp.ndarray, nb_in, fluid: jnp.ndarray,
 @jax.jit
 def _obstacle_force_cut(case: Case, u: jnp.ndarray, v: jnp.ndarray,
                         p: jnp.ndarray, u_ref: float = 1.0,
-                        d_ref: float = 1.0) -> ForceReport:
+                        d_ref: float = 1.0, nu_t=None,
+                        k_turb=None) -> ForceReport:
     """Cut-cell force: the DISCRETE momentum-consistent wall terms.
 
         F_p  = sum_cells p_P A_w          (the Gauss pressure gradient's
                                            embedded-wall closure term)
-        F_nu = sum_cells nu (L_w / d_w) U_P   (the no-slip wall link)
+        F_nu = sum_cells a_wall U_P       (the no-slip wall link)
 
-    i.e. exactly the momentum the discretized equations transfer to the
-    body — global momentum balance holds with THIS force. An interior-
-    probe evaluation (bilinear samples + one-sided extrapolation) was
-    tried first and measured +5.5% biased against two independent
-    control-volume momentum balances on Schaefer-Turek 2D-1 at
-    D/delta=23.4 (probe 5.806 vs CV 5.477/5.506 vs discrete 5.505,
+    with a_wall the SAME link momentum_coeffs applies: nu L_w/d_w
+    laminar, nu_eff L_w/d_w with an eddy-viscosity field, and the
+    log-law wall-function conductance g L_w when k_turb drives the wall
+    treatment — i.e. exactly the momentum the discretized equations
+    transfer to the body; global momentum balance holds with THIS force.
+    An interior-probe evaluation (bilinear samples + one-sided
+    extrapolation) was tried first and measured +5.5% biased against two
+    independent control-volume momentum balances on Schaefer-Turek 2D-1
+    at D/delta=23.4 (probe 5.806 vs CV 5.477/5.506 vs discrete 5.505,
     scripts/exp_cutcell_force.py); the discrete form agrees with the CV
     arbiter to <0.5% and is pure elementwise (no gathers)."""
     wall_len = case.wall_len  # wetted length (fv.cutcell._wetted_length)
     fpx = jnp.sum(p * case.wall_ax)
     fpy = jnp.sum(p * case.wall_ay)
-    a_wall = case.nu * wall_len / case.wall_dist
+    if k_turb is not None:
+        from .momentum import wall_conductance
+        a_wall = wall_conductance(case.nu, k_turb,
+                                  case.wall_dist) * wall_len
+    elif nu_t is not None:
+        a_wall = (case.nu + nu_t) * wall_len / case.wall_dist
+    else:
+        a_wall = case.nu * wall_len / case.wall_dist
     fvx = jnp.sum(a_wall * u)
     fvy = jnp.sum(a_wall * v)
 
@@ -92,7 +103,8 @@ def _obstacle_force_cut(case: Case, u: jnp.ndarray, v: jnp.ndarray,
 
 def obstacle_force(case: Case, u: jnp.ndarray, v: jnp.ndarray,
                    p: jnp.ndarray, u_ref: float = 1.0,
-                   d_ref: float = 1.0) -> ForceReport:
+                   d_ref: float = 1.0, nu_t=None,
+                   k_turb=None) -> ForceReport:
     """Integrate pressure + viscous force over the obstacle surface.
 
     Cut-cell cases (case.cut) use the discrete momentum-consistent
@@ -105,10 +117,17 @@ def obstacle_force(case: Case, u: jnp.ndarray, v: jnp.ndarray,
     bias that showed up as a ~6% drag deficit on the Schaefer-Turek 2D-2
     benchmark — see eval/benchmark.py).
 
+    For turbulent runs pass the SAME wall-treatment fields the momentum
+    equation used (`nu_t`, and `k_turb` when wall functions are on), so
+    the reported force is the momentum the discretization actually
+    transferred to the body (cut-cell path; the stair path is laminar
+    only and ignores them beyond nu_eff shear scaling).
+
     u_ref/d_ref: reference velocity and length for the coefficients
     (the reference uses magUInf/lRef in its forceCoeffs dict)."""
     if case.cut:
-        return _obstacle_force_cut(case, u, v, p, u_ref=u_ref, d_ref=d_ref)
+        return _obstacle_force_cut(case, u, v, p, u_ref=u_ref, d_ref=d_ref,
+                                   nu_t=nu_t, k_turb=k_turb)
     return _obstacle_force_stair(case, u, v, p, u_ref=u_ref, d_ref=d_ref)
 
 

@@ -357,7 +357,8 @@ def jacobi_momentum(coef: MomentumCoeffs, case: Case,
     if smoother == "pallas":
         from ..ops import stencil as _st
         if mesh is not None and sweeps <= 8 and \
-                _st.pallas_sharded_available_for(u0.shape, mesh):
+                _st.pallas_sharded_available_for(u0.shape, mesh,
+                                                 dtype=u0.dtype):
             api = inv_ap * case.fluid
             return _st.momentum_multisweep_pallas_sharded(
                 mesh, coef.a_e, coef.a_w, coef.a_n, coef.a_s, api,

@@ -131,8 +131,9 @@ def wall_cell_masks(case: Case):
     """(wall mask, wall distance) for wall-adjacent cells: domain N/S rows
     at the half-cell distance + embedded-wall cells at their cut-cell
     centroid distance (fv.cutcell)."""
-    dom = jnp.zeros_like(case.fluid).at[-1, :].set(1.0).at[0, :].set(1.0) \
-        * case.fluid
+    from .case import domain_row_masks
+    dom_n, dom_s = domain_row_masks(case)
+    dom = jnp.maximum(dom_n, dom_s)
     wall_len = case.wall_len  # wetted length (fv.cutcell._wetted_length)
     obst = (wall_len > 1e-12).astype(case.fluid.dtype)
     mask = jnp.maximum(dom, obst)

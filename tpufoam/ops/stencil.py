@@ -528,11 +528,17 @@ HALO_X = 128
 def pallas_sharded_available_for(shape: tuple[int, int], mesh,
                                  axes=("data", "model"),
                                  dtype=jnp.float32,
+                                 kernel: str = "momentum",
                                  interpret: bool | None = None) -> bool:
     """Can the shard_map pallas path handle per-device blocks of this
     global shape over `mesh`? `interpret=True` checks the geometry only
     (for tests driving the kernel in interpret mode off-TPU); None uses
-    the module-level _INTERPRET flag, i.e. production semantics."""
+    the module-level _INTERPRET flag, i.e. production semantics.
+
+    Gates exactly what the kernel will see: the HALO-EXTENDED local
+    block, with the same lane/sublane divisibility AND VMEM-fit rules as
+    `pallas_available_for` — the wrapper must fall through to the XLA
+    smoother, never crash at trace time inside shard_map."""
     ny, nx = shape
     dy = mesh.shape[axes[0]]
     dx = mesh.shape[axes[1]]
@@ -545,8 +551,16 @@ def pallas_sharded_available_for(shape: tuple[int, int], mesh,
         interpret = _INTERPRET
     if not interpret and jax.default_backend() not in ("tpu", "axon"):
         return False
-    min_rows = 16 if jnp.dtype(dtype).itemsize == 2 else 8
-    return nxl % 128 == 0 and nyl % min_rows == 0
+    dtype = jnp.dtype(dtype)
+    hy = _halo_for(dtype)
+    ny_k = nyl + 2 * hy if dy > 1 else nyl
+    nx_k = nxl + 2 * HALO_X if dx > 1 else nxl
+    min_rows = 16 if dtype.itemsize == 2 else 8
+    if nx_k % 128 or ny_k % min_rows:
+        return False
+    n_scratch, n_out = _KERNEL_BANDS[kernel]
+    return _fit_tile_y(ny_k, nx_k, min_rows, n_scratch, n_out,
+                       dtype.itemsize) is not None
 
 
 def _exchange_halos(st: jnp.ndarray, axes, dy: int, dx: int,
@@ -583,7 +597,7 @@ def momentum_multisweep_pallas_sharded(mesh, a_e, a_w, a_n, a_s, ap_inv,
 
     dy = mesh.shape[axes[0]]
     dx = mesh.shape[axes[1]]
-    hy, hx = HALO, HALO_X
+    hy, hx = _halo_for(u0.dtype), HALO_X
     run_interpret = interpret or _INTERPRET
 
     def local(*ops):

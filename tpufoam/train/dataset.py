@@ -173,7 +173,7 @@ def frames_from_rollout(case: Case, flow0, n_frames: int, steps_per_frame: int,
 
 def frames_from_sst_rollout(case: Case, flow0, turb0, n_frames: int,
                             steps_per_frame: int, cfg=None,
-                            backend=None) -> list[dict]:
+                            backend=None) -> tuple:
     """Turbulent-data production: the frames_from_rollout role for k-omega
     SST runs (the reference's For_kwSST dataset family,
     Generate_blockMeshDict/For_kwSST/rect_alpha.py). Returns (frames,
