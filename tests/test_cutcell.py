@@ -164,3 +164,49 @@ def test_cut_force_report_finite_and_sane():
     assert np.isfinite([cd, cl]).all()
     assert 0.5 < cd < 20.0, cd
     assert abs(cl) < 0.5 * cd, (cd, cl)
+
+
+def test_cut_force_turbulent_wall_link_matches_momentum_form():
+    """The viscous wall force must use the SAME link the momentum
+    equation applies (momentum_coeffs): nu L_w/d_w laminar,
+    (nu + nu_t) L_w/d_w with an eddy-viscosity field, and the log-law
+    conductance g(k) L_w under wall functions — so the reported force is
+    exactly the momentum the discretization transferred to the body in
+    every regime."""
+    import jax.numpy as jnp
+
+    from tpufoam.fv.forces import obstacle_force
+    from tpufoam.fv.momentum import wall_conductance
+
+    case = _cyl_case()
+    rng = np.random.default_rng(3)
+    u = jnp.asarray(rng.standard_normal(case.grid.shape), jnp.float32) \
+        * case.fluid
+    v = jnp.asarray(rng.standard_normal(case.grid.shape), jnp.float32) \
+        * case.fluid
+    p = jnp.asarray(rng.standard_normal(case.grid.shape), jnp.float32)
+    nu_t = jnp.asarray(rng.uniform(0.0, 5e-2, case.grid.shape), jnp.float32)
+    k = jnp.asarray(rng.uniform(1e-4, 1e-2, case.grid.shape), jnp.float32)
+
+    def manual_visc(a_wall):
+        return np.asarray(jnp.stack([jnp.sum(a_wall * u),
+                                     jnp.sum(a_wall * v)]))
+
+    wl, wd = case.wall_len, case.wall_dist
+    rep_lam = obstacle_force(case, u, v, p)
+    np.testing.assert_allclose(np.asarray(rep_lam.f_viscous),
+                               manual_visc(case.nu * wl / wd), rtol=1e-6)
+
+    rep_nut = obstacle_force(case, u, v, p, nu_t=nu_t)
+    np.testing.assert_allclose(np.asarray(rep_nut.f_viscous),
+                               manual_visc((case.nu + nu_t) * wl / wd),
+                               rtol=1e-6)
+
+    rep_wf = obstacle_force(case, u, v, p, nu_t=nu_t, k_turb=k)
+    g = wall_conductance(case.nu, k, wd)
+    np.testing.assert_allclose(np.asarray(rep_wf.f_viscous),
+                               manual_visc(g * wl), rtol=1e-6)
+    # pressure term is wall-treatment independent
+    for rep in (rep_nut, rep_wf):
+        np.testing.assert_allclose(np.asarray(rep.f_pressure),
+                                   np.asarray(rep_lam.f_pressure))
