@@ -169,9 +169,22 @@ def cut_masks(grid, shape, inside_centers: np.ndarray,
             d, _ = tree.query(cen)
             wall_dist[sel] = np.clip(d, 0.05 * h, 0.5 * h)
         else:
-            # blank mode: the discrete wall IS the closed face, h/2 away
-            # (a centre can graze the true boundary arbitrarily closely)
-            wall_dist[sel] = 0.5 * h
+            # blank mode: the discrete wall IS the closed face, half a
+            # cell away ALONG ITS OWN AXIS (a centre can graze the true
+            # boundary arbitrarily closely). The momentum link is
+            # nu*wall_len/wall_dist, so the effective distance is the one
+            # that reproduces the exact per-face half-cell conductance
+            # sum (dE+dW)dy/(dx/2) + (dN+dS)dx/(dy/2); on isotropic grids
+            # this is exactly h/2, on anisotropic grids it keeps x-normal
+            # faces at dx/2 and y-normal faces at dy/2 instead of
+            # min(dx,dy)/2 for both.
+            d_e = (1.0 - tx[:, 1:]) * fluid
+            d_w = (1.0 - tx[:, :-1]) * fluid
+            d_n = (1.0 - ty[1:, :]) * fluid
+            d_s = (1.0 - ty[:-1, :]) * fluid
+            cond = ((d_e + d_w) * dy / (0.5 * dx)
+                    + (d_n + d_s) * dx / (0.5 * dy))
+            wall_dist[sel] = wall_len[sel] / cond[sel]
 
     return dict(alpha=alpha, fluid=fluid, thx=thx, thy=thy,
                 wall_ax=wall_ax, wall_ay=wall_ay, wall_len=wall_len,
@@ -217,7 +230,8 @@ def binary_masks_from_fluid(grid, fluid: np.ndarray) -> dict:
     analytic shape available — e.g. domains resampled from the
     reference's unstructured datasets, eval/evaluation.py). Faces close
     between fluid and non-fluid cells; stair wall areas at the half-cell
-    distance; no nearest-boundary-point data (wall_dist = h/2)."""
+    distance; no nearest-boundary-point data (per-face half-cell
+    wall distances)."""
     ny, nx = fluid.shape
     f = fluid.astype(np.float64)
     dx, dy = grid.dx, grid.dy
@@ -237,7 +251,16 @@ def binary_masks_from_fluid(grid, fluid: np.ndarray) -> dict:
     wall_ax = -(tx[:, 1:] - tx[:, :-1]) * dy * f
     wall_ay = -(ty[1:, :] - ty[:-1, :]) * dx * f
     wall_len = _wetted_length(tx, ty, f, dx, dy, "blank")
-    wall_dist = np.where(wall_len > 1e-12 * h, 0.5 * h, 1.0)
+    # per-face half-cell link distance (== h/2 isotropic; axis-correct on
+    # anisotropic grids — same form as the blank branch in cut_masks)
+    d_e = (1.0 - tx[:, 1:]) * f
+    d_w = (1.0 - tx[:, :-1]) * f
+    d_n = (1.0 - ty[1:, :]) * f
+    d_s = (1.0 - ty[:-1, :]) * f
+    cond = ((d_e + d_w) * dy / (0.5 * dx) + (d_n + d_s) * dx / (0.5 * dy))
+    sel = wall_len > 1e-12 * h
+    wall_dist = np.ones_like(f)
+    wall_dist[sel] = wall_len[sel] / cond[sel]
 
     return dict(alpha=f, fluid=f, thx=thx, thy=thy,
                 wall_ax=wall_ax, wall_ay=wall_ay, wall_len=wall_len,

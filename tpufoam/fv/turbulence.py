@@ -28,6 +28,8 @@ from .operators import nb_e, nb_n, nb_s, nb_w
 # Menter (2003) constants
 A1 = 0.31
 BETA_STAR = 0.09
+KAPPA = 0.41               # von Karman (wall functions)
+CMU25 = BETA_STAR ** 0.25  # u* = Cmu^{1/4} sqrt(k)
 SIGMA_K1, SIGMA_W1, BETA1, GAMMA1 = 0.85, 0.5, 0.075, 5.0 / 9.0
 SIGMA_K2, SIGMA_W2, BETA2, GAMMA2 = 1.0, 0.856, 0.0828, 0.44
 
@@ -131,7 +133,6 @@ def wall_cell_masks(case: Case):
     """(wall mask, wall distance) for wall-adjacent cells: domain N/S rows
     at the half-cell distance + embedded-wall cells at their cut-cell
     centroid distance (fv.cutcell)."""
-    from .case import domain_row_masks
     dom_n, dom_s = domain_row_masks(case)
     dom = jnp.maximum(dom_n, dom_s)
     wall_len = case.wall_len  # wetted length (fv.cutcell._wetted_length)
@@ -196,7 +197,6 @@ def sst_step(case: Case, turb: TurbState, u, v, phi_x, phi_y, dt,
         # wall-cell production from the log-law shear (kqRWallFunction +
         # Launder-Spalding): G = tau_w * u*/(kappa d), tau_w = g |U_t|
         from .momentum import wall_conductance
-        KAPPA, CMU25 = 0.41, BETA_STAR**0.25
         wmask, wd = wall_cell_masks(case)
         g = wall_conductance(nu, k, wd)
         umag = jnp.sqrt(u * u + v * v)
@@ -223,9 +223,7 @@ def sst_step(case: Case, turb: TurbState, u, v, phi_x, phi_y, dt,
 
     if wall_fn:
         # omegaWallFunction: blend of the viscous and log asymptotes,
-        # IMPOSED in wall-adjacent cells
-        KAPPA, CMU25 = 0.41, BETA_STAR**0.25
-        wmask, wd = wall_cell_masks(case)
+        # IMPOSED in wall-adjacent cells (wmask/wd from the k-solve block)
         k_pos = jnp.maximum(k_new, K_FLOOR)
         w_vis = 6.0 * nu / (BETA1 * wd ** 2)
         w_log = jnp.sqrt(k_pos) / (CMU25 * KAPPA * jnp.maximum(wd, 1e-12))

@@ -66,8 +66,10 @@ def _fit_tile_y(ny: int, nx: int, halo: int, n_scratch: int,
 # kernel-resident VMEM band counts (scratch bands incl. staging, output
 # bands) per kernel family — see the pallas_call scratch_shapes/out_specs
 _KERNEL_BANDS = {
-    "momentum": (11, 2),   # 9 operands + 2 staging, u/v out
-    "jacobi": (8, 1),      # 7 operands + 1 staging, 1 out
+    "momentum": (11, 2),     # 9 operands + 2 staging, u/v out
+    "jacobi": (8, 1),        # 7 operands + 1 staging, 1 out
+    "matvec": (1, 6),        # haloed-x scratch; 5 coeff bands + 1 out
+    "jacobi_sweep": (1, 7),  # haloed-x scratch; 6 operand bands + 1 out
 }
 
 
@@ -119,42 +121,59 @@ def _shift_ew(xc: jnp.ndarray):
 HALO = 8  # sublane-aligned halo rows on each side
 
 
-def _load_halo_band(xp_hbm, scratch, sem, tile_y):
-    """DMA rows [i*t, i*t + t + 2*HALO) of the 8-padded x into scratch."""
+def _load_halo_band(xp_hbm, scratch, sem, tile_y, halo=HALO):
+    """DMA rows [i*t, i*t + t + 2*halo) of the halo-padded x into scratch."""
     i = pl.program_id(0)
     row0 = pl.multiple_of(i * tile_y, 8)
     dma = pltpu.make_async_copy(
-        xp_hbm.at[pl.ds(row0, tile_y + 2 * HALO), :], scratch, sem)
+        xp_hbm.at[pl.ds(row0, tile_y + 2 * halo), :], scratch, sem)
     dma.start()
     dma.wait()
 
 
-def _stencil(xp, ce, cw, cn, cs, diag, t):
-    xc = xp[HALO:HALO + t, :]
-    xn = xp[HALO + 1:HALO + 1 + t, :]
-    xs = xp[HALO - 1:HALO - 1 + t, :]
+def _stencil(xp, ce, cw, cn, cs, diag, t, halo=HALO):
+    xc = xp[halo:halo + t, :]
+    xn = xp[halo + 1:halo + 1 + t, :]
+    xs = xp[halo - 1:halo - 1 + t, :]
     xe, xw = _shift_ew(xc)
     return diag * xc - ce * xe - cw * xw - cn * xn - cs * xs
 
 
-def _make_matvec_kernel(tile_y):
+def _fit_or_raise(ny, nx, dtype, kernel):
+    """Self-fitting tile for the single-pass kernels: the same VMEM and
+    alignment rules `pallas_available_for(kernel=...)` gates on — a shape
+    the gate approves must compile, one it rejects raises loudly here
+    instead of failing inside the Mosaic compiler."""
+    dtype = jnp.dtype(dtype)
+    halo = _halo_for(dtype)
+    n_scratch, n_out = _KERNEL_BANDS[kernel]
+    t = _fit_tile_y(ny, nx, halo, n_scratch, n_out, dtype.itemsize)
+    if t is None or ny % t:
+        raise ValueError(
+            f"{kernel} pallas kernel cannot tile ({ny}, {nx}) {dtype} "
+            f"within scoped VMEM; gate with pallas_available_for(shape, "
+            f"dtype, kernel={kernel!r}) and fall back to the XLA path")
+    return t, halo
+
+
+def _make_matvec_kernel(tile_y, halo):
     def kernel(xp_ref, ce_ref, cw_ref, cn_ref, cs_ref, diag_ref, out_ref,
                scratch, sem):
-        _load_halo_band(xp_ref, scratch, sem, tile_y)
+        _load_halo_band(xp_ref, scratch, sem, tile_y, halo)
         out_ref[:, :] = _stencil(scratch[:, :], ce_ref[:, :], cw_ref[:, :],
                                  cn_ref[:, :], cs_ref[:, :], diag_ref[:, :],
-                                 tile_y)
+                                 tile_y, halo)
     return kernel
 
 
-def _make_jacobi_kernel(tile_y):
+def _make_jacobi_kernel(tile_y, halo):
     def kernel(omega_ref, xp_ref, ce_ref, cw_ref, cn_ref, cs_ref, diag_ref,
                b_ref, out_ref, scratch, sem):
-        _load_halo_band(xp_ref, scratch, sem, tile_y)
+        _load_halo_band(xp_ref, scratch, sem, tile_y, halo)
         diag = diag_ref[:, :]
         ax = _stencil(scratch[:, :], ce_ref[:, :], cw_ref[:, :],
-                      cn_ref[:, :], cs_ref[:, :], diag, tile_y)
-        out_ref[:, :] = (scratch[HALO:HALO + tile_y, :]
+                      cn_ref[:, :], cs_ref[:, :], diag, tile_y, halo)
+        out_ref[:, :] = (scratch[halo:halo + tile_y, :]
                          + omega_ref[0] * (b_ref[:, :] - ax) / diag)
     return kernel
 
@@ -164,17 +183,17 @@ def stencil_matvec_pallas(coef, x: jnp.ndarray,
                           interpret: bool = False) -> jnp.ndarray:
     """Fused A @ x. `coef` is a fv.pressure.PressureCoeffs."""
     ny, nx = x.shape
-    t = _tile_y(ny)
-    xp = jnp.pad(x, ((HALO, HALO), (0, 0)))
+    t, h = _fit_or_raise(ny, nx, x.dtype, "matvec")
+    xp = jnp.pad(x, ((h, h), (0, 0)))
     band = _band_spec(nx, t)
     return pl.pallas_call(
-        _make_matvec_kernel(t),
+        _make_matvec_kernel(t, h),
         grid=(ny // t,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
                   band, band, band, band, band],
         out_specs=band,
         out_shape=jax.ShapeDtypeStruct((ny, nx), x.dtype),
-        scratch_shapes=[pltpu.VMEM((t + 2 * HALO, nx), x.dtype),
+        scratch_shapes=[pltpu.VMEM((t + 2 * h, nx), x.dtype),
                         pltpu.SemaphoreType.DMA],
         interpret=interpret,
     )(xp, coef.c_e, coef.c_w, coef.c_n, coef.c_s, coef.diag)
@@ -187,25 +206,25 @@ def jacobi_sweep_pallas(coef, x: jnp.ndarray, b: jnp.ndarray,
     """`iters` fused damped-Jacobi sweeps (multigrid.jacobi_smooth
     equivalent, one HBM round trip of x per sweep)."""
     ny, nx = x.shape
-    t = _tile_y(ny)
+    t, h = _fit_or_raise(ny, nx, x.dtype, "jacobi_sweep")
     band = _band_spec(nx, t)
     om = jnp.full((1,), omega, dtype=x.dtype)
 
     call = pl.pallas_call(
-        _make_jacobi_kernel(t),
+        _make_jacobi_kernel(t, h),
         grid=(ny // t,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.HBM),
                   band, band, band, band, band, band],
         out_specs=band,
         out_shape=jax.ShapeDtypeStruct((ny, nx), x.dtype),
-        scratch_shapes=[pltpu.VMEM((t + 2 * HALO, nx), x.dtype),
+        scratch_shapes=[pltpu.VMEM((t + 2 * h, nx), x.dtype),
                         pltpu.SemaphoreType.DMA],
         interpret=interpret,
     )
 
     def body(_, x):
-        xp = jnp.pad(x, ((HALO, HALO), (0, 0)))
+        xp = jnp.pad(x, ((h, h), (0, 0)))
         return call(om, xp, coef.c_e, coef.c_w, coef.c_n, coef.c_s,
                     coef.diag, b)
 
