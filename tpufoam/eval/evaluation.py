@@ -139,11 +139,14 @@ class EvalReport:
 
 
 def _relevant(fields, threshold=1e-4) -> bool:
-    du = np.asarray(fields["u"] - fields["u_prev"])
-    dv = np.asarray(fields["v"] - fields["v_prev"])
-    um = float(np.max(np.hypot(np.asarray(fields["u"]), np.asarray(fields["v"]))))
-    dum = float(np.max(np.hypot(du, dv)))
-    return um > 1e-12 and (dum / um) >= threshold
+    # ONE implementation of the irrelevant-timestep skip
+    # (SM_call.py:407-415): evaluation must skip exactly the frames
+    # dataset production skips, or a near-zero-velocity noise frame gets
+    # scored but never trained on
+    from ..train.dataset import frame_is_relevant
+    return frame_is_relevant(fields["u"], fields["v"],
+                             fields["u_prev"], fields["v_prev"],
+                             threshold=threshold)
 
 
 def _deltaU_weight_grids(fields: dict, prev_fields: dict | None):

@@ -24,9 +24,15 @@ def rollout(model: PointNetUNet, params, fields0: np.ndarray,
 
     f = jnp.asarray(fields0)[None]
     c = jnp.asarray(coords)[None]
+    # padded rows (PAD sentinel coords) must STAY at PAD through the
+    # rollout: the model was trained with PAD inputs at those rows (only
+    # the loss masks them, models/pointnet.py), so feeding its in-[0,1]
+    # outputs back there would put every step >= 2 out of distribution
+    # and corrupt the global max-pool features
+    pad_rows = (c[..., :1] == PAD)
     frames = []
     for _ in range(n_steps):
-        f = model.apply(params, f, c)
+        f = jnp.where(pad_rows, PAD, model.apply(params, f, c))
         frames.append(np.asarray(f[0]))
     return np.stack(frames)
 

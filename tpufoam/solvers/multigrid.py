@@ -92,23 +92,29 @@ def _prolong1d(e: jnp.ndarray, axis: int) -> jnp.ndarray:
     return jnp.moveaxis(out, 0, axis)
 
 
-def _restrict1d(r: jnp.ndarray, axis: int) -> jnp.ndarray:
-    """Exact adjoint of `_prolong1d` (row sums 2 — pairs with the summed
-    coarse operator). Keeping R = P^T keeps the V-cycle symmetric so it is
-    a valid CG preconditioner."""
+def _restrict1d_gather(r: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Adjoint of `_prolong1d` along one axis, pre-pool form: g such that
+    coarse[I] = g[2I] + g[2I+1]. The cross-pair taps land on parity
+    slots — r[2I-1] (an odd fine row feeding the pair ABOVE it) on the
+    even slot, r[2I+2] on the odd slot — with edge replication
+    reproducing the Neumann-consistent boundary rows. Parity masks +
+    shifts keep this free of stride-2 slicing (the coarsen_coeffs
+    lesson: a stride-2 lane shuffle costs ~10 ms/pass at 1M cells)."""
     r = jnp.moveaxis(r, axis, 0)
-    r_even, r_odd = r[0::2], r[1::2]
-    rm = jnp.concatenate([jnp.zeros_like(r_odd[:1]), r_odd[:-1]], axis=0)
-    rp = jnp.concatenate([r_even[1:], jnp.zeros_like(r_even[:1])], axis=0)
-    out = 0.75 * (r_even + r_odd) + 0.25 * (rm + rp)
-    out = out.at[0].add(0.25 * r_even[0])
-    out = out.at[-1].add(0.25 * r_odd[-1])
-    return jnp.moveaxis(out, 0, axis)
+    dn = jnp.concatenate([r[:1], r[:-1]], axis=0)    # r[i-1], edge-repl.
+    up = jnp.concatenate([r[1:], r[-1:]], axis=0)    # r[i+1], edge-repl.
+    par = (lax.broadcasted_iota(jnp.int32, r.shape, 0) % 2).astype(r.dtype)
+    g = 0.75 * r + 0.25 * ((1.0 - par) * dn + par * up)
+    return jnp.moveaxis(g, 0, axis)
 
 
 def restrict(r: jnp.ndarray) -> jnp.ndarray:
-    """Full-weighting restriction = adjoint of bilinear prolongation."""
-    return _restrict1d(_restrict1d(r, 0), 1)
+    """Full-weighting restriction = adjoint of bilinear prolongation
+    (row sums 2 — pairs with the summed coarse operator; R = P^T keeps
+    the V-cycle symmetric, so it stays a valid CG preconditioner).
+    One fused pass: both 1D tap stencils, then a single 2x2 sum-pool
+    (the shifts/masks along each axis commute with pooling the other)."""
+    return _pool2x2(_restrict1d_gather(_restrict1d_gather(r, 0), 1))
 
 
 def prolong(e: jnp.ndarray) -> jnp.ndarray:

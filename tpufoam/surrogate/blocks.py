@@ -217,7 +217,13 @@ def _strip_means(layout: BlockLayout, blocks: jnp.ndarray, masks: jnp.ndarray):
         out["bot_pi"] = mm(slice(-(s - p_i), None), slice(None))
         out["top_strip_pi"] = mm(slice(-p_i - o, -p_i), slice(None))
         out["excl_pi"] = mm(slice(0, s - p_i), slice(None))
-        out["up_frac"] = m[:, -p_i - o:-p_i, :].sum(axis=ax) / float(s * s)
+        # fluid fraction OF THE STRIP itself (o*s cells). The reference
+        # divides by 128**2 (SM_call.py:307), which caps the value at
+        # o/s = 0.25 and makes its own "switch if >90% NaN" branch
+        # unreachable — we normalize correctly so the stated intent
+        # (fall back to the side correction when the up-strip is nearly
+        # all solid) actually engages; see stitch_offsets_scan.
+        out["up_frac"] = m[:, -p_i - o:-p_i, :].sum(axis=ax) / float(o * s)
     else:
         zero = jnp.zeros(blocks.shape[0])
         out["bot_pi"] = (zero, zero)
@@ -277,12 +283,19 @@ def stitch_offsets_scan(layout: BlockLayout, blocks: jnp.ndarray,
         # off-by-strip inconsistency that leaves that one block with a
         # biased offset. We use the consistent full-overlap strip
         # (excl_pi), which makes ground-truth reconstruction exact.
+        # Second deviation: the reference's guard (SM_call.py:303-313)
+        # intends "switch to the side correction when >90% of the
+        # up-overlap strip is solid" but (a) normalizes the count by
+        # 128**2 instead of the strip size, capping it at 0.25, and
+        # (b) tests the NON-solid fraction — so its branch never fires
+        # and a solid-dominated strip mean-matches garbage. We apply the
+        # stated intent: up-strip fluid fraction < 10% -> side correction.
         corr_last_side = jnp.where(j == 0, x["right_izl"] - old_left_izl,
                                    x["right_o"] - old_left_o)
         corr_last = jnp.where(
             j == n_x,
             x["excl_pi"] - bc_ups[j],
-            jnp.where(x["up_frac"] > 0.9, corr_last_side,
+            jnp.where(x["up_frac"] < 0.1, corr_last_side,
                       x["excl_pi"] - bc_ups[j]))
 
         corr = jnp.where(i == 0, corr_first,

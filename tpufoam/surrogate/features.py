@@ -49,14 +49,26 @@ def masked_gradient(case: Case, f: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarra
 def smart_arcsinh(field: jnp.ndarray, k: float) -> jnp.ndarray:
     """Outlier-taming transform (pressureSM_Poisson/train.py:63-110): map
     [mean - k*std, mean + k*std] affinely to [-1, 1], push outliers beyond,
-    then arcsinh."""
+    then arcsinh.
+
+    Outlier branches divide by |bound|, not the signed bound the
+    reference uses: with the usual lb < 0 < ub (zero-centred source
+    fields) the two are algebraically IDENTICAL, but the signed form
+    inverts the mapping (low outliers land ABOVE +1, non-monotonic)
+    whenever the whole central band sits on one side of zero
+    (lb > 0 or ub < 0)."""
     mean = jnp.mean(field)
     std = jnp.std(field)
     lb = mean - k * std
     ub = mean + k * std
+
+    def _safe_abs(b):
+        a = jnp.abs(b)
+        return jnp.where(a < 1e-30, 1.0, a)
+
     scaled = jnp.where(
-        field < lb, -1.0 - (field - lb) / jnp.where(lb == 0, 1.0, lb),
-        jnp.where(field > ub, 1.0 + (field - ub) / jnp.where(ub == 0, 1.0, ub),
+        field < lb, -1.0 + (field - lb) / _safe_abs(lb),
+        jnp.where(field > ub, 1.0 + (field - ub) / _safe_abs(ub),
                   2.0 * (field - lb) / jnp.maximum(ub - lb, 1e-30) - 1.0))
     return jnp.arcsinh(scaled)
 

@@ -183,6 +183,16 @@ def make_predictor(bundle: SurrogateBundle, family: FamilyConfig | None = None,
     PCA encode/decode matmuls in bf16 (f32 accumulation).
     """
     family = FAMILIES[bundle.family] if family is None else family
+    if family.n_out != 1:
+        # the predictor contract is a PRESSURE guess: a multi-channel
+        # family (U_gradP predicts [dp/dx, dp/dy]) cannot be served here —
+        # taking channel 0 and stitching it as p would silently return a
+        # meaningless field. Gradient bundles are evaluated through
+        # eval/evaluation.py's integrate_gradp tier instead.
+        raise ValueError(
+            f"family {family.name!r} predicts {family.n_out} output "
+            f"channels; make_predictor serves single-channel pressure "
+            f"families only (use tpufoam-eval for gradient bundles)")
     assemble = assemble_scan if stitch == "scan" else assemble_lstsq
     pca_dtype = jnp.bfloat16 if precision == "bf16" else None
     if pca_dtype is not None:

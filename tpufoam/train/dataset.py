@@ -38,9 +38,19 @@ class BlockDataset:
     def n(self) -> int:
         return self.x.shape[0]
 
-    def flat_normalized(self, idx: slice | np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    def flat_normalized(self, idx: slice | np.ndarray,
+                        side: int | None = None):
         """Max-abs-scaled flattened (inputs, targets) for PCA/NN stages
-        (train.py:360-371)."""
+        (train.py:360-371). `side` (0=inputs, 1=targets) normalizes only
+        that array — the streaming-PCA chunk sources consume one side
+        ~6 passes per fit, and normalizing the unused 49k-dim side each
+        pass is pure waste."""
+        if side == 0:
+            xb = self.x[idx] / self.maxs_in
+            return xb.reshape(xb.shape[0], -1)
+        if side == 1:
+            yb = self.y[idx] / self.maxs_out
+            return yb.reshape(yb.shape[0], -1)
         xb = self.x[idx] / self.maxs_in
         yb = self.y[idx] / self.maxs_out
         return (xb.reshape(xb.shape[0], -1), yb.reshape(yb.shape[0], -1))

@@ -86,7 +86,7 @@ def _stage_side(ds: BlockDataset, cfg: TrainConfig, side: int):
     (>=5e4 blocks x 49,152 dims) the sum does not fit a 16 GB chip."""
     out = []
     for i in range(0, ds.n, cfg.pca_chunk):
-        f = ds.flat_normalized(slice(i, i + cfg.pca_chunk))[side]
+        f = ds.flat_normalized(slice(i, i + cfg.pca_chunk), side=side)
         out.append(jax.device_put(jnp.asarray(f)))
     return out
 
@@ -121,11 +121,11 @@ def fit_pcas(ds: BlockDataset, cfg: TrainConfig) -> tuple[PCAModel, PCAModel, in
 
     def chunks_x():
         for i in range(0, n, cfg.pca_chunk):
-            yield ds.flat_normalized(slice(i, i + cfg.pca_chunk))[0]
+            yield ds.flat_normalized(slice(i, i + cfg.pca_chunk), side=0)
 
     def chunks_y():
         for i in range(0, n, cfg.pca_chunk):
-            yield ds.flat_normalized(slice(i, i + cfg.pca_chunk))[1]
+            yield ds.flat_normalized(slice(i, i + cfg.pca_chunk), side=1)
 
     k_cap = min(cfg.max_num_pc, n)
     pca_in = StreamingPCA(k_cap, seed=cfg.seed).fit(chunks_x)
@@ -277,14 +277,19 @@ def train_surrogate(ds: BlockDataset, family: str,
 
         def body(carry, batch):
             p, s, tot = carry
-            xb, yb = batch
-            loss, g = jax.value_and_grad(loss_fn)(p, xb, yb, kdrop)
+            xb, yb, bi = batch
+            # fresh dropout mask PER BATCH (apply_model only folds the
+            # layer index; without this every batch of an epoch would
+            # train against one frozen mask)
+            loss, g = jax.value_and_grad(loss_fn)(
+                p, xb, yb, jax.random.fold_in(kdrop, bi))
             updates, s = opt.update(g, s, p)
             p = optax.apply_updates(p, updates)
             return (p, s, tot + loss), None
 
         (params, opt_state, tot), _ = jax.lax.scan(
-            body, (params, opt_state, 0.0), (xb_all, yb_all))
+            body, (params, opt_state, 0.0),
+            (xb_all, yb_all, jnp.arange(n_batches)))
         return params, opt_state, tot / n_batches, key
 
     @jax.jit
