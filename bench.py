@@ -22,6 +22,27 @@ import jax
 import numpy as np
 
 
+def _device_reachable(timeout=150.0):
+    """The axon TPU tunnel can die outright (docs/STATUS.md §3): the
+    relay exits and every client futex-waits forever at first device
+    contact, which would hang the driver's bench run. Probe backend init
+    in a SUBPROCESS with a timeout so a dead tunnel degrades to an
+    honest reduced CPU benchmark instead of a hang. Device init is
+    seconds when the tunnel is alive (no compile happens here), so 150 s
+    only expires when the relay is genuinely gone — killing the probe
+    child is safe in exactly that case."""
+    import subprocess
+    import sys
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            timeout=timeout, capture_output=True, text=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def time_rollout(case, flow, n_steps, cfg, backend, sm_predict=None,
                  repeats=5):
     # eager stepping with donated buffers: numerically identical to the
@@ -48,12 +69,19 @@ def time_rollout(case, flow, n_steps, cfg, backend, sm_predict=None,
 
 
 def main():
+    cpu_fallback = not _device_reachable()
+    if cpu_fallback:
+        # dead tunnel: run a reduced, honestly-labeled CPU benchmark
+        # (one host core; the full 1M-cell config would take hours) and
+        # attach the last committed on-chip measurement for context
+        jax.config.update("jax_platforms", "cpu")
+
     from tpufoam.core.geometry import channel_case_geometry
     from tpufoam.fv.case import build_channel_case, initial_flow
     from tpufoam.piso.engine import PisoConfig, continuity_error
     from tpufoam.solvers.backends import CGBackend
 
-    ny, nx = 512, 2048
+    ny, nx = (256, 1024) if cpu_fallback else (512, 2048)
     height = 2.0
     delta = height / ny
     geom = channel_case_geometry("cylinder", length=nx * delta, height=height,
@@ -63,10 +91,12 @@ def main():
     flow = initial_flow(case, dt0=5e-4)
     cfg = PisoConfig(n_correctors=2, max_co=0.5, max_dt=2e-3)
 
-    n_steps = 30
+    n_steps = 10 if cpu_fallback else 30
+    repeats = 2 if cpu_fallback else 5
     from tpufoam.solvers.backends import MGCGBackend
     cg = MGCGBackend(rtol=1e-6, maxiter=60)
-    t_cg, sp_cg, flow_cg = time_rollout(case, flow, n_steps, cfg, cg)
+    t_cg, sp_cg, flow_cg = time_rollout(case, flow, n_steps, cfg, cg,
+                                        repeats=repeats)
 
     # Algorithm-2 coupling: SM predicts once per step, correctors run capped
     # multigrid cycles. Uses the trained in-repo bundle when present
@@ -113,12 +143,12 @@ def main():
             case, flow, n_steps,
             _dc.replace(cfg, momentum_smoother="pallas"),
             MGBackend(cycles=2, precision="bf16"),
-            sm_predict=predictor)
+            sm_predict=predictor, repeats=repeats)
         smoother = "pallas-momentum"
     else:
         t_hy, sp_hy, flow_hy = time_rollout(
             case, flow, n_steps, cfg, MGBackend(cycles=2, precision="bf16"),
-            sm_predict=predictor)
+            sm_predict=predictor, repeats=repeats)
         smoother = "xla"
 
     # batched case-farming mode: 4 geometries x 1M cells — aggregate
@@ -151,7 +181,7 @@ def main():
             for o in state:
                 jax.block_until_ready(o.u)
             ts = []
-            for _ in range(5):
+            for _ in range(repeats):
                 t0 = time.perf_counter()
                 state = [run_piso_eager(c, f, n_steps, cfg=fleet_cfg,
                                         backend=be, sm_predict=sm)
@@ -183,8 +213,9 @@ def main():
              else "MG-PCG PISO @ rtol 1e-6")
     mcells_s = n_cells / t_head / 1e6
     baseline_mcells_s = 1.0  # est. single-core OpenFOAM pisoFoam, 1M cells
+    size_label = f"{n_cells / 1e6:.2g}M-cell"
     result = {
-        "metric": f"PISO step throughput (1M-cell channel, {label}, "
+        "metric": f"PISO step throughput ({size_label} channel, {label}, "
                   "matched L2 vs exact solve)",
         "value": round(mcells_s, 3),
         "unit": "Mcells/s",
@@ -212,6 +243,14 @@ def main():
                              "published numbers; see BASELINE.md)",
         },
     }
+    if cpu_fallback:
+        result["extra"]["platform_fallback"] = (
+            "axon relay unreachable (docs/STATUS.md §3) — reduced CPU "
+            "run on one host core; NOT comparable to on-chip numbers")
+        onchip = os.path.join(root, "artifacts", "bench_r3_local.json")
+        if os.path.exists(onchip):
+            with open(onchip) as f:
+                result["extra"]["last_onchip_measurement"] = json.load(f)
     print(json.dumps(result))
 
 
