@@ -62,6 +62,14 @@ def build_dataset(cache_path: str, delta: float, n_frames: int,
     parts = []
     t0 = time.perf_counter()
     for i, (d_cyl, cx, cy, u_mean) in enumerate(CASES):
+        # per-case stage cache: a tunnel death mid-datagen (the longest
+        # phase) resumes at the first incomplete case instead of
+        # restarting the whole sweep
+        case_cache = f"{cache_path[:-4]}.case{i}.npz"
+        if os.path.exists(case_cache):
+            print(f"case cache hit: {case_cache}", flush=True)
+            parts.append(load_block_dataset(case_cache))
+            continue
         geom = channel_case_geometry(
             "cylinder", length=2.2, height=0.41, obstacle_size=d_cyl,
             cx=cx, cy=cy, u_mean=u_mean, nu=1e-3)
@@ -80,6 +88,7 @@ def build_dataset(cache_path: str, delta: float, n_frames: int,
                                  seed=7001 + i)
         print(f"D={d_cyl}@({cx},{cy}) u={u_mean}: {ds.n} blocks "
               f"[{time.perf_counter() - t0:.0f}s]", flush=True)
+        save_block_dataset(case_cache, ds)
         parts.append(ds)
 
     x = np.concatenate([d.x for d in parts])
