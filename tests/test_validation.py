@@ -123,15 +123,24 @@ def test_2d2_artifacts_within_tolerance():
 
 
 def test_2d2_grid_convergence():
-    """Refinement must improve both the Strouhal number and the force
-    magnitude relative to the coarsest stair-step grid."""
+    """The committed resolution ladder (D/delta = 15.6 ... 124.9) must
+    converge toward the published bands: band errors non-increasing at
+    every refinement step (to within a 0.3% exchange tolerance — at the
+    finest grids cd_max sits within +-0.2% of the band and consecutive
+    runs trade places inside that converged noise floor) and the finest
+    grid within 1% (cd_max, strouhal) / 3% (cl_max, whose residual
+    deficit is the Euler limit-cycle damping — see the backward-ddt
+    tests for its removal)."""
     runs = _load_artifacts()
     if len(runs) < 2:
         pytest.skip("need >=2 resolutions")
     ref = PUBLISHED["2D-2"]
-    for key in ("cd_max", "strouhal"):
+    for key, fine_tol in (("cd_max", 0.01), ("strouhal", 0.01),
+                          ("cl_max", 0.03)):
         errs = [abs(band_error(r[key], ref[key])) for r in runs]
-        assert errs[-1] <= errs[0], (key, errs)
+        for a, b in zip(errs, errs[1:]):
+            assert b <= a + 0.003, (key, errs)
+        assert errs[-1] <= fine_tol, (key, errs)
 
 
 def test_2d3_ramped_artifacts_within_tolerance():
