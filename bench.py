@@ -23,24 +23,13 @@ import numpy as np
 
 
 def _device_reachable(timeout=150.0):
-    """The axon TPU tunnel can die outright (docs/STATUS.md §3): the
-    relay exits and every client futex-waits forever at first device
-    contact, which would hang the driver's bench run. Probe backend init
-    in a SUBPROCESS with a timeout so a dead tunnel degrades to an
-    honest reduced CPU benchmark instead of a hang. Device init is
-    seconds when the tunnel is alive (no compile happens here), so 150 s
-    only expires when the relay is genuinely gone — killing the probe
-    child is safe in exactly that case."""
-    import subprocess
-    import sys
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c",
-             "import jax; print(jax.devices()[0].platform)"],
-            timeout=timeout, capture_output=True, text=True)
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    """Shared with the driver compile check: __graft_entry__.probe_tpu
+    (relay-listener check first, then a detached never-killed subprocess
+    probe that also rejects a silent in-child CPU fallback), so a dead
+    axon tunnel degrades to an honest reduced CPU benchmark instead of
+    hanging the driver."""
+    from __graft_entry__ import probe_tpu
+    return probe_tpu(timeout=timeout)
 
 
 def time_rollout(case, flow, n_steps, cfg, backend, sm_predict=None,
@@ -228,7 +217,7 @@ def main():
             "hybrid_mcells_s": round(n_cells / t_hy / 1e6, 3),
             "sec_per_step_spread_cg": [round(x, 4) for x in sp_cg],
             "sec_per_step_spread_hybrid": [round(x, 4) for x in sp_hy],
-            "timing_windows": f"{n_steps} steps x 5 repeats, median",
+            "timing_windows": f"{n_steps} steps x {repeats} repeats, median",
             "hybrid_vs_cg_rel_l2_u": round(l2_u, 5),
             "hybrid_bundle": bundle_name if trained else "random-structural",
             "hybrid_smoother": smoother,
@@ -247,7 +236,7 @@ def main():
         result["extra"]["platform_fallback"] = (
             "axon relay unreachable (docs/STATUS.md §3) — reduced CPU "
             "run on one host core; NOT comparable to on-chip numbers")
-        onchip = os.path.join(root, "artifacts", "bench_r3_local.json")
+        onchip = os.path.join(root, "artifacts", "bench_r3_tpu.json")
         if os.path.exists(onchip):
             with open(onchip) as f:
                 result["extra"]["last_onchip_measurement"] = json.load(f)

@@ -64,8 +64,12 @@ def build_dataset(cache_path: str, delta: float, n_frames: int,
     for i, (d_cyl, cx, cy, u_mean) in enumerate(CASES):
         # per-case stage cache: a tunnel death mid-datagen (the longest
         # phase) resumes at the first incomplete case instead of
-        # restarting the whole sweep
-        case_cache = f"{cache_path[:-4]}.case{i}.npz"
+        # restarting the whole sweep. Keyed on the case PARAMETERS and
+        # the sampling seed (i), not the index alone — editing or
+        # reordering CASES must never silently reuse blocks generated
+        # from a different geometry.
+        case_cache = (f"{cache_path[:-4]}.case{i}"
+                      f"_D{d_cyl:g}x{cx:g}x{cy:g}u{u_mean:g}.npz")
         if os.path.exists(case_cache):
             print(f"case cache hit: {case_cache}", flush=True)
             parts.append(load_block_dataset(case_cache))

@@ -189,8 +189,12 @@ def evaluate_bundle(bundle: SurrogateBundle, case: Case, frames: list[dict],
         weighted = False
     layout = build_block_layout(case.grid.ny, case.grid.nx,
                                 bundle.block_size, bundle.overlap_ratio)
-    predictor = make_predictor(bundle, stitch=stitch,
-                               apply_filter=apply_filter)
+    # gradient families are reconstructed inline below (stitch each
+    # component + line-integrate); make_predictor serves single-channel
+    # pressure families ONLY and rejects multi-channel bundles loudly
+    predictor = (make_predictor(bundle, stitch=stitch,
+                                apply_filter=apply_filter)
+                 if family.n_out == 1 else None)
 
     @jax.jit  # one dispatch per frame (tunneled-device latency)
     def frame_eval(fields):
