@@ -212,3 +212,83 @@ def test_dropout_key_fold_in_changes_mask():
     ya = apply_model(params, mdef, x)
     yb = apply_model(params, mdef, x)
     np.testing.assert_array_equal(np.asarray(ya), np.asarray(yb))
+
+
+# ---------------------------------------------------------------------------
+# driver contract: kill-free TPU probe (round-3 fourth review pass)
+# ---------------------------------------------------------------------------
+
+def test_probe_tpu_dead_relay_short_circuits(monkeypatch):
+    """On a tunneled host (relay bootstrap present) with no relay
+    listener, probe_tpu must report unreachable WITHOUT spawning a
+    client subprocess — a dead relay makes any client futex-wait, and
+    killing one on a live-but-busy tunnel can wedge it for hours."""
+    import os
+    import socket
+    import subprocess
+
+    import __graft_entry__ as ge
+
+    real_exists = os.path.exists
+    monkeypatch.setattr(
+        os.path, "exists",
+        lambda p: True if p == "/root/.tpu_init.py" else real_exists(p))
+
+    def refuse(*a, **k):
+        raise OSError("connection refused")
+    monkeypatch.setattr(socket, "create_connection", refuse)
+
+    def no_spawn(*a, **k):
+        raise AssertionError("probe spawned a client despite a dead relay")
+    monkeypatch.setattr(subprocess, "Popen", no_spawn)
+
+    assert ge.probe_tpu(timeout=1.0) is False
+
+
+@pytest.mark.parametrize("platform,expected", [("tpu", True),
+                                               ("axon", True),
+                                               ("cpu", False)])
+def test_probe_tpu_rejects_silent_cpu_fallback(monkeypatch, platform,
+                                               expected):
+    """A probe child that silently fell back to the CPU backend (plugin
+    absent on this host) must count as NOT reachable, so callers degrade
+    to the reduced CPU benchmark instead of running the TPU-sized config
+    on one host core."""
+    import subprocess
+    import sys
+
+    import __graft_entry__ as ge
+
+    real_popen = subprocess.Popen
+
+    def fake_probe(cmd, *a, **k):
+        return real_popen([sys.executable, "-c",
+                           f"print({platform!r})"], *a, **k)
+    monkeypatch.setattr(subprocess, "Popen", fake_probe)
+    assert ge.probe_tpu(timeout=30.0) is expected
+
+
+def test_probe_tpu_abandons_timed_out_child(monkeypatch):
+    """On timeout the probe must return False WITHOUT killing the child
+    (mid-RPC SIGKILL wedges a busy tunnel): the child must still be
+    alive afterwards."""
+    import subprocess
+    import sys
+
+    import __graft_entry__ as ge
+
+    real_popen = subprocess.Popen
+    children = []
+
+    def slow_probe(cmd, *a, **k):
+        child = real_popen([sys.executable, "-c",
+                            "import time; time.sleep(20)"], *a, **k)
+        children.append(child)
+        return child
+    monkeypatch.setattr(subprocess, "Popen", slow_probe)
+
+    assert ge.probe_tpu(timeout=0.5) is False
+    (child,) = children
+    assert child.poll() is None, "probe killed the timed-out child"
+    child.terminate()  # test cleanup only: OUR sleeper, not a TPU client
+    child.wait()
