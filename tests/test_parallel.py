@@ -202,6 +202,110 @@ def test_batched_multi_geometry_rollout():
     assert np.isfinite(np.asarray(out_h.u)).all()
 
 
+def test_sharded_fleet_matches_single_device():
+    """Case-parallel fleet farming across chips (piso.batched's docstring
+    contract): 8 cases sharded over the full 8-device mesh via
+    make_sharded_fleet_step must equal the single-device vmapped rollout.
+    The program has zero collectives — each device owns whole-domain
+    cases — so equality is exact up to compilation/fusion rounding."""
+    from tpufoam.core.geometry import channel_case_geometry
+    from tpufoam.fv.case import build_channel_case, initial_flow
+    from tpufoam.parallel.mesh import (device_mesh, make_sharded_fleet_step,
+                                       shard_fleet)
+    from tpufoam.piso.batched import run_piso_batched, stack_cases, stack_flows
+    from tpufoam.piso.engine import PisoConfig
+    from tpufoam.solvers.backends import CGBackend
+
+    cases, flows = [], []
+    for i in range(8):
+        geom = channel_case_geometry("cylinder", length=3.0, height=1.0,
+                                     obstacle_size=0.22 + 0.02 * i)
+        c = build_channel_case(geom, delta=1.0 / 24)
+        cases.append(c)
+        flows.append(initial_flow(c, dt0=2e-3))
+    batch_c = stack_cases(cases)
+    batch_f = stack_flows(flows)
+    cfg = PisoConfig(n_correctors=1)
+    backend = CGBackend(rtol=1e-7, maxiter=400)
+
+    n_steps = 3
+    ref = run_piso_batched(batch_c, batch_f, n_steps, cfg=cfg,
+                           backend=backend)
+
+    mesh = device_mesh(8)
+    step = make_sharded_fleet_step(mesh, cfg, backend)
+    with mesh:
+        c_s = shard_fleet(mesh, batch_c)
+        f_s = shard_fleet(mesh, batch_f)
+        for _ in range(n_steps):
+            f_s = step(c_s, f_s)
+        jax.block_until_ready(f_s.u)
+
+    # every device advanced different cases — outputs must still be the
+    # per-case trajectories, in order
+    np.testing.assert_allclose(np.asarray(f_s.u), np.asarray(ref.u),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(f_s.p), np.asarray(ref.p),
+                               atol=2e-3)
+    # geometries differ -> flows differ (the case axis was not scrambled)
+    u = np.asarray(f_s.u)
+    assert np.abs(u[0] - u[7]).max() > 1e-3
+
+
+def test_sharded_fleet_hybrid_and_pallas(monkeypatch):
+    """The PRODUCTION fleet config across chips: surrogate warm start +
+    capped MG polish + pallas momentum kernel, case-parallel under
+    shard_map (interpret-mode kernels on the CPU mesh). This is the
+    configuration bench.py's fleet lanes time on one chip — here its
+    multi-chip scaling path is pinned."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from __graft_entry__ import _tiny_bundle
+
+    from tpufoam.core.geometry import channel_case_geometry
+    from tpufoam.fv.case import build_channel_case, initial_flow
+    from tpufoam.ops import stencil
+    from tpufoam.parallel.mesh import (device_mesh, make_sharded_fleet_step,
+                                       shard_fleet)
+    from tpufoam.piso.batched import (run_piso_batched_eager, stack_cases,
+                                      stack_flows)
+    from tpufoam.piso.engine import PisoConfig
+    from tpufoam.solvers.backends import MGBackend
+    from tpufoam.surrogate.pipeline import make_predictor
+
+    monkeypatch.setattr(stencil, "_INTERPRET", True)
+    cases, flows = [], []
+    for i in range(8):
+        geom = channel_case_geometry("cylinder", length=4.0, height=1.0,
+                                     obstacle_size=0.24 + 0.02 * i)
+        c = build_channel_case(geom, delta=1.0 / 32)   # 32 x 128 per case
+        cases.append(c)
+        flows.append(initial_flow(c, dt0=2e-3))
+    batch_c = stack_cases(cases)
+    batch_f = stack_flows(flows)
+    pred = make_predictor(_tiny_bundle(block_size=32), stitch="lstsq")
+    cfg = PisoConfig(n_correctors=1, momentum_smoother="pallas")
+    backend = MGBackend(cycles=2)
+
+    ref = run_piso_batched_eager(batch_c, stack_flows(flows), 2, cfg=cfg,
+                                 backend=backend, sm_predict=pred)
+
+    mesh = device_mesh(8)
+    step = make_sharded_fleet_step(mesh, cfg, backend, sm_predict=pred)
+    with mesh:
+        c_s = shard_fleet(mesh, batch_c)
+        f_s = shard_fleet(mesh, batch_f)
+        for _ in range(2):
+            f_s = step(c_s, f_s)
+        jax.block_until_ready(f_s.u)
+
+    np.testing.assert_allclose(np.asarray(f_s.u), np.asarray(ref.u),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(f_s.p), np.asarray(ref.p),
+                               atol=2e-3)
+
+
 def test_train_checkpoint_resume(tmp_path):
     from tpufoam.train.dataset import BlockDataset
     from tpufoam.train.trainer import TrainConfig, train_surrogate

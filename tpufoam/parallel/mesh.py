@@ -174,6 +174,62 @@ def make_sharded_piso_step(mesh: Mesh, cfg: PisoConfig = PisoConfig(),
     return step
 
 
+# ---------------------------------------------------------------------------
+# case-parallel fleet farming
+# ---------------------------------------------------------------------------
+
+def fleet_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for a stacked fleet pytree (piso.batched.stack_cases /
+    stack_flows): the leading CASE axis split over the full mesh (both
+    axes flattened), spatial dims replicated per case."""
+    return NamedSharding(mesh, P(tuple(mesh.axis_names)))
+
+
+def shard_fleet(mesh: Mesh, tree):
+    """Place every leaf of a stacked fleet pytree with its case axis
+    sharded over all mesh devices. Requires n_cases % mesh.size == 0."""
+    sh = fleet_sharding(mesh)
+    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+
+
+def make_sharded_fleet_step(mesh: Mesh, cfg: PisoConfig = PisoConfig(),
+                            backend=None, sm_predict=None):
+    """Case-parallel fleet step: the multi-chip form of the reference's
+    one-OpenFOAM-process-per-case farming (SURVEY §2.3 — decomposePar
+    runs cases, not subdomains, in production sweeps). The stacked
+    Case/Flow case axis is sharded over the FULL mesh under
+    `jax.shard_map`; each device advances its local cases vmapped over
+    their whole spatial domains, so the program has ZERO cross-device
+    collectives — the embarrassingly parallel layout — and per-device
+    Pallas kernels (momentum_smoother='pallas') run unchanged, a
+    configuration the spatially-decomposed path needs explicit
+    halo-exchange wiring for.
+
+    Returns step(cases, flows) -> flows; place inputs with shard_fleet.
+    """
+    from jax import shard_map
+    backend = backend or CGBackend(rtol=1e-5, maxiter=200)
+    import dataclasses as _dc
+    if cfg.shard_mesh is not None:
+        # each device owns whole-domain cases: the kernel needs no
+        # spatial shard_map dispatch (and nesting shard_map would fail)
+        cfg = _dc.replace(cfg, shard_mesh=None)
+
+    def one(case, flow):
+        return piso_step(case, flow, cfg=cfg, backend=backend,
+                         sm_predict=sm_predict)
+
+    spec = P(tuple(mesh.axis_names))
+
+    @jax.jit
+    def step(cases: Case, flows: Flow) -> Flow:
+        return shard_map(lambda c, f: jax.vmap(one)(c, f), mesh=mesh,
+                         in_specs=(spec, spec), out_specs=spec,
+                         check_vma=False)(cases, flows)
+
+    return step
+
+
 def _turb_specs():
     from ..fv.turbulence import TurbState
     cell = P("data", "model")
