@@ -214,7 +214,14 @@ def main():
         result["bundle"] = bundle_name
         result["mg_cycles"] = args.mg_cycles
     if args.momentum_smoother != "xla":
+        # record what actually ran, not just the request: on grids whose
+        # width is not lane-aligned the pallas kernel falls through to
+        # the XLA smoother (fv/momentum.py::jacobi_momentum contract)
         result["momentum_smoother"] = args.momentum_smoother
+        if args.momentum_smoother == "pallas":
+            from tpufoam.ops.stencil import pallas_available_for
+            result["momentum_smoother_active"] = bool(
+                pallas_available_for(case.grid.shape, kernel="momentum"))
     print(json.dumps(result, indent=2), flush=True)
     if args.out:
         os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
