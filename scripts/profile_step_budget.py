@@ -50,6 +50,8 @@ def main():
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(__file__), "..", "artifacts", "step_budget_tpu.json"))
     ap.add_argument("--platform", default=None)
+    ap.add_argument("--size", default="512x2048",
+                    help="nyxnx grid (default: the 1M-cell bench shape)")
     args = ap.parse_args()
     if args.platform:
         import jax
@@ -72,7 +74,7 @@ def main():
     from tpufoam.solvers.multigrid import mg_solve
     from tpufoam.surrogate.pipeline import SurrogateBundle, make_predictor
 
-    ny, nx = 512, 2048
+    ny, nx = (int(v) for v in args.size.split("x"))
     height = 2.0
     delta = height / ny
     geom = channel_case_geometry("cylinder", length=nx * delta, height=height,
