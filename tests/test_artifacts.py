@@ -17,7 +17,8 @@ import pytest
 ARTIFACTS = os.path.join(os.path.dirname(__file__), "..", "artifacts")
 
 BUNDLES = [d for d in ("sm_ref512", "sm_ref512v", "sm_cyl128", "sm_turb256",
-                       "sm_poisson128", "sm_gradp128")
+                       "sm_poisson128", "sm_gradp128", "sm_st128",
+                       "sm_st128_d31")
            if os.path.isdir(os.path.join(ARTIFACTS, d))]
 
 
