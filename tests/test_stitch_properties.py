@@ -108,3 +108,72 @@ def test_grouped_extract_place_matches_slices():
         res = num / np.maximum(den, 1e-8)
         res = res - np.mean(3.0 * res[:, -1] - res[:, -2]) / 3.0
         np.testing.assert_allclose(out, res, atol=2e-5)
+
+def test_solve_op_matches_in_graph_solve():
+    """The host-precomputed stitch operator (stitch_solve_op: per-case
+    f64 inverse, deflated against the gauge mode) must reproduce the
+    in-graph `jnp.linalg.solve` offsets to f32 accuracy — it replaces
+    XLA's sequential TPU LU on serving paths, where it was the 4.2M-cell
+    surrogate cliff (artifacts/step_budget_4m_tpu.json: ~9 ms at 945
+    blocks vs ~0.1 ms at 217)."""
+    import jax.numpy as jnp
+
+    from tpufoam.surrogate.blocks import (assemble_lstsq,
+                                          build_block_layout,
+                                          extract_blocks,
+                                          stitch_offsets_lstsq,
+                                          stitch_solve_op)
+
+    rng = np.random.default_rng(7)
+    ny, nx = 160, 352
+    lay = build_block_layout(ny, nx, size=64, overlap_ratio=0.25)
+    mask = np.ones((ny, nx), np.float32)
+    mask[40:90, 120:170] = 0.0           # solid obstacle
+    mblocks = extract_blocks(lay, jnp.asarray(mask))
+    blocks = jnp.asarray(
+        rng.standard_normal((lay.n_blocks, 64, 64)), dtype=jnp.float32)
+
+    op = stitch_solve_op(lay, mblocks)
+    c_ref = np.asarray(stitch_offsets_lstsq(lay, blocks, mblocks))
+    c_op = np.asarray(stitch_offsets_lstsq(lay, blocks, mblocks,
+                                           solve_op=op))
+    scale = max(np.abs(c_ref).max(), 1e-6)
+    np.testing.assert_allclose(c_op, c_ref, atol=3e-5 * scale + 3e-6)
+
+    out_ref = np.asarray(assemble_lstsq(lay, blocks, mblocks))
+    out_op = np.asarray(assemble_lstsq(lay, blocks, mblocks, solve_op=op))
+    np.testing.assert_allclose(out_op, out_ref, atol=1e-4)
+
+
+def test_predictor_fast_stitch_matches_traced_path():
+    """make_predictor's eager serving call (host-cached solve operator)
+    and its traced fallback (in-graph dense solve, used under
+    scan/vmap/shard_map) must agree on the predicted pressure."""
+    import sys
+
+    import jax
+
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import _tiny_bundle
+    from tpufoam.core.geometry import channel_case_geometry
+    from tpufoam.fv.case import build_channel_case, initial_flow
+    from tpufoam.surrogate.pipeline import make_predictor
+
+    geom = channel_case_geometry("cylinder", length=4.0, height=1.0,
+                                 obstacle_size=0.3, nu=8e-3)
+    case = build_channel_case(geom, delta=1.0 / 32)
+    flow = initial_flow(case, dt0=1e-3)
+    bundle = _tiny_bundle(block_size=32)
+    predictor = make_predictor(bundle, stitch="lstsq")
+
+    aux = dict(u=flow.u + 0.1, v=flow.v, p=flow.p, dt=flow.dt,
+               u_prev=flow.u, v_prev=flow.v, p_prev=flow.p)
+    p_eager = predictor(case, flow.p, aux)
+
+    @jax.jit
+    def traced(case, p, aux):
+        return predictor(case, p, aux)
+
+    p_traced = traced(case, flow.p, aux)
+    np.testing.assert_allclose(np.asarray(p_eager), np.asarray(p_traced),
+                               atol=1e-4)

@@ -403,20 +403,12 @@ def _neighbor_pairs(layout: BlockLayout):
     return pairs
 
 
-def stitch_offsets_lstsq(layout: BlockLayout, blocks: jnp.ndarray,
-                         masks: jnp.ndarray, ref_bc: float = 0.0,
-                         anchor_weight: float = 1.0) -> jnp.ndarray:
-    """Solve for per-block offsets minimizing all neighbour overlap-mean
-    mismatches at once (the reformulation SURVEY.md §7 hard-part 2 calls
-    for):
-
-        min_c  sum_pairs w_ab ((m_a - c_a) - (m_b - c_b))^2
-
-    with m_* the blocks' masked strip means over the shared window.
-    Normal equations form a small SPD graph Laplacian solved with one
-    dense `jnp.linalg.solve`.
-    """
-    n = layout.n_blocks
+def _stitch_pair_system(layout: BlockLayout, blocks: jnp.ndarray,
+                        masks: jnp.ndarray):
+    """The pairwise overlap-mean constraint set (ia, ib, ws, diffs):
+    block pairs, their shared-strip fluid weights, and the strip-mean
+    mismatches. ws depends only on `masks` (the case geometry); `blocks`
+    enter only through `diffs`."""
     sm = _strip_means(layout, blocks, masks)
     pairs = _neighbor_pairs(layout)
 
@@ -437,22 +429,77 @@ def stitch_offsets_lstsq(layout: BlockLayout, blocks: jnp.ndarray,
     diffs = jnp.concatenate(mean_a_l) - jnp.concatenate(mean_b_l)
     ws = jnp.minimum(jnp.concatenate(cnt_a_l), jnp.concatenate(cnt_b_l)) \
         / float(layout.size**2)
+    return ia, ib, ws, diffs
 
+
+def _stitch_matrix(n: int, ia, ib, ws) -> jnp.ndarray:
+    """SPD graph-Laplacian normal matrix of the offset problem.
+
+    Gauge: the pair graph only fixes offsets up to one global constant.
+    Do NOT anchor each outlet-column block to ref_bc individually — their
+    column means legitimately differ row to row, and conflicting anchors
+    corrupt the whole solve. The small ridge term fixes the gauge; the
+    global outlet anchor is applied after assembly exactly like the
+    reference (SM_call.py:350)."""
     A = jnp.zeros((n, n))
-    rhs = jnp.zeros(n)
     A = A.at[ia, ia].add(ws).at[ib, ib].add(ws)
     A = A.at[ia, ib].add(-ws).at[ib, ia].add(-ws)
+    return A + 1e-6 * jnp.eye(n)
+
+
+def stitch_solve_op(layout: BlockLayout, masks: jnp.ndarray) -> jnp.ndarray:
+    """Host-precomputed dense solve operator for the offset system.
+
+    The normal matrix A depends ONLY on the layout and the (per-case
+    constant) block masks — never on the predicted blocks — so serving
+    paths can invert it ONCE per case on host instead of running
+    `jnp.linalg.solve` inside every step: XLA's TPU LU is a sequential
+    panel factorization whose cost cliff dominates the surrogate at
+    large grids (measured ~9 ms/step of the 4.2M-cell hybrid budget at
+    945 blocks, artifacts/step_budget_4m_tpu.json, vs ~0.1 ms at 217
+    blocks). The runtime stitch then reduces to one (n,n)@(n,) matvec.
+
+    The inverse is computed in float64 and deflated on both sides with
+    P = I - 11^T/n: M = P (A + ridge I)^-1 P. Since the rhs is
+    mean-free by construction and the caller removes the mean of c,
+    P M P rhs equals the ridge-solve answer exactly while removing the
+    O(1/ridge) constant-mode amplification that would otherwise make
+    the f32 matvec ill-conditioned."""
+    n = layout.n_blocks
+    ia, ib, ws, _ = _stitch_pair_system(layout, masks, masks)
+    A = np.asarray(_stitch_matrix(n, ia, ib, ws), dtype=np.float64)
+    P = np.eye(n) - np.full((n, n), 1.0 / n)
+    M = P @ np.linalg.inv(A) @ P
+    return jnp.asarray(M.astype(np.float32))
+
+
+def stitch_offsets_lstsq(layout: BlockLayout, blocks: jnp.ndarray,
+                         masks: jnp.ndarray, ref_bc: float = 0.0,
+                         anchor_weight: float = 1.0,
+                         solve_op: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Solve for per-block offsets minimizing all neighbour overlap-mean
+    mismatches at once (the reformulation SURVEY.md §7 hard-part 2 calls
+    for):
+
+        min_c  sum_pairs w_ab ((m_a - c_a) - (m_b - c_b))^2
+
+    with m_* the blocks' masked strip means over the shared window.
+    Normal equations form a small SPD graph Laplacian solved with one
+    dense `jnp.linalg.solve` — or, when the caller supplies the
+    host-precomputed `solve_op` (stitch_solve_op; masks are per-case
+    constants), one matvec."""
+    n = layout.n_blocks
+    ia, ib, ws, diffs = _stitch_pair_system(layout, blocks, masks)
+
+    rhs = jnp.zeros(n)
     # c_a - c_b should equal m_a - m_b
     rhs = rhs.at[ia].add(ws * diffs).at[ib].add(-ws * diffs)
 
-    # Gauge: the pair graph only fixes offsets up to one global constant.
-    # Do NOT anchor each outlet-column block to ref_bc individually — their
-    # column means legitimately differ row to row, and conflicting anchors
-    # corrupt the whole solve. The small ridge term fixes the gauge; the
-    # global outlet anchor is applied after assembly exactly like the
-    # reference (SM_call.py:350).
-    A = A + 1e-6 * jnp.eye(n)
-    c = jnp.linalg.solve(A, rhs)
+    if solve_op is not None:
+        c = solve_op @ rhs
+    else:
+        A = _stitch_matrix(n, ia, ib, ws)
+        c = jnp.linalg.solve(A, rhs)
     return c - jnp.mean(c)   # remove the (unconstrained) global mode
 
 
@@ -464,11 +511,14 @@ def _blend_window(s: int) -> np.ndarray:
 
 
 def assemble_lstsq(layout: BlockLayout, blocks: jnp.ndarray,
-                   masks: jnp.ndarray, ref_bc: float = 0.0) -> jnp.ndarray:
+                   masks: jnp.ndarray, ref_bc: float = 0.0,
+                   solve_op: jnp.ndarray | None = None) -> jnp.ndarray:
     """Offset solve + smooth weighted blending (replaces overwrite
     placement; removes the visible block seams the reference's Gaussian
-    filter exists to hide)."""
-    corr = stitch_offsets_lstsq(layout, blocks, masks, ref_bc)
+    filter exists to hide). `solve_op` (stitch_solve_op) replaces the
+    in-graph dense solve with one matvec on serving paths."""
+    corr = stitch_offsets_lstsq(layout, blocks, masks, ref_bc,
+                                solve_op=solve_op)
     corrected = blocks - corr[:, None, None]
 
     w_np = _blend_window(layout.size)

@@ -18,6 +18,7 @@ from __future__ import annotations
 import dataclasses
 import json
 import os
+from collections import OrderedDict
 
 import jax
 import jax.numpy as jnp
@@ -26,7 +27,8 @@ import numpy as np
 from ..fv.case import Case
 from ..models.mlp import ModelDef, apply_model
 from .blocks import (BlockLayout, assemble_lstsq, assemble_scan,
-                     block_zero_mean, build_block_layout, extract_blocks)
+                     block_zero_mean, build_block_layout, extract_blocks,
+                     stitch_solve_op)
 from .features import FAMILIES, FamilyConfig, u_max_norm
 from .pca import PCAModel
 
@@ -207,10 +209,8 @@ def make_predictor(bundle: SurrogateBundle, family: FamilyConfig | None = None,
         bundle = dataclasses.replace(bundle, pca_in=_cast(bundle.pca_in),
                                      pca_out=_cast(bundle.pca_out))
 
-    @jax.jit  # jit at the predictor boundary: on a tunneled TPU device,
-    # eager per-op dispatch latency dwarfs the compute (one compile per
-    # grid shape, then a single dispatch per call)
-    def predict(case: Case, p_prev: jnp.ndarray, aux: dict) -> jnp.ndarray:
+    def _predict(case: Case, p_prev: jnp.ndarray, aux: dict,
+                 solve_op=None) -> jnp.ndarray:
         layout = build_block_layout(case.grid.ny, case.grid.nx,
                                     bundle.block_size, bundle.overlap_ratio)
         fields = dict(aux)
@@ -225,7 +225,10 @@ def make_predictor(bundle: SurrogateBundle, family: FamilyConfig | None = None,
 
         pred = y_blocks[..., 0]
         mb = extract_blocks(layout, mask)
-        field = assemble(layout, pred, mb)
+        if stitch == "scan":
+            field = assemble(layout, pred, mb)
+        else:
+            field = assemble(layout, pred, mb, solve_op=solve_op)
         if apply_filter:
             from .blocks import gaussian_filter2d
             field = gaussian_filter2d(field, 10.0)
@@ -240,5 +243,52 @@ def make_predictor(bundle: SurrogateBundle, family: FamilyConfig | None = None,
         p_new = jnp.where(guard, p_prev, p_new)
         p_new = jnp.where(jnp.isfinite(p_new), p_new, p_prev)
         return p_new
+
+    # jit at the predictor boundary: on a tunneled TPU device, eager
+    # per-op dispatch latency dwarfs the compute (one compile per grid
+    # shape, then a single dispatch per call)
+    _predict_plain = jax.jit(
+        lambda case, p_prev, aux: _predict(case, p_prev, aux))
+    _predict_fast = jax.jit(_predict)
+
+    # lstsq serving fast path: the offset system's normal matrix depends
+    # only on the per-case masks, so invert it ONCE per case on host
+    # (stitch_solve_op) instead of running XLA's sequential TPU LU every
+    # step — that LU is the 4.2M-cell surrogate-phase cliff (~9 ms at
+    # 945 blocks, artifacts/step_budget_4m_tpu.json). Keyed by the sdf
+    # array's identity (the engine passes the same Case every step);
+    # identity is re-verified on hit so a recycled id cannot alias.
+    _op_cache: "OrderedDict[int, tuple]" = OrderedDict()
+
+    def _solve_op_for(case: Case):
+        key = id(case.sdf)
+        hit = _op_cache.get(key)
+        if hit is not None and hit[0] is case.sdf:
+            _op_cache.move_to_end(key)
+            return hit[1]
+        layout = build_block_layout(case.grid.ny, case.grid.nx,
+                                    bundle.block_size, bundle.overlap_ratio)
+        op = stitch_solve_op(layout, extract_blocks(layout, case.sdf))
+        _op_cache[key] = (case.sdf, op)
+        while len(_op_cache) > 8:
+            _op_cache.popitem(last=False)
+        return op
+
+    def _tracing_now() -> bool:
+        # True inside ANY active jit/vmap/scan trace — there, ops on even
+        # concrete arrays produce tracers, so the host factorization
+        # cannot run (a closure-captured case passes the isinstance
+        # check but still traces; the probe op is DCE'd from the jaxpr)
+        return isinstance(jnp.zeros(()) + 0, jax.core.Tracer)
+
+    def predict(case: Case, p_prev: jnp.ndarray, aux: dict) -> jnp.ndarray:
+        if (stitch != "scan" and not isinstance(case.sdf, jax.core.Tracer)
+                and not _tracing_now()):
+            # eager serving call (run_piso_eager, evaluation): use the
+            # cached host-factorized stitch operator
+            return _predict_fast(case, p_prev, aux, _solve_op_for(case))
+        # traced call (scan/vmap/shard_map engines): masks are abstract,
+        # keep the in-graph dense solve
+        return _predict_plain(case, p_prev, aux)
 
     return predict
