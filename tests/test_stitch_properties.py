@@ -177,3 +177,78 @@ def test_predictor_fast_stitch_matches_traced_path():
     p_traced = traced(case, flow.p, aux)
     np.testing.assert_allclose(np.asarray(p_eager), np.asarray(p_traced),
                                atol=1e-4)
+
+
+def test_engine_binds_host_stitch_operator():
+    """The production runners jit the whole PISO step with sm_predict
+    static, so the predictor always executes under a trace — the eager
+    fast path in pipeline.predict can never engage there. engine._bind_sm
+    must resolve the host-factorized stitch operator BEFORE the jit
+    boundary: binding returns a stable per-case closure whose trace
+    contains NO dense LU (the 4.2M-cell surrogate cliff,
+    artifacts/step_budget_4m_tpu.json), and a short eager rollout with
+    the auto-binding path must match the unbound in-graph-solve path."""
+    import sys
+
+    import jax
+
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import _tiny_bundle
+    from tpufoam.core.geometry import channel_case_geometry
+    from tpufoam.fv.case import build_channel_case, initial_flow
+    from tpufoam.piso.engine import PisoConfig, _bind_sm, run_piso_eager
+    from tpufoam.solvers.backends import MGBackend
+    from tpufoam.surrogate.pipeline import make_predictor
+
+    geom = channel_case_geometry("cylinder", length=4.0, height=1.0,
+                                 obstacle_size=0.3, nu=8e-3)
+    case = build_channel_case(geom, delta=1.0 / 32)
+    flow = initial_flow(case, dt0=1e-3)
+    bundle = _tiny_bundle(block_size=32)
+    predictor = make_predictor(bundle, stitch="lstsq")
+
+    bound = _bind_sm(predictor, case)
+    assert bound is not predictor            # binding engaged
+    # identity is stable per case: the engine's jit/lru caches key on
+    # sm_predict identity, so a re-bind must return the SAME closure
+    assert _bind_sm(predictor, case) is bound
+
+    def all_prims(fn, *args):
+        closed = jax.make_jaxpr(fn)(*args)
+        acc = set()
+        stack = [closed.jaxpr]
+        while stack:
+            j = stack.pop()
+            for e in j.eqns:
+                acc.add(e.primitive.name)
+                for v in e.params.values():
+                    inner = getattr(v, "jaxpr", None)
+                    if inner is not None:
+                        stack.append(inner)
+                    elif hasattr(v, "eqns"):
+                        stack.append(v)
+        return acc
+
+    aux = dict(u=flow.u, v=flow.v, p=flow.p, dt=flow.dt,
+               u_prev=flow.u, v_prev=flow.v, p_prev=flow.p)
+    p_bound = all_prims(bound, case, flow.p, aux)
+    p_plain = all_prims(lambda c, p, a: predictor(c, p, a),
+                        case, flow.p, aux)
+    assert "lu" in p_plain                   # in-graph dense solve
+    assert "lu" not in p_bound               # replaced by one matvec
+
+    # end-to-end: auto-bound eager rollout == unbound (in-graph LU) rollout
+    cfg = PisoConfig()
+    backend = MGBackend(cycles=2, precision="bf16")
+
+    def unbound(c, p, a):                    # no .bind attr -> generic path
+        return predictor(c, p, a)
+
+    f1 = run_piso_eager(case, flow, 3, cfg=cfg, backend=backend,
+                        sm_predict=predictor)
+    f2 = run_piso_eager(case, flow, 3, cfg=cfg, backend=backend,
+                        sm_predict=unbound)
+    np.testing.assert_allclose(np.asarray(f1.p), np.asarray(f2.p),
+                               rtol=0, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(f1.u), np.asarray(f2.u),
+                               rtol=0, atol=5e-5)

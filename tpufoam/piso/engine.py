@@ -259,6 +259,19 @@ def _piso_step_impl(case: Case, flow: Flow, cfg: PisoConfig = PisoConfig(),
                 u_prev=flow.u, v_prev=flow.v, p_prev=flow.p)
 
 
+def _bind_sm(sm_predict, case):
+    """Resolve a predictor's per-case host-factorized stitch operator
+    BEFORE the jit boundary (surrogate/pipeline.py predict.bind). The
+    rollout runners jit the whole step with sm_predict static, so the
+    predictor always executes under a trace — without this eager bind the
+    lstsq stitch falls back to an in-graph dense LU every step (the
+    4.2M-cell surrogate cliff, artifacts/step_budget_4m_tpu.json). bind()
+    returns a per-case stable closure, so the jit/lru caches keyed on
+    sm_predict identity still hit across repeated calls."""
+    bind = getattr(sm_predict, "bind", None)
+    return sm_predict if bind is None else bind(case)
+
+
 piso_step = partial(jax.jit,
                     static_argnames=("cfg", "backend", "sm_predict")
                     )(_piso_step_impl)
@@ -297,6 +310,8 @@ def run_piso(case: Case, flow: Flow, n_steps: int,
     Use this form for AD (differentiating an eager loop unrolls) and for
     vmapped batch rollouts; for forward-only production stepping
     `run_piso_eager` is measurably faster per step."""
+    if sm_predict is not None:
+        sm_predict = _bind_sm(sm_predict, case)
     return _rollout_fn(n_steps, cfg, backend, sm_predict)(case, flow)
 
 
@@ -312,6 +327,8 @@ def run_piso_eager(case: Case, flow: Flow, n_steps: int,
     `run_piso` for AD/vmap."""
     if n_steps <= 0:
         return flow
+    if sm_predict is not None:
+        sm_predict = _bind_sm(sm_predict, case)
     # first step must not donate: the caller still owns `flow`
     flow = piso_step(case, flow, cfg=cfg, backend=backend,
                      sm_predict=sm_predict)
@@ -357,6 +374,8 @@ def run_piso_chunked(case: Case, flow: Flow, n_steps: int,
     steps fall back to single eager steps. Not differentiable-through."""
     if n_steps <= 0:
         return flow
+    if sm_predict is not None:
+        sm_predict = _bind_sm(sm_predict, case)
     k = max(1, min(chunk, n_steps))
     first, donated = _chunk_fns(k, cfg, backend, sm_predict)
     n_chunks, rem = divmod(n_steps, k)
@@ -403,6 +422,8 @@ def run_piso_sst(case: Case, flow: Flow, turb, n_steps: int,
                  backend: PressureBackend = CGBackend(),
                  sm_predict=None):
     """Turbulent n-step rollout; returns (Flow, TurbState)."""
+    if sm_predict is not None:
+        sm_predict = _bind_sm(sm_predict, case)
     return _rollout_sst_fn(n_steps, cfg, backend, sm_predict)(case, flow, turb)
 
 
@@ -419,6 +440,8 @@ def run_piso_sst_eager(case: Case, flow: Flow, turb, n_steps: int,
     run_piso_eager). Returns (Flow, TurbState)."""
     if n_steps <= 0:
         return flow, turb
+    if sm_predict is not None:
+        sm_predict = _bind_sm(sm_predict, case)
     flow, turb = piso_step_sst(case, flow, turb, cfg=cfg, backend=backend,
                                sm_predict=sm_predict)
     for _ in range(n_steps - 1):

@@ -284,11 +284,48 @@ def make_predictor(bundle: SurrogateBundle, family: FamilyConfig | None = None,
     def predict(case: Case, p_prev: jnp.ndarray, aux: dict) -> jnp.ndarray:
         if (stitch != "scan" and not isinstance(case.sdf, jax.core.Tracer)
                 and not _tracing_now()):
-            # eager serving call (run_piso_eager, evaluation): use the
-            # cached host-factorized stitch operator
+            # eager serving call (direct evaluation): use the cached
+            # host-factorized stitch operator
             return _predict_fast(case, p_prev, aux, _solve_op_for(case))
-        # traced call (scan/vmap/shard_map engines): masks are abstract,
-        # keep the in-graph dense solve
+        # traced call with an abstract case (vmap/shard_map engines, or a
+        # jitted step that was not bound to a concrete case first): keep
+        # the in-graph dense solve
         return _predict_plain(case, p_prev, aux)
 
+    # --- binding: the production engines (run_piso_eager & co.) jit the
+    # WHOLE step with sm_predict static, so `predict` above is always
+    # called under an active trace and would fall back to the in-graph
+    # LU — the exact cliff the host factorization exists to remove
+    # (measured: the 4.2M "post" budget was unchanged at ~10.6 ms
+    # surrogate phase, artifacts/step_budget_4m_post_tpu.json, because
+    # the operator never engaged in-step). `bind(case)` resolves the
+    # per-case operator EAGERLY, before the jit boundary, and returns a
+    # stable closure capturing it as a trace constant. Stability matters:
+    # engine jit/lru caches key on sm_predict identity, so the same case
+    # must yield the SAME closure object across calls.
+    _bound_cache: "OrderedDict[int, tuple]" = OrderedDict()
+
+    def bind(case: Case):
+        sdf = case.sdf
+        if (stitch == "scan" or isinstance(sdf, jax.core.Tracer)
+                or getattr(sdf, "ndim", None) != 2 or _tracing_now()):
+            # scan stitcher has no operator; batched/abstract cases keep
+            # the generic path (per-case masks differ across the stack)
+            return predict
+        key = id(sdf)
+        hit = _bound_cache.get(key)
+        if hit is not None and hit[0] is sdf:
+            _bound_cache.move_to_end(key)
+            return hit[1]
+        op = _solve_op_for(case)
+
+        def bound(case: Case, p_prev: jnp.ndarray, aux: dict) -> jnp.ndarray:
+            return _predict_fast(case, p_prev, aux, op)
+
+        _bound_cache[key] = (sdf, bound)
+        while len(_bound_cache) > 8:
+            _bound_cache.popitem(last=False)
+        return bound
+
+    predict.bind = bind
     return predict
