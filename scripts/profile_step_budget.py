@@ -151,9 +151,14 @@ def main():
     aux = dict(u=flow.u, v=flow.v, p=flow.p, dt=flow.dt,
                u_prev=flow.u_prev, v_prev=flow.v_prev, p_prev=flow.p_prev)
 
+    # production path: the rollout runners bind the host-factorized
+    # stitch operator to the concrete case BEFORE jitting (engine._bind_sm)
+    from tpufoam.piso.engine import _bind_sm
+    predictor_bound = _bind_sm(predictor, case)
+
     @jax.jit
     def sm(p, aux):
-        return predictor(case, p, aux)
+        return predictor_bound(case, p, aux)
 
     t, spread = timeit(sm, (flow.p, aux))
     n_blocks = ((nx - 128) // 96 + 1) * ((ny - 128) // 96 + 1)
@@ -161,6 +166,17 @@ def main():
                + bundle.pc_out * bundle.pca_out.components.shape[1]) * 2 / MB
     blocks_mb = n_blocks * 128 * 128 * 4 * (3 + 1) * 2 / MB
     phases["surrogate_predict"] = dict(
+        ms=t * 1e3, spread_ms=[s * 1e3 for s in spread],
+        mb=fb * 8 + comp_mb + blocks_mb)
+
+    # comparison lane: the unbound path keeps the in-graph dense LU on
+    # the block-offset system (the 4.2M-cell cliff, ~O(n^3) in blocks)
+    @jax.jit
+    def sm_ingraph(p, aux):
+        return predictor(case, p, aux)
+
+    t, spread = timeit(sm_ingraph, (flow.p, aux))
+    phases["surrogate_predict_ingraph_lu"] = dict(
         ms=t * 1e3, spread_ms=[s * 1e3 for s in spread],
         mb=fb * 8 + comp_mb + blocks_mb)
 
@@ -213,9 +229,10 @@ def main():
 
     def full(fl):
         return _piso_step_donated(case, fl, cfg=cfg, backend=backend,
-                                  sm_predict=predictor)
+                                  sm_predict=predictor_bound)
 
-    fl = piso_step(case, flow, cfg=cfg, backend=backend, sm_predict=predictor)
+    fl = piso_step(case, flow, cfg=cfg, backend=backend,
+                   sm_predict=predictor_bound)
     for _ in range(3):
         fl = full(fl)
     jax.block_until_ready(fl.u)

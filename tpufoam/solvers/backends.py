@@ -87,13 +87,17 @@ class MGCGBackend:
     # maxiter) — the rounding makes the preconditioner slightly nonlinear;
     # a flexible-CG formulation would be needed. Kept for experimentation;
     # the CLI does not expose it.
+    cycle_type: str = "v"    # "w": W-cycle preconditioner — ~1.5x cost per
+    # application but size-independent CG iteration counts (the V(1,1)
+    # count GROWS with grid size: artifacts/mgcg_iters_scaling.json)
 
     def __call__(self, case, coef, rhs, p_prev, aux):
         from .multigrid import mgcg_pressure
         dtype = jnp.bfloat16 if self.precision == "bf16" else None
         return mgcg_pressure(coef, rhs, x0=p_prev, rtol=self.rtol,
                              maxiter=self.maxiter, dtype=dtype,
-                             smoother=self.smoother).x * case.fluid
+                             smoother=self.smoother,
+                             cycle_type=self.cycle_type).x * case.fluid
 
 
 @dataclasses.dataclass(frozen=True)

@@ -164,8 +164,18 @@ def build_hierarchy(coef: PressureCoeffs, min_size: int = 8,
 
 def v_cycle(levels: list[PressureCoeffs], b: jnp.ndarray,
             x: jnp.ndarray, pre: int = 2, post: int = 2,
-            coarse_iters: int = 40, smoother: str = "xla") -> jnp.ndarray:
-    """One V(pre, post) cycle. Unrolled over the (static) level count."""
+            coarse_iters: int = 40, smoother: str = "xla",
+            cycle_type: str = "v") -> jnp.ndarray:
+    """One V(pre, post) cycle (or W cycle with cycle_type='w'). Unrolled
+    over the (static) level count.
+
+    The W cycle visits level l 2^l times, i.e. ~1.5x the V cycle's total
+    work in 2D (sum (2/4)^l vs sum (1/4)^l fine-level units) — worth it
+    when V-cycle-preconditioned CG iteration counts GROW with grid size
+    (measured: artifacts/mgcg_iters_scaling.json), because the W cycle's
+    stronger coarse-level solves restore size-independent convergence.
+    With pre == post each level's error propagator stays symmetric, so
+    the W cycle remains a valid SPD preconditioner for CG."""
     def fluid_mask(coef: PressureCoeffs) -> jnp.ndarray:
         return ((coef.c_e + coef.c_w + coef.c_n + coef.c_s + coef.c_out)
                 > 0).astype(b.dtype)
@@ -178,6 +188,8 @@ def v_cycle(levels: list[PressureCoeffs], b: jnp.ndarray,
         r = b - pressure_matvec(coef, x)
         rc = restrict(r)
         ec = cycle(lvl + 1, rc, jnp.zeros_like(rc))
+        if cycle_type == "w" and lvl + 1 < len(levels) - 1:
+            ec = cycle(lvl + 1, rc, ec)
         # mask the interpolated correction so it cannot leak into blanked
         # (solid) cells; the diagonal mask keeps the cycle symmetric
         x = x + prolong(ec) * fluid_mask(coef)
@@ -192,7 +204,8 @@ def _cast_levels(levels: list[PressureCoeffs], dtype) -> list[PressureCoeffs]:
 
 def v_cycle_correction(levels: list[PressureCoeffs], levels_lp, r: jnp.ndarray,
                        pre: int, post: int, dtype,
-                       smoother: str = "xla") -> jnp.ndarray:
+                       smoother: str = "xla",
+                       cycle_type: str = "v") -> jnp.ndarray:
     """e ~= A^-1 r by one V-cycle from a zero guess, optionally computed in
     reduced precision (mixed-precision smoothing: the correction is built
     in bf16 from an f32 residual; the outer iterate/residual stay f32 —
@@ -201,9 +214,9 @@ def v_cycle_correction(levels: list[PressureCoeffs], levels_lp, r: jnp.ndarray,
     the stencil sweeps here are bandwidth-bound on TPU)."""
     if dtype is None:
         return v_cycle(levels, r, jnp.zeros_like(r), pre, post,
-                       smoother=smoother)
+                       smoother=smoother, cycle_type=cycle_type)
     e = v_cycle(levels_lp, r.astype(dtype), jnp.zeros_like(r, dtype),
-                pre, post, smoother=smoother)
+                pre, post, smoother=smoother, cycle_type=cycle_type)
     return e.astype(r.dtype)
 
 
@@ -231,13 +244,13 @@ def mg_solve(coef: PressureCoeffs, b: jnp.ndarray, x0: jnp.ndarray,
 
 
 @partial(jax.jit, static_argnames=("maxiter", "pre", "post", "min_size",
-                                   "dtype", "smoother"))
+                                   "dtype", "smoother", "cycle_type"))
 def mgcg_pressure(coef: PressureCoeffs, b: jnp.ndarray,
                   x0: jnp.ndarray | None = None,
                   rtol: float = 1e-6, atol: float = 1e-12,
                   maxiter: int = 60, pre: int = 1, post: int = 1,
                   min_size: int = 8, dtype=None,
-                  smoother: str = "xla") -> CGResult:
+                  smoother: str = "xla", cycle_type: str = "v") -> CGResult:
     """CG preconditioned by one V-cycle — the GAMG-preconditioned-PCG
     fidelity config (fvSolution:38-66). Converges in O(10) iterations
     independent of grid size. `dtype` runs the preconditioner cycle in
@@ -254,7 +267,7 @@ def mgcg_pressure(coef: PressureCoeffs, b: jnp.ndarray,
 
     def precond(r):
         return v_cycle_correction(levels, levels_lp, r, pre, post, dtype,
-                                  smoother=smoother)
+                                  smoother=smoother, cycle_type=cycle_type)
 
     r = b - pressure_matvec(coef, x0)
     z = precond(r)
