@@ -71,19 +71,29 @@ def test_lstsq_no_worse_than_scan_under_noise():
 
 
 def test_grouped_extract_place_matches_slices():
-    """The uniform-lattice space-to-depth fast paths (extract_blocks /
-    assemble_lstsq placement — 4 fused reshapes instead of one op per
-    block, a ~1 ms/step win at 1M cells per the step budget) must equal
-    the per-block static-slice reference exactly."""
+    """The grouped space-to-depth fast paths (extract_blocks /
+    assemble_lstsq placement — a handful of fused reshapes instead of one
+    op per block; ~1 ms/step at 1M cells, ~9 ms/step at 4.2M where the
+    lattice is non-uniform, per the step budgets) must equal the
+    per-block static-slice reference exactly. Covers uniform lattices
+    (512x2048), offset/extra-row/extra-col decompositions (256x1024 and
+    1024x4096 analogue 256x640 have an off-lattice bottom row AND a
+    clamped x0=0 column), and small odd shapes."""
     import jax.numpy as jnp
 
-    from tpufoam.surrogate.blocks import (_blend_window, _uniform_info,
+    from tpufoam.surrogate.blocks import (_blend_window, _fast_groups,
                                           assemble_lstsq,
                                           build_block_layout, extract_blocks,
                                           stitch_offsets_lstsq)
 
     rng = np.random.default_rng(3)
-    for ny, nx, s in ((512, 2048, 128), (160, 352, 64), (384, 512, 128)):
+    # (256,1024,128) and (256,640,128): non-uniform production analogues
+    # (extra clamped row + offset x-run); they MUST take the fast path
+    for ny, nx, s in ((256, 1024, 128), (256, 640, 128)):
+        assert _fast_groups(build_block_layout(ny, nx, size=s,
+                                               overlap_ratio=0.25)) is not None
+    for ny, nx, s in ((512, 2048, 128), (160, 352, 64), (384, 512, 128),
+                      (256, 1024, 128), (256, 640, 128)):
         lay = build_block_layout(ny, nx, size=s, overlap_ratio=0.25)
         f = jnp.asarray(rng.standard_normal((ny, nx, 3)),
                         dtype=jnp.float32)

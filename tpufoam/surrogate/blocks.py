@@ -94,47 +94,77 @@ def build_block_layout(ny: int, nx: int, size: int = 128,
                        idx_i=tuple(idx_i), idx_j=tuple(idx_j))
 
 
-def _uniform_info(layout: BlockLayout):
-    """If the block corners form a complete uniform step-strided lattice
-    (every multiple of step present in both axes — true for
-    power-of-two-ish production grids like 512x2048), return
-    (step, ys, xs, group factor g); else None. Uniform layouts take the
-    space-to-depth fast paths below (a handful of fused reshapes instead
-    of one op per block — the op-count overhead of ~100 small static
-    slices measured ~1.5 ms/step at 1M cells, scripts/profile_step_budget
-    .py)."""
+def _arith_step(vals, step: int) -> bool:
+    return all(b - a == step for a, b in zip(vals, vals[1:]))
+
+
+def _split_arith(vals, step: int):
+    """Split a sorted corner set into (arithmetic run with difference
+    `step`, <=1 leftover element). The layout builder produces exactly
+    this shape: a step-strided run plus at most one clamped corner (the
+    leftmost x0=0 block, SM_call.py:475; the bottom-anchored extra row,
+    SM_call.py:469) — the leftover sits at whichever end got clamped."""
+    vals = list(vals)
+    if _arith_step(vals, step):
+        return vals, []
+    if len(vals) >= 2 and _arith_step(vals[1:], step):
+        return vals[1:], [vals[0]]
+    if len(vals) >= 2 and _arith_step(vals[:-1], step):
+        return vals[:-1], [vals[-1]]
+    return None
+
+
+def _fast_groups(layout: BlockLayout):
+    """Grouped space-to-depth plan for block extraction/placement.
+
+    The layout's corner set must be a full product Y x X where each axis
+    is an arithmetic step-strided run plus at most one clamped extra
+    corner — true for EVERY layout build_block_layout produces (uniform
+    grids like 512x2048 have no leftovers; 1024x4096 has an off-lattice
+    extra bottom row AND an offset x-run with a clamped x0=0 column).
+    The product decomposes into <=4 sub-lattices (main, extra-row,
+    extra-col, corner), each split into <=g^2 parity groups whose blocks
+    tile a gs-strided slab — a handful of fused pad/reshape ops instead
+    of one slice per block. The op-count overhead of per-block slices is
+    a first-class cost on this runtime: ~100 ops ~ 1 ms, and the
+    non-uniform 1024x4096 lattice (473 blocks x 3 passes) measured
+    ~9 ms/step of pure slicing (artifacts/step_budget_4m_bound_tpu.json).
+
+    Returns (groups, order, inv): per-group (ys_g, xs_g, ks) with block
+    corners gs-strided in both axes, the concatenation order, and its
+    inverse permutation back to raster order; None if the layout does
+    not decompose (falls back to per-block static slices)."""
     step = layout.size - layout.overlap
+    if step <= 0:
+        return None
     ys = sorted(set(layout.y0s))
     xs = sorted(set(layout.x0s))
-    if ys != list(range(0, ys[-1] + 1, step)):
-        return None
-    if xs != list(range(0, xs[-1] + 1, step)):
-        return None
-    if len(layout.y0s) != len(ys) * len(xs):
-        return None
-    pos = set(zip(layout.y0s, layout.x0s))
-    if len(pos) != len(layout.y0s):
-        return None
-    g = -(-layout.size // step)      # ceil: group stride g*step >= size
-    return step, ys, xs, g
-
-
-def _group_perms(layout: BlockLayout, step, ys, xs, g):
-    """Per-group (a, b) block sublattices + the permutation mapping the
-    concatenated group order back to layout (raster) order."""
     pos_to_k = {(y, x): k
                 for k, (y, x) in enumerate(zip(layout.y0s, layout.x0s))}
+    if len(pos_to_k) != len(layout.y0s):          # duplicate corners
+        return None
+    if len(layout.y0s) != len(ys) * len(xs):      # not a full product
+        return None
+    sy = _split_arith(ys, step)
+    sx = _split_arith(xs, step)
+    if sy is None or sx is None:
+        return None
+    g = -(-layout.size // step)      # ceil: group stride g*step >= size
     groups = []
     order = []
-    for a in range(min(g, len(ys))):
-        ys_g = ys[a::g]
-        for b in range(min(g, len(xs))):
-            xs_g = xs[b::g]
-            if not ys_g or not xs_g:
+    for ys_sub in sy:
+        for xs_sub in sx:
+            if not ys_sub or not xs_sub:
                 continue
-            ks = [pos_to_k[(y, x)] for y in ys_g for x in xs_g]
-            groups.append((ys_g, xs_g, np.asarray(ks)))
-            order.extend(ks)
+            for a in range(min(g, len(ys_sub))):
+                ys_g = ys_sub[a::g]
+                for b in range(min(g, len(xs_sub))):
+                    xs_g = xs_sub[b::g]
+                    if not ys_g or not xs_g:
+                        continue
+                    ks = [pos_to_k[(y, x)] for y in ys_g for x in xs_g]
+                    groups.append((ys_g, xs_g, np.asarray(ks)))
+                    order.extend(ks)
     inv = np.empty(len(order), dtype=np.int64)
     inv[np.asarray(order)] = np.arange(len(order))
     return groups, np.asarray(order), inv
@@ -148,11 +178,11 @@ def extract_blocks(layout: BlockLayout, field: jnp.ndarray) -> jnp.ndarray:
     a generic advanced-indexing element gather of the same data is several
     times slower on TPU)."""
     s = layout.size
-    info = _uniform_info(layout)
-    if info is not None:
-        step, ys, xs, g = info
-        groups, order, inv = _group_perms(layout, step, ys, xs, g)
-        gs = g * step
+    plan = _fast_groups(layout)
+    if plan is not None:
+        groups, order, inv = plan
+        g = -(-s // (layout.size - layout.overlap))
+        gs = g * (layout.size - layout.overlap)
         pad = [(0, gs), (0, gs)] + [(0, 0)] * (field.ndim - 2)
         fp = jnp.pad(field, pad)
         parts = []
@@ -531,14 +561,15 @@ def assemble_lstsq(layout: BlockLayout, blocks: jnp.ndarray,
         den_np[y0:y0 + s, x0:x0 + s] += w_np
     inv_den = jnp.asarray(1.0 / np.maximum(den_np, 1e-8))
 
-    info = _uniform_info(layout)
-    if info is not None:
+    plan = _fast_groups(layout)
+    if plan is not None:
         # grouped space-to-depth placement: one pad/reshape/slice-add per
-        # parity group (<= 4) instead of one per block (~100 small DUS ops
-        # measured ~1 ms/step at 1M cells, scripts/profile_step_budget.py)
-        step, ys, xs, g = info
-        groups, order, _ = _group_perms(layout, step, ys, xs, g)
-        gs = g * step
+        # parity group (<= 4 per sub-lattice) instead of one per block
+        # (~100 small DUS ops measured ~1 ms/step at 1M cells,
+        # scripts/profile_step_budget.py)
+        groups, order, _ = plan
+        g = -(-s // (layout.size - layout.overlap))
+        gs = g * (layout.size - layout.overlap)
         weighted = (corrected * w)[jnp.asarray(order)]
         num = jnp.zeros((layout.ny + gs, layout.nx + gs),
                         dtype=blocks.dtype)
