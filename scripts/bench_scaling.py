@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--sizes", default="256x1024,512x2048,1024x4096",
                     help="comma-separated nyxnx grids")
     ap.add_argument("--skip-cg", action="store_true")
+    ap.add_argument("--mgcg-cycle", default="v", choices=("v", "w"),
+                    help="MGCG preconditioner cycle type (w: W-cycle — "
+                         "fewer CG iterations per solve; see "
+                         "artifacts/mgcg_iters_scaling.json)")
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(__file__), "..", "artifacts", "scaling_tpu.json"))
     args = ap.parse_args()
@@ -90,7 +94,10 @@ def main():
                  "momentum_smoother": cfg.momentum_smoother,
                  "hybrid": lane(MGBackend(cycles=2, precision="bf16"), sm)}
         if not args.skip_cg:
-            entry["mgcg"] = lane(MGCGBackend(rtol=1e-6, maxiter=60), None)
+            entry["mgcg_cycle"] = args.mgcg_cycle
+            entry["mgcg"] = lane(MGCGBackend(rtol=1e-6, maxiter=60,
+                                             cycle_type=args.mgcg_cycle),
+                                 None)
         print(json.dumps(entry), flush=True)
         results.append(entry)
 

@@ -111,3 +111,28 @@ def test_scaling_artifact_sanity():
     small, mid = sizes[0], sizes[1]
     assert mid["hybrid"]["mcells_s"] > 1.5 * small["hybrid"]["mcells_s"], (
         "dispatch amortization vanished", small, mid)
+
+
+def test_mgcg_iteration_scaling_artifact():
+    """Committed on-chip MGCG iteration-count study
+    (scripts/exp_mgcg_iters.py): V(1,1)-preconditioned CG iteration
+    counts grow mildly with grid size on the production channel operator
+    (measured 19 -> 22 -> 24 warm across 0.26M/1M/4.2M), and the W(2,2)
+    preconditioner must hold a clear advantage (<= half the V(1,1)
+    count at the largest size) with near-size-independent counts."""
+    import json
+
+    path = os.path.join(ARTIFACTS, "mgcg_iters_scaling.json")
+    if not os.path.exists(path):
+        pytest.skip("no committed mgcg iteration study")
+    with open(path) as f:
+        study = json.load(f)
+    sizes = sorted(study["sizes"], key=lambda s: s["n_cells"])
+    assert len(sizes) >= 3
+    big = sizes[-1]
+    assert big["w22_warm"]["iters"] * 2 <= big["v11_warm"]["iters"]
+    # W(2,2) counts must be near-size-independent (O(1) growth)
+    assert sizes[-1]["w22_warm"]["iters"] <= sizes[0]["w22_warm"]["iters"] + 4
+    for s in sizes:
+        for k in ("v11_warm", "w22_warm"):
+            assert s[k]["residual"] < 1e-6
