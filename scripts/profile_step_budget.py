@@ -108,13 +108,17 @@ def main():
                                     mb=0.0)
 
     # -- momentum coefficient build --------------------------------------
+    # NOTE: every phase jit takes `case` as an ARGUMENT (like the engine's
+    # piso_step) instead of closure-capturing it — captured case arrays
+    # become program CONSTANTS, and at 8.4M cells the ~335 MB constant
+    # payload exceeds the tunnel's remote_compile request limit (HTTP 413).
     @jax.jit
-    def mom_coef(phi_x, phi_y, u, v, dt):
+    def mom_coef(case, phi_x, phi_y, u, v, dt):
         return momentum_coeffs(case, phi_x, phi_y, u, v, dt,
                                convection=cfg.convection)
 
-    t, spread = timeit(mom_coef, (flow.phi_x, flow.phi_y, flow.u, flow.v,
-                                  flow.dt))
+    t, spread = timeit(mom_coef, (case, flow.phi_x, flow.phi_y, flow.u,
+                                  flow.v, flow.dt))
     # reads: phi_x, phi_y, u, v + ~12 case arrays; writes 7 coeff fields;
     # limitedLinear adds ~2 more passes of u/v
     mb = fb * (4 + 12 + 7 + 4)
@@ -122,27 +126,28 @@ def main():
                                      spread_ms=[s * 1e3 for s in spread],
                                      mb=mb)
 
-    coef = mom_coef(flow.phi_x, flow.phi_y, flow.u, flow.v, flow.dt)
-    gpx, gpy = jax.jit(lambda p: pressure_gradient(case, p))(flow.p)
+    coef = mom_coef(case, flow.phi_x, flow.phi_y, flow.u, flow.v, flow.dt)
+    gpx, gpy = jax.jit(pressure_gradient)(case, flow.p)
     volc = case.alpha * case.grid.dx * case.grid.dy
     src_u, src_v = -gpx * volc, -gpy * volc
 
     # -- momentum sweeps (fused pallas kernel) ----------------------------
     @jax.jit
-    def mom_sweeps(u, v, src_u, src_v):
+    def mom_sweeps(case, coef, u, v, src_u, src_v):
         return jacobi_momentum(coef, case, u, v, src_u, src_v,
                                sweeps=cfg.momentum_sweeps, smoother="pallas")
 
-    t, spread = timeit(mom_sweeps, (flow.u, flow.v, src_u, src_v))
+    t, spread = timeit(mom_sweeps, (case, coef, flow.u, flow.v, src_u, src_v))
     phases["momentum_sweeps_pallas"] = dict(
         ms=t * 1e3, spread_ms=[s * 1e3 for s in spread], mb=fb * 11)
 
     @jax.jit
-    def mom_sweeps_xla(u, v, src_u, src_v):
+    def mom_sweeps_xla(case, coef, u, v, src_u, src_v):
         return jacobi_momentum(coef, case, u, v, src_u, src_v,
                                sweeps=cfg.momentum_sweeps, smoother="xla")
 
-    t, spread = timeit(mom_sweeps_xla, (flow.u, flow.v, src_u, src_v))
+    t, spread = timeit(mom_sweeps_xla, (case, coef, flow.u, flow.v,
+                                        src_u, src_v))
     phases["momentum_sweeps_xla"] = dict(
         ms=t * 1e3, spread_ms=[s * 1e3 for s in spread],
         mb=fb * (cfg.momentum_sweeps * 9 + 2))
@@ -157,10 +162,10 @@ def main():
     predictor_bound = _bind_sm(predictor, case)
 
     @jax.jit
-    def sm(p, aux):
+    def sm(case, p, aux):
         return predictor_bound(case, p, aux)
 
-    t, spread = timeit(sm, (flow.p, aux))
+    t, spread = timeit(sm, (case, flow.p, aux))
     n_blocks = ((nx - 128) // 96 + 1) * ((ny - 128) // 96 + 1)
     comp_mb = (bundle.pc_in * bundle.pca_in.components.shape[1]
                + bundle.pc_out * bundle.pca_out.components.shape[1]) * 2 / MB
@@ -172,17 +177,18 @@ def main():
     # comparison lane: the unbound path keeps the in-graph dense LU on
     # the block-offset system (the 4.2M-cell cliff, ~O(n^3) in blocks)
     @jax.jit
-    def sm_ingraph(p, aux):
+    def sm_ingraph(case, p, aux):
         return predictor(case, p, aux)
 
-    t, spread = timeit(sm_ingraph, (flow.p, aux))
+    t, spread = timeit(sm_ingraph, (case, flow.p, aux))
     phases["surrogate_predict_ingraph_lu"] = dict(
         ms=t * 1e3, spread_ms=[s * 1e3 for s in spread],
         mb=fb * 8 + comp_mb + blocks_mb)
 
     # -- pressure assembly (rAU, HbyA, fluxes, coeffs, rhs) ---------------
     @jax.jit
-    def passembly(u, v):
+    def passembly(case, coef, u, v):
+        volc = case.alpha * case.grid.dx * case.grid.dy
         rau = volc * case.fluid / coef.a_p
         hu, hv = h_operator(coef, u, v)
         hbya_u = hu * case.fluid / coef.a_p
@@ -192,19 +198,19 @@ def main():
         rhs = pressure_rhs(case, phx, phy)
         return pc, rhs, phx, phy
 
-    t, spread = timeit(passembly, (flow.u, flow.v))
+    t, spread = timeit(passembly, (case, coef, flow.u, flow.v))
     phases["pressure_assembly"] = dict(
         ms=t * 1e3, spread_ms=[s * 1e3 for s in spread], mb=fb * 24)
 
-    pc, rhs, phx, phy = passembly(flow.u, flow.v)
+    pc, rhs, phx, phy = passembly(case, coef, flow.u, flow.v)
 
     # -- one capped MG polish (2 cycles, bf16 correction) -----------------
     @jax.jit
-    def mg2(rhs, p):
+    def mg2(pc, rhs, p):
         return mg_solve(pc, rhs, p, cycles=2, pre=2, post=2,
                         dtype=jnp.bfloat16)
 
-    t, spread = timeit(mg2, (rhs, flow.p))
+    t, spread = timeit(mg2, (pc, rhs, flow.p))
     # per V(2,2) cycle at the fine level: 4 smoother sweeps (7r+1w each,
     # bf16 for correction) + residual + restrict + prolong; coarse levels
     # add ~1/3 of fine
@@ -214,13 +220,15 @@ def main():
 
     # -- flux correction + velocity update --------------------------------
     @jax.jit
-    def correct(p, phx, phy, u, v):
+    def correct(case, coef, pc, p, phx, phy, u, v):
         px, py = correct_fluxes(case, pc, p, phx, phy)
         gx, gy = pressure_gradient(case, p)
+        volc = case.alpha * case.grid.dx * case.grid.dy
         rau = volc * case.fluid / coef.a_p
         return px, py, (u - rau * gx) * case.fluid, (v - rau * gy) * case.fluid
 
-    t, spread = timeit(correct, (flow.p, phx, phy, flow.u, flow.v))
+    t, spread = timeit(correct, (case, coef, pc, flow.p, phx, phy,
+                                 flow.u, flow.v))
     phases["flux_velocity_correction"] = dict(
         ms=t * 1e3, spread_ms=[s * 1e3 for s in spread], mb=fb * 14)
 
