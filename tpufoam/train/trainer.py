@@ -205,15 +205,23 @@ def train_surrogate(ds: BlockDataset, family: str,
                     overlap_ratio: float = 0.25,
                     checkpoint_path: str | None = None,
                     checkpoint_every: int = 50,
-                    verbose: bool = False) -> tuple[SurrogateBundle, TrainState]:
+                    verbose: bool = False,
+                    precomputed=None) -> tuple[SurrogateBundle, TrainState]:
     """Full training pipeline -> serving-ready SurrogateBundle.
 
     If `checkpoint_path` exists, training resumes from it (the reference's
     new_model=false resume, train.py:573-575, upgraded with optimizer
-    state)."""
+    state).
+
+    `precomputed` = (pca_in, pca_out, pc_in, pc_out, z_in, z_out) skips
+    the PCA fit+encode stage — the expensive, architecture-independent
+    part — so multi-architecture studies (scripts/study_ref_arch.py) fit
+    the PCA once and train several heads against the same encodes."""
     import time as _time
     t0 = _time.perf_counter()
-    if cfg.pca_device_cache:
+    if precomputed is not None:
+        pca_in, pca_out, pc_in, pc_out, z_in, z_out = precomputed
+    elif cfg.pca_device_cache:
         pca_in, pca_out, pc_in, pc_out, z_in, z_out = \
             _fit_encode_staged(ds, cfg)
     else:
