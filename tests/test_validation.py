@@ -264,15 +264,21 @@ def test_2d3_hybrid_production_path():
 
 
 def test_2d3_sensitivity_study():
-    """dt/ddt sensitivity study behind the 2D-3 cl_max tolerance
+    """dt/ddt/grid sensitivity study behind the 2D-3 cl_max tolerance
     (committed TPU runs, artifacts/validation/st_2d3_sens_*.json): the
-    late-burst lift peak overshoot is NOT a time-discretization artifact.
-    Measured: halving the Courant target moves the Euler d31 value by
-    +0.3% (0.5179 -> 0.5195); switching to BDF2 (which removes Euler's
-    limit-cycle damping) RAISES it (d31 0.5511, d62 0.5267 — i.e. Euler
-    damping was masking part of the overshoot); and every variant sits
-    inside the 1996 workshop's own participant scatter [0.35, 0.62] while
-    cd_max and dP(8) stay at/near their published bands."""
+    late-burst lift peak overshoot is NOT a time-discretization artifact
+    — it is the stair-step/cut-cell perturbation SEED of the shedding
+    instability, which shrinks with grid. Measured: halving the Courant
+    target moves the Euler d31 value by +0.3% (0.5179 -> 0.5195);
+    switching to BDF2 (which removes Euler's limit-cycle damping) RAISES
+    it at fixed grid (d31 0.5511); and under BDF2 the peak then converges
+    MONOTONICALLY DOWN toward the published band as the seed shrinks:
+    d31 0.5511 -> d62 0.5267 -> d94 0.5080 (band top 0.49), with cd_max
+    and dP(8) inside their bands at every BDF2 resolution. Every variant
+    sits inside the 1996 workshop's own participant scatter [0.35, 0.62].
+    (The Euler ladder is grid-FLAT instead because Euler's dt-dependent
+    limit-cycle damping strengthens at finer grids, masking the seed
+    decay — the same cancellation measured on 2D-2's cl_max.)"""
     paths = sorted(glob.glob(os.path.join(ARTIFACTS, "st_2d3_sens_*.json")))
     if not paths:
         pytest.skip("no committed 2D-3 sensitivity artifacts")
@@ -299,6 +305,19 @@ def test_2d3_sensitivity_study():
         # and its cd_max stays in the published band
         assert abs(band_error(d62_bdf2["cl_max"], ref["cl_max"])) < 0.08
         assert abs(band_error(d62_bdf2["cd_max"], ref["cd_max"])) < 0.01
+    # BDF2 grid ladder: cl_max must converge toward the band FROM ABOVE
+    # (the seed-decay claim), cd_max/dP staying in-band at fine grids
+    ladder = sorted((r for n, r in runs.items() if "_backward" in n),
+                    key=lambda r: r["d_over_delta"])
+    if len(ladder) >= 2:
+        cls_ = [r["cl_max"] for r in ladder]
+        for a, b in zip(cls_, cls_[1:]):
+            assert b < a, cls_
+        assert cls_[-1] > ref["cl_max"][1], cls_   # still from above
+        fine = ladder[-1]
+        if fine["d_over_delta"] >= 90:
+            assert abs(band_error(fine["cl_max"], ref["cl_max"])) < 0.04, fine
+            assert abs(band_error(fine["cd_max"], ref["cd_max"])) < 0.01, fine
 
 
 @pytest.mark.skipif(not os.environ.get("TPUFOAM_VALIDATION"),
