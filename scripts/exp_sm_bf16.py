@@ -24,20 +24,9 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def timeit(fn, args, reps=30):
-    import jax
-    import numpy as np
-    for _ in range(3):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    ts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            out = fn(*args)
-        jax.block_until_ready(out)
-        ts.append((time.perf_counter() - t0) / reps)
-    return float(np.median(ts)), (float(np.min(ts)), float(np.max(ts)))
+# one timing protocol across all budget/A-B scripts (warm -> 5x reps ->
+# median + spread); a drift here would make artifacts non-comparable
+from profile_step_budget import timeit  # noqa: E402
 
 
 def main():
@@ -92,12 +81,15 @@ def main():
         for name, pred in preds.items():
             bound = _bind_sm(pred, case)
 
-            def sm(p, aux, _b=bound):
-                return _b(case, p, aux)
+            # case passes as a jit ARGUMENT: closure-captured case arrays
+            # bake in as constants and the payload 413s the tunnel's
+            # remote_compile at 8.4M cells (profile_step_budget.py NOTE)
+            def sm(c, p, aux, _b=bound):
+                return _b(c, p, aux)
 
             sm_j = jax.jit(sm)
-            t, spread = timeit(sm_j, (flow.p, aux))
-            p_out[name] = np.asarray(sm_j(flow.p, aux))
+            t, spread = timeit(sm_j, (case, flow.p, aux))
+            p_out[name] = np.asarray(sm_j(case, flow.p, aux))
 
             # full hybrid step with this predictor
             def full(fl, _p=pred):

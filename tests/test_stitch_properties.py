@@ -159,11 +159,12 @@ def test_predictor_fast_stitch_matches_traced_path():
     """make_predictor's eager serving call (host-cached solve operator)
     and its traced fallback (in-graph dense solve, used under
     scan/vmap/shard_map) must agree on the predicted pressure."""
+    import os
     import sys
 
     import jax
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
     from __graft_entry__ import _tiny_bundle
     from tpufoam.core.geometry import channel_case_geometry
     from tpufoam.fv.case import build_channel_case, initial_flow
@@ -198,11 +199,12 @@ def test_engine_binds_host_stitch_operator():
     contains NO dense LU (the 4.2M-cell surrogate cliff,
     artifacts/step_budget_4m_tpu.json), and a short eager rollout with
     the auto-binding path must match the unbound in-graph-solve path."""
+    import os
     import sys
 
     import jax
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
     from __graft_entry__ import _tiny_bundle
     from tpufoam.core.geometry import channel_case_geometry
     from tpufoam.fv.case import build_channel_case, initial_flow

@@ -184,9 +184,10 @@ def test_arch_table():
 def test_predictor_bf16_precision_matches_f32():
     """make_predictor(precision='bf16') (bf16 PCA matmuls, pre-cast basis)
     must track the f32 predictor to bf16 rounding of the prediction."""
+    import os
     import sys
 
-    sys.path.insert(0, "/root/repo")
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
     from __graft_entry__ import _tiny_bundle
     from tpufoam.core.geometry import channel_case_geometry
     from tpufoam.fv.case import build_channel_case, initial_flow

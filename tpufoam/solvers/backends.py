@@ -88,14 +88,26 @@ class MGCGBackend:
     # a flexible-CG formulation would be needed. Kept for experimentation;
     # the CLI does not expose it.
     cycle_type: str = "v"    # "w": W-cycle preconditioner — ~1.5x cost per
-    # application but size-independent CG iteration counts (the V(1,1)
-    # count GROWS with grid size: artifacts/mgcg_iters_scaling.json)
+    # application but near-size-independent CG iteration counts. NOTE the
+    # measured scaling (artifacts/mgcg_iters_scaling.json) is for W(2,2)
+    # (7 -> 8 -> 9 iters, 0.26M -> 4.2M); W(1,1) still grows (14 -> 27),
+    # so cycle_type='w' defaults pre/post to 2. In-step A/B
+    # (artifacts/scaling_wcycle_tpu.json): W LOSES at every size for
+    # warm-started production solves — 'v' stays the default.
+    pre: int | None = None   # smoother sweeps per level; None = 1 for 'v',
+    post: int | None = None  # 2 for 'w' (the studied configurations).
+    # Keep pre == post: an asymmetric cycle is a non-SPD preconditioner
+    # and stalls plain CG (multigrid.mgcg_pressure docstring).
 
     def __call__(self, case, coef, rhs, p_prev, aux):
         from .multigrid import mgcg_pressure
         dtype = jnp.bfloat16 if self.precision == "bf16" else None
+        default = 2 if self.cycle_type == "w" else 1
+        pre = default if self.pre is None else self.pre
+        post = default if self.post is None else self.post
         return mgcg_pressure(coef, rhs, x0=p_prev, rtol=self.rtol,
                              maxiter=self.maxiter, dtype=dtype,
+                             pre=pre, post=post,
                              smoother=self.smoother,
                              cycle_type=self.cycle_type).x * case.fluid
 

@@ -130,10 +130,12 @@ def _fast_groups(layout: BlockLayout):
     non-uniform 1024x4096 lattice (473 blocks x 3 passes) measured
     ~9 ms/step of pure slicing (artifacts/step_budget_4m_bound_tpu.json).
 
-    Returns (groups, order, inv): per-group (ys_g, xs_g, ks) with block
-    corners gs-strided in both axes, the concatenation order, and its
-    inverse permutation back to raster order; None if the layout does
-    not decompose (falls back to per-block static slices)."""
+    Returns (groups, order, inv, gs): per-group (ys_g, xs_g, ks) with
+    block corners gs-strided in both axes, the concatenation order, its
+    inverse permutation back to raster order, and the slab stride gs
+    (the consumers MUST use this gs — deriving it independently would
+    couple them to the parity split above); None if the layout does not
+    decompose (falls back to per-block static slices)."""
     step = layout.size - layout.overlap
     if step <= 0:
         return None
@@ -167,7 +169,7 @@ def _fast_groups(layout: BlockLayout):
                     order.extend(ks)
     inv = np.empty(len(order), dtype=np.int64)
     inv[np.asarray(order)] = np.arange(len(order))
-    return groups, np.asarray(order), inv
+    return groups, np.asarray(order), inv, g * step
 
 
 def extract_blocks(layout: BlockLayout, field: jnp.ndarray) -> jnp.ndarray:
@@ -180,9 +182,7 @@ def extract_blocks(layout: BlockLayout, field: jnp.ndarray) -> jnp.ndarray:
     s = layout.size
     plan = _fast_groups(layout)
     if plan is not None:
-        groups, order, inv = plan
-        g = -(-s // (layout.size - layout.overlap))
-        gs = g * (layout.size - layout.overlap)
+        groups, order, inv, gs = plan
         pad = [(0, gs), (0, gs)] + [(0, 0)] * (field.ndim - 2)
         fp = jnp.pad(field, pad)
         parts = []
@@ -567,9 +567,7 @@ def assemble_lstsq(layout: BlockLayout, blocks: jnp.ndarray,
         # parity group (<= 4 per sub-lattice) instead of one per block
         # (~100 small DUS ops measured ~1 ms/step at 1M cells,
         # scripts/profile_step_budget.py)
-        groups, order, _ = plan
-        g = -(-s // (layout.size - layout.overlap))
-        gs = g * (layout.size - layout.overlap)
+        groups, order, _, gs = plan
         weighted = (corrected * w)[jnp.asarray(order)]
         num = jnp.zeros((layout.ny + gs, layout.nx + gs),
                         dtype=blocks.dtype)

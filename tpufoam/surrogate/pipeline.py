@@ -323,7 +323,13 @@ def make_predictor(bundle: SurrogateBundle, family: FamilyConfig | None = None,
             return _predict_fast(case, p_prev, aux, op)
 
         _bound_cache[key] = (sdf, bound)
-        while len(_bound_cache) > 8:
+        # capacity must cover every case concurrently in play: an evicted
+        # entry breaks the same-case-same-closure contract above and the
+        # next bind() forces a FULL step recompile (seconds-to-minutes on
+        # a tunneled runtime). 64 matches the engine-side lru_cache bound;
+        # each entry pins one sdf-sized device array + a small stitch
+        # operator (~4 MB/case at 1M cells).
+        while len(_bound_cache) > 64:
             _bound_cache.popitem(last=False)
         return bound
 
