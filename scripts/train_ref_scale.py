@@ -60,6 +60,15 @@ def build_dataset(cache_path: str, n_frames: int, samples: int):
     parts = []
     t0 = time.perf_counter()
     for i, (shape, size, nu, warmup) in enumerate(cases):
+        # per-case stage cache: a wedged-tunnel restart (docs/STATUS.md
+        # §3 — an RPC can hang 20min-2h and the client must not be
+        # killed while the relay lives) resumes at the next case instead
+        # of redoing the whole 10-simulation sweep
+        part_path = cache_path + f".part{i}.npz"
+        if os.path.exists(part_path):
+            print(f"case cache hit: {part_path}", flush=True)
+            parts.append(load_block_dataset(part_path))
+            continue
         geom = channel_case_geometry(shape, length=8.0, height=2.0,
                                      obstacle_size=size, nu=nu)
         case = build_channel_case(geom, delta=2.0 / 256)  # 256 x 1024
@@ -73,6 +82,7 @@ def build_dataset(cache_path: str, n_frames: int, samples: int):
                                  seed=(hash(shape) + i) % 10_000)
         print(f"{shape}@{size}/nu={nu}: {ds.n} blocks "
               f"[{time.perf_counter() - t0:.0f}s]", flush=True)
+        save_block_dataset(part_path, ds)
         parts.append(ds)
 
     x = np.concatenate([d.x for d in parts])
