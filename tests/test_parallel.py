@@ -599,3 +599,36 @@ def test_sharded_piso_step_pallas_smoother_matches_single_device(monkeypatch):
                                atol=2e-3)
     np.testing.assert_allclose(np.asarray(out.v), np.asarray(ref.v),
                                atol=2e-3)
+
+
+def test_sharded_step_hlo_uses_halo_exchange():
+    """The sharding DESIGN claim, asserted at the compiler level: the
+    partitioned HLO of the spatially-sharded PISO step moves stencil
+    halos with collective-permute over the device mesh (SURVEY §2.3
+    "halo exchange via lax.ppermute over ICI" — GSPMD's lowering of the
+    shifted-array stencils), and its entry parameters are the per-device
+    shards (1/8th of the grid), not replicated full arrays. Equality
+    tests prove the numbers; this pins HOW they scale."""
+    from tpufoam.core.geometry import channel_case_geometry
+    from tpufoam.fv.case import build_channel_case, initial_flow
+    from tpufoam.parallel.mesh import (device_mesh, make_sharded_piso_step,
+                                       shard_case, shard_flow)
+    from tpufoam.piso.engine import PisoConfig
+    from tpufoam.solvers.backends import CGBackend
+
+    geom = channel_case_geometry("cylinder", length=4.0, height=1.0,
+                                 obstacle_size=0.3)
+    case = build_channel_case(geom, delta=1.0 / 32)
+    flow = initial_flow(case, dt0=2e-3)
+    mesh = device_mesh(8)  # (data=4, model=2): grid 32x128 -> shards 8x64
+    step = make_sharded_piso_step(mesh, PisoConfig(n_correctors=1),
+                                  CGBackend(rtol=1e-5, maxiter=50))
+    with mesh:
+        scase, sflow = shard_case(mesh, case), shard_flow(mesh, flow)
+        compiled = step.lower(scase, sflow).compile()
+    txt = compiled.as_text()
+    assert "collective-permute" in txt, "no halo exchange in partitioned HLO"
+    # SPMD entry layout: the (32, 128) fields must enter as 8x64 shards
+    assert "f32[8,64]" in txt, "entry parameters are not per-device shards"
+    assert "f32[32,128]" not in txt.split("ENTRY")[-1].split("\n")[0], (
+        "entry computation takes a replicated full grid")
