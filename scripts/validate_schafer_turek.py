@@ -40,6 +40,17 @@ def main():
     ap.add_argument("--settle", type=float, default=0.6,
                     help="fraction of the run treated as transient")
     ap.add_argument("--max-co", type=float, default=0.4)
+    ap.add_argument("--max-dt", type=float, default=5e-3,
+                    help="hard dt cap. The cap binds only while the flow "
+                         "is slow (startup / the 2D-3 ramp foot, where "
+                         "the Courant limit is unbinding); on fine grids "
+                         "it must keep the momentum diffusion number "
+                         "nu*dt/delta^2 below ~4 or the fixed-sweep "
+                         "implicit momentum solve under-converges and the "
+                         "startup transient RINGS instead of decaying "
+                         "(measured: D/delta=125 with the 5e-3 default "
+                         "rang at |Cl|~450 and seeded early shedding; "
+                         "docs/STATUS.md)")
     ap.add_argument("--backend", default="mgcg",
                     choices=["mgcg", "mg", "hybrid"],
                     help="'hybrid' = the PRODUCTION path bench.py times: "
@@ -113,7 +124,7 @@ def main():
         backend = MGCGBackend(rtol=1e-6)
     else:
         backend = MGBackend(cycles=4)
-    cfg = PisoConfig(max_co=args.max_co, max_dt=5e-3, ddt=args.ddt,
+    cfg = PisoConfig(max_co=args.max_co, max_dt=args.max_dt, ddt=args.ddt,
                      ddt_corr=args.ddt_corr,
                      momentum_smoother=args.momentum_smoother)
     flow = initial_flow(case, dt0=2e-4)
@@ -139,7 +150,7 @@ def main():
     # different bench/grid/scheme/backend (load raises on mismatch)
     run_meta = dict(bench=args.bench, delta=args.delta, ddt=args.ddt,
                     ddt_corr=bool(args.ddt_corr), backend=args.backend,
-                    max_co=args.max_co,
+                    max_co=args.max_co, max_dt=args.max_dt,
                     bundle=bundle_name, mg_cycles=args.mg_cycles
                     if args.backend == "hybrid" else None)
 
@@ -204,6 +215,7 @@ def main():
     result = dict(bench=args.bench, delta=args.delta,
                   d_over_delta=0.1 / args.delta,
                   boundary="cutcell", ddt=args.ddt, ddt_corr=args.ddt_corr,
+                  max_dt=args.max_dt,
                   backend=args.backend, t_end=args.t_end, steps=steps, **s,
                   reference=ref,
                   ms_per_step=(time.perf_counter() - t0)
