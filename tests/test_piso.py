@@ -298,3 +298,32 @@ def test_ramped_rollout_chunked_matches_eager(empty_channel):
     assert float(out_c.t) == float(out_e.t)
     np.testing.assert_allclose(np.asarray(out_c.u), np.asarray(out_e.u),
                                atol=1e-6)
+
+
+def test_stiff_max_dt_warning():
+    """run_piso* must warn loudly when max_dt allows a momentum diffusion
+    number nu*dt/delta^2 beyond the fixed-sweep convergence envelope
+    (measured: D=4.4 rings bounded and decays, D=7.8 rings at |Cl|~450
+    and seeds spurious shedding — the D/delta=125 2D-3 startup,
+    docs/STATUS.md)."""
+    import warnings
+
+    from tpufoam.core.geometry import channel_case_geometry
+    from tpufoam.fv.case import build_channel_case, initial_flow
+    from tpufoam.piso.engine import PisoConfig, run_piso_eager
+    from tpufoam.solvers.backends import MGBackend
+
+    geom = channel_case_geometry("cylinder", length=2.0, height=1.0,
+                                 obstacle_size=0.3, nu=1e-3)
+    case = build_channel_case(geom, delta=1.0 / 64)
+    flow = initial_flow(case, dt0=1e-4)
+    stiff = PisoConfig(n_correctors=1, max_dt=5.0)  # D >> 4
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        run_piso_eager(case, flow, 1, cfg=stiff, backend=MGBackend(cycles=1))
+    assert any("diffusion number" in str(x.message) for x in w), w
+    safe = PisoConfig(n_correctors=1, max_dt=1e-4)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        run_piso_eager(case, flow, 1, cfg=safe, backend=MGBackend(cycles=1))
+    assert not any("diffusion number" in str(x.message) for x in w), w

@@ -301,6 +301,30 @@ def _rollout_fn(n_steps: int, cfg: PisoConfig, backend, sm_predict):
     return scan_fn
 
 
+def _warn_stiff_max_dt(case: Case, cfg: PisoConfig, limit: float = 4.0):
+    """Loud guard (MGBackend-clamp precedent, solvers/backends.py): the
+    momentum solve runs a FIXED number of sweeps, which converges only
+    while the implicit system stays diagonally dominant enough — i.e.
+    the diffusion number nu*dt/delta^2 stays below ~4 (measured: the
+    Schaefer-Turek startup ring decays at D=4.4 and RINGS at |Cl|~450
+    and seeds spurious shedding at D=7.8; docs/STATUS.md). dt only
+    reaches cfg.max_dt while the flow is slow (Courant unbinding), so
+    this warns on the worst case the config ALLOWS, not necessarily the
+    dt the run will see."""
+    dx2 = float(case.grid.dx) * float(case.grid.dy)
+    d_num = float(case.nu) * float(cfg.max_dt) / dx2
+    if d_num > limit:
+        import warnings
+        warnings.warn(
+            f"max_dt={cfg.max_dt:g} allows a momentum diffusion number "
+            f"nu*dt/(dx*dy) = {d_num:.1f} > {limit:g}; the fixed-sweep "
+            f"momentum solve under-converges there and slow-flow phases "
+            f"(startup, ramp feet) can ring instead of decaying. Lower "
+            f"max_dt to <= {limit * dx2 / float(case.nu):.2e} "
+            f"(or raise momentum sweeps) if dt reaches the cap.",
+            stacklevel=3)
+
+
 def run_piso(case: Case, flow: Flow, n_steps: int,
              cfg: PisoConfig = PisoConfig(),
              backend: PressureBackend = CGBackend(),
@@ -310,6 +334,7 @@ def run_piso(case: Case, flow: Flow, n_steps: int,
     Use this form for AD (differentiating an eager loop unrolls) and for
     vmapped batch rollouts; for forward-only production stepping
     `run_piso_eager` is measurably faster per step."""
+    _warn_stiff_max_dt(case, cfg)
     if sm_predict is not None:
         sm_predict = _bind_sm(sm_predict, case)
     return _rollout_fn(n_steps, cfg, backend, sm_predict)(case, flow)
@@ -327,6 +352,7 @@ def run_piso_eager(case: Case, flow: Flow, n_steps: int,
     `run_piso` for AD/vmap."""
     if n_steps <= 0:
         return flow
+    _warn_stiff_max_dt(case, cfg)
     if sm_predict is not None:
         sm_predict = _bind_sm(sm_predict, case)
     # first step must not donate: the caller still owns `flow`
