@@ -326,11 +326,26 @@ def test_2d3_sensitivity_study():
         cls_ = [r["cl_max"] for r in ladder]
         for a, b in zip(cls_, cls_[1:]):
             assert b < a, cls_
-        assert cls_[-1] > ref["cl_max"][1], cls_   # still from above
+        # converging from above: the finest entry may have reached the
+        # published band but must never undershoot its bottom
+        assert cls_[-1] > ref["cl_max"][0], cls_
         fine = ladder[-1]
         if fine["d_over_delta"] >= 90:
             assert abs(band_error(fine["cl_max"], ref["cl_max"])) < 0.04, fine
             assert abs(band_error(fine["cd_max"], ref["cd_max"])) < 0.01, fine
+    # startup-dt-cap hygiene invariance: the d94 rerun at max_dt=5e-4
+    # (clean-start, STATUS.md section 1 item 25) must agree with the
+    # original d94 BDF2 run (max_dt=1.5e-3, already startup-clean at that
+    # grid) — the cap only guards the from-rest transient, it must not
+    # change the developed answer.
+    clean = runs.get("st_2d3_sens_d94_cleanstart.json")
+    orig = runs.get("st_2d3_sens_d94_backward.json")
+    if clean is not None and orig is not None:
+        assert abs(clean["cl_max"] - orig["cl_max"]) \
+            < 0.02 * orig["cl_max"], (clean["cl_max"], orig["cl_max"])
+        assert abs(clean["cd_max"] - orig["cd_max"]) \
+            < 0.005 * orig["cd_max"], (clean["cd_max"], orig["cd_max"])
+        assert abs(clean["dp_final"] - orig["dp_final"]) < 0.01
 
 
 @pytest.mark.skipif(not os.environ.get("TPUFOAM_VALIDATION"),
