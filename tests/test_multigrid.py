@@ -8,7 +8,7 @@ from tpufoam.core.geometry import ChannelCase, channel_case_geometry
 from tpufoam.fv.case import build_channel_case
 from tpufoam.fv.pressure import pressure_coeffs, pressure_matvec
 from tpufoam.solvers.multigrid import (build_hierarchy, mg_solve,
-                                       mgcg_pressure)
+                                       mgcg_pressure, prolong, restrict)
 
 
 def _problem(ny, nx, with_obstacle=False):
@@ -124,6 +124,45 @@ def test_mgcg_w_cycle_converges_and_cuts_iterations():
     assert err_w < 2e-4
     assert int(res_w.iters) <= int(res_v.iters), (
         int(res_w.iters), int(res_v.iters))
+
+
+def test_mg_odd_sizes_full_hierarchy():
+    """Validation grids are not powers of two (2D-2 at D/delta=62.5 is
+    256x1375): an odd level size must pad to even with solid cells, not
+    truncate the hierarchy. The pre-fix behavior (coarsening only while
+    both axes are even) left 256x1375 with a 1-level 'hierarchy' whose
+    V-cycle degenerated to Jacobi sweeps, MGCG hit maxiter at relative
+    residuals ~0.9, and the unconverged pressure destabilized large-dt
+    startups (docs/STATUS.md item 25)."""
+    _, coef, _, _ = _problem(64, 171)
+    levels = build_hierarchy(coef, min_size=8)
+    # 64x171 -> 32x86 -> 16x43(pad 44) -> 8x22
+    assert len(levels) >= 4, [lv.diag.shape for lv in levels]
+
+
+def test_restrict_prolong_adjoint_at_odd_shapes():
+    """<R r, e> == <r, crop(P e)> at odd fine shapes: zero-padding the
+    residual before restriction and cropping the prolonged correction are
+    adjoint maps, so the padded V-cycle stays a symmetric (SPD-compatible)
+    preconditioner for CG."""
+    rng = np.random.default_rng(1)
+    r = jnp.asarray(rng.standard_normal((37, 53)), dtype=jnp.float32)
+    e = jnp.asarray(rng.standard_normal((19, 27)), dtype=jnp.float32)
+    lhs = float(jnp.vdot(restrict(r), e))
+    rhs = float(jnp.vdot(r, prolong(e)[:37, :53]))
+    assert abs(lhs - rhs) < 1e-4 * max(abs(lhs), 1.0), (lhs, rhs)
+
+
+def test_mgcg_odd_grid_converges_fast():
+    """MGCG on an odd-width obstacle grid must converge like the even
+    cases — the padded hierarchy is a real multilevel preconditioner."""
+    case, coef, b, x_true = _problem(64, 255, with_obstacle=True)
+    res = mgcg_pressure(coef, b, rtol=1e-8, maxiter=60)
+    err = (np.linalg.norm(np.asarray(res.x - x_true) * np.asarray(case.fluid))
+           / np.linalg.norm(np.asarray(x_true)))
+    assert float(res.residual) < 1e-7
+    assert err < 1e-4
+    assert int(res.iters) < 40, f"MGCG took {int(res.iters)} iterations"
 
 
 def test_mgcg_w_cycle_grid_independent_iterations():

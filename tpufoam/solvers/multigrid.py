@@ -32,11 +32,40 @@ from .cg import CGResult
 
 
 def _can_coarsen(ny: int, nx: int, min_size: int = 8) -> bool:
-    return ny % 2 == 0 and nx % 2 == 0 and ny >= 2 * min_size and nx >= 2 * min_size
+    return ny >= 2 * min_size and nx >= 2 * min_size
 
 
 def _pool2x2(f: jnp.ndarray) -> jnp.ndarray:
     return lax.reduce_window(f, 0.0, lax.add, (2, 2), (2, 2), "VALID")
+
+
+def _pad_even(a: jnp.ndarray, fill: float = 0.0) -> jnp.ndarray:
+    """Zero-pad (or `fill`-pad) the high end of any odd axis to even size.
+
+    Odd-size support matters in practice: the validation grids are not
+    powers of two (e.g. 2D-2 at D/delta=62.5 is 256x1375), and requiring
+    even sizes silently truncated the hierarchy to 1-2 levels there — the
+    'V-cycle' degenerated to Jacobi sweeps, MGCG hit maxiter with relative
+    residuals up to ~0.9, and the unconverged pressure destabilized
+    large-dt startups (docs/STATUS.md section 1 item 25). Padded cells are
+    solid (zero conductance, diag 1); zero-padding the residual before
+    restriction and cropping the prolonged correction are adjoint maps, so
+    the cycle stays a symmetric (SPD) preconditioner."""
+    ny, nx = a.shape
+    py, px = ny % 2, nx % 2
+    if py or px:
+        a = jnp.pad(a, ((0, py), (0, px)), constant_values=fill)
+    return a
+
+
+def _pad_coeffs_even(coef: PressureCoeffs) -> PressureCoeffs:
+    ny, nx = coef.diag.shape
+    if ny % 2 == 0 and nx % 2 == 0:
+        return coef
+    return PressureCoeffs(
+        c_e=_pad_even(coef.c_e), c_w=_pad_even(coef.c_w),
+        c_n=_pad_even(coef.c_n), c_s=_pad_even(coef.c_s),
+        c_out=_pad_even(coef.c_out), diag=_pad_even(coef.diag, fill=1.0))
 
 
 def coarsen_coeffs(coef: PressureCoeffs) -> PressureCoeffs:
@@ -56,7 +85,11 @@ def coarsen_coeffs(coef: PressureCoeffs) -> PressureCoeffs:
     column" with stride-2 slicing (c[:, 1::2]) is a lane shuffle that
     costs ~10 ms per hierarchy build at 1M cells on TPU; a parity mask +
     reduce_window is one cheap fused pass per array.
+
+    Odd input sizes are padded to even with solid cells first (`_pad_even`
+    docstring); the coarse level has shape (ceil(ny/2), ceil(nx/2)).
     """
+    coef = _pad_coeffs_even(coef)
     ny, nx = coef.diag.shape
     col_odd = (lax.broadcasted_iota(jnp.int32, (ny, nx), 1) % 2
                ).astype(coef.diag.dtype)
@@ -113,8 +146,10 @@ def restrict(r: jnp.ndarray) -> jnp.ndarray:
     (row sums 2 — pairs with the summed coarse operator; R = P^T keeps
     the V-cycle symmetric, so it stays a valid CG preconditioner).
     One fused pass: both 1D tap stencils, then a single 2x2 sum-pool
-    (the shifts/masks along each axis commute with pooling the other)."""
-    return _pool2x2(_restrict1d_gather(_restrict1d_gather(r, 0), 1))
+    (the shifts/masks along each axis commute with pooling the other).
+    Odd inputs are zero-padded to even (adjoint of the crop in v_cycle)."""
+    return _pool2x2(_restrict1d_gather(_restrict1d_gather(_pad_even(r), 0),
+                                       1))
 
 
 def prolong(e: jnp.ndarray) -> jnp.ndarray:
@@ -191,8 +226,11 @@ def v_cycle(levels: list[PressureCoeffs], b: jnp.ndarray,
         if cycle_type == "w" and lvl + 1 < len(levels) - 1:
             ec = cycle(lvl + 1, rc, ec)
         # mask the interpolated correction so it cannot leak into blanked
-        # (solid) cells; the diagonal mask keeps the cycle symmetric
-        x = x + prolong(ec) * fluid_mask(coef)
+        # (solid) cells; the diagonal mask keeps the cycle symmetric.
+        # Crop the prolonged correction back to the (possibly odd) fine
+        # shape — the adjoint of restrict's zero-padding.
+        ny, nx = coef.diag.shape
+        x = x + prolong(ec)[:ny, :nx] * fluid_mask(coef)
         return _smooth(coef, x, b, post, smoother)
 
     return cycle(0, b, x)
