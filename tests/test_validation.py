@@ -410,8 +410,10 @@ def test_2d2_backward_ddt_lift_in_published_band():
     damping keeps cl_max ~2% low even at D/delta=125. Measured at
     D/delta=31.25: cl_max 1.0090 vs published [0.99, 1.01] (euler at the
     same grid: 0.965)."""
-    paths = sorted(glob.glob(os.path.join(ARTIFACTS,
-                                          "st_2d2ddt_d*_backward.json")))
+    paths = sorted(
+        glob.glob(os.path.join(ARTIFACTS, "st_2d2ddt_d*_backward.json"))
+        + glob.glob(os.path.join(ARTIFACTS,
+                                 "st_2d2ddt_d*_backward_mgfix.json")))
     runs = []
     for p in paths:
         with open(p) as f:
