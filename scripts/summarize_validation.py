@@ -129,22 +129,35 @@ def main():
         lines.append("")
 
     # ---- turbulent channel ----
-    p = os.path.join(VDIR, "turb_channel_dean.json")
-    if os.path.exists(p):
-        with open(p) as f:
-            d = json.load(f)
+    turb_paths = [os.path.join(VDIR, n) for n in
+                  ("turb_channel_dean.json", "turb_channel_dean_ny256.json",
+                   "turb_channel_hybrid_ny256.json")]
+    turb = [(p, json.load(open(p))) for p in turb_paths if os.path.exists(p)]
+    if turb:
+        d0 = turb[0][1]
         lines += [f"## Turbulent channel (k-ω SST + wall functions) — "
-                  f"Dean Cf = 0.073 Re_m^-1/4 = {d['cf_dean']:.5f} at "
-                  f"Re_m = {d['re_m']:g}", "",
-                  "| first-cell y+ | Cf (wall fn) | Cf (dp/dx balance) | "
-                  "bias vs Dean |", "|---|---|---|---|"]
-        for r in d["runs"]:
-            lines.append(f"| {r['yplus']} | {r['cf_wf']:.5f} "
-                         f"| {r['cf_dpdx']:.5f} "
-                         f"| {r['bias_vs_dean'] * 100:+.1f}% |")
+                  f"Dean Cf = 0.073 Re_m^-1/4 = {d0['cf_dean']:.5f} at "
+                  f"Re_m = {d0['re_m']:g}", "",
+                  "| backend | first-cell y+ | Cf (wall fn) "
+                  "| Cf (dp/dx balance) | bias vs Dean |",
+                  "|---|---|---|---|---|"]
+        for p, d in turb:
+            be = d.get("backend", "mgcg")
+            if d.get("bundle"):
+                be += f" ({d['bundle'].split('/')[-1]}, "\
+                      f"{d.get('mg_cycles', 2)} cyc)"
+            for r in d["runs"]:
+                lines.append(f"| {be} | {r['yplus']} | {r['cf_wf']:.5f} "
+                             f"| {r['cf_dpdx']:.5f} "
+                             f"| {r['bias_vs_dean'] * 100:+.1f}% |")
         lines += ["", "Consistency: the two independent stress measures "
                   "agree <1%; the viscous/log conductance blend closes the "
-                  "buffer-layer dip (docs/STATUS.md §1.6).", ""]
+                  "buffer-layer dip (docs/STATUS.md §1.6). The matched "
+                  "ny=256 pure/hybrid pair shows the production hybrid "
+                  "step (sm_turb256 warm start + 2 bf16 V-cycles) is "
+                  "physics-neutral in the turbulent regime — wall stress "
+                  "agrees to 0.002% — while stepping 2.7x faster "
+                  "(test_turbulent_hybrid_dean_artifacts_match_pure).", ""]
 
     out = os.path.join(ROOT, "docs", "VALIDATION.md")
     with open(out, "w") as f:

@@ -156,6 +156,44 @@ def test_turbulent_channel_cf_matches_dean():
     assert 1.03 < r["uc_over_ub"] < 1.25, r
 
 
+def test_turbulent_hybrid_dean_artifacts_match_pure():
+    """SM-in-the-loop EXTERNAL validation for the turbulent regime: the
+    committed matched ny=256 Dean-channel TPU runs (scripts/
+    validate_turbulent_channel.py, 35,250 steps to t=120) — one pure
+    MGCG, one production hybrid (sm_turb256 warm start + 2 bf16
+    V-cycles) — must (a) both land within the Dean (1978) wall-function
+    band, and (b) agree with each other on the wall-function stress to
+    <0.5%: the hybrid step is physics-neutral in the turbulent regime
+    too, while stepping 2.7x faster (208 vs 571 s wall on chip). The
+    reference never couples its SM to a turbulent solve at all."""
+    import json
+    import os
+
+    art = os.path.join(os.path.dirname(__file__), "..", "artifacts",
+                       "validation")
+    p_pure = os.path.join(art, "turb_channel_dean_ny256.json")
+    p_hyb = os.path.join(art, "turb_channel_hybrid_ny256.json")
+    if not (os.path.exists(p_pure) and os.path.exists(p_hyb)):
+        pytest.skip("no committed matched ny=256 turbulent lanes")
+    pure = json.load(open(p_pure))
+    hyb = json.load(open(p_hyb))
+    assert hyb.get("backend") == "hybrid" and hyb.get("bundle")
+    rp, rh = pure["runs"][0], hyb["runs"][0]
+    assert rp["ny"] == rh["ny"] == 256
+    assert rp["steps"] == rh["steps"]          # matched trajectories
+    cf_ref = pure["cf_dean"]
+    for r in (rp, rh):
+        # external band: Dean's correlation within the wall-fn envelope
+        assert abs(r["cf_wf"] / cf_ref - 1.0) < 0.06, r
+        # developed-state consistency (two independent stress measures)
+        assert abs(r["cf_dpdx"] / r["cf_wf"] - 1.0) < 0.03, r
+        assert 1.03 < r["uc_over_ub"] < 1.25, r
+    # physics-neutrality of the production hybrid step (measured 0.001%)
+    assert abs(rh["tau_wf"] / rp["tau_wf"] - 1.0) < 0.005, (rh, rp)
+    assert abs(rh["uc_over_ub"] / rp["uc_over_ub"] - 1.0) < 0.005
+    assert abs(rh["k_wall_mean"] / rp["k_wall_mean"] - 1.0) < 0.01
+
+
 def test_turbulent_hybrid_in_the_loop_with_trained_bundle():
     """SM-in-the-loop for the TURBULENT regime: the committed sm_turb256
     bundle (trained on SST+wall-function wake data,
