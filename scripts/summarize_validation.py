@@ -77,11 +77,16 @@ def main():
                   "| run | cd (tail mean) | cl (tail mean) |",
                   "|---|---|---|"]
         for name, r in runs:
+            # cl's band distance is quoted in absolute units: the published
+            # interval is O(0.01) = 0.2% of the drag scale, so a relative-%
+            # figure would be misleading (docs/STATUS.md §5).
+            cl, (lo, hi) = r["cl"], r["reference"]["cl"]
+            cl_s = (f"**{cl:+.4f}** (in)" if lo <= cl <= hi else
+                    f"{cl:+.4f} ({cl - (lo if cl < lo else hi):+.4f} vs band)")
             lines.append(
                 f"| {run_label(name, r)} "
                 f"| {mark(r['cd'], r['reference']['cd'])} "
-                f"| {r['cl']:+.4f} (lift ~0.2% of drag scale — below "
-                f"cut-cell floor, docs/STATUS.md §5) |")
+                f"| {cl_s} |")
         lines.append("")
 
     # ---- 2D-2 ----
