@@ -28,8 +28,8 @@ def _device_reachable(timeout=150.0):
     probe that also rejects a silent in-child CPU fallback), so a dead
     axon tunnel degrades to an honest reduced CPU benchmark instead of
     hanging the driver."""
-    from __graft_entry__ import probe_tpu
-    return probe_tpu(timeout=timeout)
+    from __graft_entry__ import probe_tpu_status
+    return probe_tpu_status(timeout=timeout)
 
 
 def time_rollout(case, flow, n_steps, cfg, backend, sm_predict=None,
@@ -58,7 +58,8 @@ def time_rollout(case, flow, n_steps, cfg, backend, sm_predict=None,
 
 
 def main():
-    cpu_fallback = not _device_reachable()
+    reachable, probe_reason = _device_reachable()
+    cpu_fallback = not reachable
     if cpu_fallback:
         # dead tunnel: run a reduced, honestly-labeled CPU benchmark
         # (one host core; the full 1M-cell config would take hours) and
@@ -234,7 +235,7 @@ def main():
     }
     if cpu_fallback:
         result["extra"]["platform_fallback"] = (
-            "axon relay unreachable (docs/STATUS.md §3) — reduced CPU "
+            f"{probe_reason} (docs/STATUS.md §3) — reduced CPU "
             "run on one host core; NOT comparable to on-chip numbers")
         onchip = os.path.join(root, "artifacts", "bench_r3_tpu.json")
         if os.path.exists(onchip):

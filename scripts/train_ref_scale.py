@@ -63,8 +63,12 @@ def build_dataset(cache_path: str, n_frames: int, samples: int):
         # per-case stage cache: a wedged-tunnel restart (docs/STATUS.md
         # §3 — an RPC can hang 20min-2h and the client must not be
         # killed while the relay lives) resumes at the next case instead
-        # of redoing the whole 10-simulation sweep
-        part_path = cache_path + f".part{i}.npz"
+        # of redoing the whole 10-simulation sweep. Keyed on the case
+        # parameters and the sampling config, not the index alone —
+        # editing/reordering `cases` or changing n_frames/samples must
+        # never silently reuse blocks from a different configuration.
+        part_path = (f"{cache_path}.part{i}_{shape}{size:g}nu{nu:g}"
+                     f"w{warmup}f{n_frames}s{samples}.npz")
         if os.path.exists(part_path):
             print(f"case cache hit: {part_path}", flush=True)
             parts.append(load_block_dataset(part_path))

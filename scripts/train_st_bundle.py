@@ -65,11 +65,12 @@ def build_dataset(cache_path: str, delta: float, n_frames: int,
         # per-case stage cache: a tunnel death mid-datagen (the longest
         # phase) resumes at the first incomplete case instead of
         # restarting the whole sweep. Keyed on the case PARAMETERS and
-        # the sampling seed (i), not the index alone — editing or
-        # reordering CASES must never silently reuse blocks generated
-        # from a different geometry.
+        # the sampling config (n_frames/samples/warmup), not the index
+        # alone — editing or reordering CASES or changing the sampling
+        # arguments must never silently reuse stale blocks.
         case_cache = (f"{cache_path[:-4]}.case{i}"
-                      f"_D{d_cyl:g}x{cx:g}x{cy:g}u{u_mean:g}.npz")
+                      f"_D{d_cyl:g}x{cx:g}x{cy:g}u{u_mean:g}"
+                      f"f{n_frames}s{samples}w{warmup_t:g}.npz")
         if os.path.exists(case_cache):
             print(f"case cache hit: {case_cache}", flush=True)
             parts.append(load_block_dataset(case_cache))

@@ -327,3 +327,45 @@ def test_stiff_max_dt_warning():
         warnings.simplefilter("always")
         run_piso_eager(case, flow, 1, cfg=safe, backend=MGBackend(cycles=1))
     assert not any("diffusion number" in str(x.message) for x in w), w
+
+    # every public rollout entry point must carry the guard — the CLI's
+    # primary simulate paths go through run_piso_chunked / the SST loops
+    from tpufoam.fv.turbulence import init_turbulence
+    from tpufoam.piso.engine import (run_piso_chunked, run_piso_sst,
+                                     run_piso_sst_eager)
+    turb = init_turbulence(case)
+    for launch in (
+            lambda: run_piso_chunked(case, flow, 1, cfg=stiff,
+                                     backend=MGBackend(cycles=1), chunk=1),
+            lambda: run_piso_sst(case, flow, turb, 1, cfg=stiff,
+                                 backend=MGBackend(cycles=1)),
+            lambda: run_piso_sst_eager(case, flow, turb, 1, cfg=stiff,
+                                       backend=MGBackend(cycles=1))):
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            launch()
+        assert any("diffusion number" in str(x.message) for x in w), w
+
+
+def test_mgcg_rejects_asymmetric_cycle():
+    """Setting only one of pre/post resolves the other from the cycle
+    default, which would silently build a non-SPD V(pre,post)
+    preconditioner that stalls plain CG — the backend must refuse."""
+    import pytest as _pytest
+
+    from tpufoam.core.geometry import channel_case_geometry
+    from tpufoam.fv.case import build_channel_case, initial_flow
+    from tpufoam.piso.engine import PisoConfig, run_piso_eager
+    from tpufoam.solvers.backends import MGCGBackend
+
+    geom = channel_case_geometry("cylinder", length=2.0, height=1.0,
+                                 obstacle_size=0.3, nu=1e-3)
+    case = build_channel_case(geom, delta=1.0 / 32)
+    flow = initial_flow(case, dt0=1e-3)
+    cfg = PisoConfig(n_correctors=1)
+    with _pytest.raises(ValueError, match="asymmetric"):
+        run_piso_eager(case, flow, 1, cfg=cfg,
+                       backend=MGCGBackend(rtol=1e-6, pre=2))
+    # both set explicitly and equal: fine
+    run_piso_eager(case, flow, 1, cfg=cfg,
+                   backend=MGCGBackend(rtol=1e-6, pre=2, post=2))

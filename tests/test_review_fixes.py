@@ -292,3 +292,53 @@ def test_probe_tpu_abandons_timed_out_child(monkeypatch):
     assert child.poll() is None, "probe killed the timed-out child"
     child.terminate()  # test cleanup only: OUR sleeper, not a TPU client
     child.wait()
+
+
+def test_probe_tpu_status_reasons_distinguish_failures(monkeypatch):
+    """The (reachable, reason) form must attribute the failure correctly:
+    a dead relay listener vs a timed-out probe on a LIVE listener (busy
+    chip) vs a CPU-only child — bench.py records the reason in its
+    fallback artifact, and a busy chip must not read as a dead tunnel."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    import __graft_entry__ as ge
+
+    real_exists = os.path.exists
+    monkeypatch.setattr(
+        os.path, "exists",
+        lambda p: True if p == "/root/.tpu_init.py" else real_exists(p))
+
+    # dead listener
+    def refuse(*a, **k):
+        raise OSError("connection refused")
+    monkeypatch.setattr(socket, "create_connection", refuse)
+    ok, reason = ge.probe_tpu_status(timeout=1.0)
+    assert not ok and "relay unreachable" in reason
+
+    # live listener, probe child stalls past the timeout
+    monkeypatch.setattr(socket, "create_connection",
+                        lambda *a, **k: open(os.devnull, "rb"))
+    real_popen = subprocess.Popen
+    children = []
+
+    def slow_probe(cmd, *a, **k):
+        child = real_popen([sys.executable, "-c",
+                            "import time; time.sleep(20)"], *a, **k)
+        children.append(child)
+        return child
+    monkeypatch.setattr(subprocess, "Popen", slow_probe)
+    ok, reason = ge.probe_tpu_status(timeout=0.5)
+    assert not ok and "timed out" in reason and "unreachable" not in reason
+    (child,) = children
+    child.terminate()
+    child.wait()
+
+    # live listener, child got only the CPU backend
+    def cpu_probe(cmd, *a, **k):
+        return real_popen([sys.executable, "-c", "print('cpu')"], *a, **k)
+    monkeypatch.setattr(subprocess, "Popen", cpu_probe)
+    ok, reason = ge.probe_tpu_status(timeout=30.0)
+    assert not ok and "no non-CPU backend" in reason

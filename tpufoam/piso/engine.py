@@ -400,6 +400,7 @@ def run_piso_chunked(case: Case, flow: Flow, n_steps: int,
     steps fall back to single eager steps. Not differentiable-through."""
     if n_steps <= 0:
         return flow
+    _warn_stiff_max_dt(case, cfg)
     if sm_predict is not None:
         sm_predict = _bind_sm(sm_predict, case)
     k = max(1, min(chunk, n_steps))
@@ -448,6 +449,7 @@ def run_piso_sst(case: Case, flow: Flow, turb, n_steps: int,
                  backend: PressureBackend = CGBackend(),
                  sm_predict=None):
     """Turbulent n-step rollout; returns (Flow, TurbState)."""
+    _warn_stiff_max_dt(case, cfg)
     if sm_predict is not None:
         sm_predict = _bind_sm(sm_predict, case)
     return _rollout_sst_fn(n_steps, cfg, backend, sm_predict)(case, flow, turb)
@@ -466,6 +468,7 @@ def run_piso_sst_eager(case: Case, flow: Flow, turb, n_steps: int,
     run_piso_eager). Returns (Flow, TurbState)."""
     if n_steps <= 0:
         return flow, turb
+    _warn_stiff_max_dt(case, cfg)
     if sm_predict is not None:
         sm_predict = _bind_sm(sm_predict, case)
     flow, turb = piso_step_sst(case, flow, turb, cfg=cfg, backend=backend,

@@ -105,6 +105,15 @@ class MGCGBackend:
         default = 2 if self.cycle_type == "w" else 1
         pre = default if self.pre is None else self.pre
         post = default if self.post is None else self.post
+        if pre != post:
+            # setting only one of pre/post (the other falling back to the
+            # cycle default) silently builds a V(pre,post) asymmetric
+            # cycle — a non-SPD preconditioner that stalls plain CG.
+            raise ValueError(
+                f"MGCGBackend resolved to an asymmetric V({pre},{post}) "
+                f"preconditioner (pre={self.pre}, post={self.post}, "
+                f"cycle default {default}); plain CG requires pre == post "
+                f"— set both explicitly")
         return mgcg_pressure(coef, rhs, x0=p_prev, rtol=self.rtol,
                              maxiter=self.maxiter, dtype=dtype,
                              pre=pre, post=post,
