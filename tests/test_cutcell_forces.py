@@ -1,0 +1,129 @@
+"""Second-order embedded-wall shear closure (PisoConfig.wall_order=2).
+
+The first-order cut-cell wall link tau_w = nu U_t/d_w carries an O(h)
+one-sided-gradient error — measured as the 2D-1 lift plateau ~0.004 below
+the published band (docs/STATUS.md section 5). The quadratic closure
+tau_w = nu U_t/d_w - (d_w/2) dp/ds (exact wall compatibility:
+nu d2u_t/dn2|_wall = dp/ds at a stationary no-slip wall) removes it as a
+deferred correction (fv.momentum.wall_shear2_source) with the matching
+term in the reported body force (fv.forces).
+
+Embedded plane Poiseuille flow is the analytic anchor: the near-wall
+profile is exactly quadratic, so the first-order drag errs by exactly
+(d_w/2)|dp/dx| per unit length and the second-order form is exact up to
+the cut-geometry subsampling tolerance.
+"""
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from tpufoam.core.geometry import ChannelCase, Rectangle
+from tpufoam.fv.case import build_channel_case, initial_flow
+from tpufoam.fv.forces import obstacle_force
+from tpufoam.fv.momentum import wall_shear2_source
+from tpufoam.fv.pressure import pressure_gradient
+from tpufoam.piso.engine import PisoConfig, run_piso_eager
+from tpufoam.solvers.backends import MGCGBackend
+
+L, H = 2.0, 1.0
+NU = 0.05
+Y_W = 0.2735          # slab top, deliberately mid-cell at delta = 1/32
+GAP = H - Y_W
+G = 12.0 * NU / GAP**2   # dp/dx magnitude for unit mean gap velocity
+TAU_EXACT = 0.5 * G * GAP        # nu du/dy at the slab top
+DRAG_EXACT = TAU_EXACT * L       # viscous x-force on the slab top
+
+
+def _slab_case(delta=1.0 / 32):
+    """Channel whose bottom wall is an EMBEDDED slab cutting cells at
+    y = Y_W, with the exact Poiseuille-in-the-gap profile at the inlet."""
+    slab = Rectangle(cx=L / 2, cy=0.0, w=L + 1.0, h=2 * Y_W)
+    geom = ChannelCase(length=L, height=H, shape=slab, nu=NU)
+    case = build_channel_case(geom, delta=delta)
+    y = case.grid.y0 + (np.arange(case.grid.ny) + 0.5) * case.grid.dy
+    prof = np.maximum(0.5 * G / NU * (y - Y_W) * (H - y), 0.0)
+    return case.replace(inlet_u=jnp.asarray(prof.astype(np.float32)))
+
+
+def _steady_drag(case, wall_order: int) -> float:
+    cfg = PisoConfig(max_co=0.4, max_dt=5e-3, wall_order=wall_order)
+    flow = run_piso_eager(case, initial_flow(case, dt0=1e-3), 800,
+                          cfg=cfg, backend=MGCGBackend(rtol=1e-6))
+    rep = obstacle_force(case, flow.u, flow.v, flow.p,
+                         wall_order=wall_order)
+    return float(rep.total[0])
+
+
+def test_embedded_poiseuille_drag_closure_invariant():
+    """Fully-developed embedded Poiseuille is the degenerate anchor: the
+    steady drag is pinned by the global momentum identity (fixed inlet
+    flux + pressure balance -> slab+top drag = G*V), so the two wall
+    closures MUST converge to the same total — but only because the
+    reported force subtracts exactly the source the momentum equation
+    received. A force/momentum mismatch would split the two runs by
+    sum(ws) (~0.3% here); measured agreement is ~1e-5. (The ~3% common
+    bias vs the continuum value is the effective-gap discretization of
+    the d=1/32 cut row, not the shear closure — closure-sensitive
+    observables need dp/ds variation along the wall, i.e. the
+    Schaefer-Turek 2D-1 lift, validated on-chip.)"""
+    case = _slab_case()
+    d1 = _steady_drag(case, 1)
+    d2 = _steady_drag(case, 2)
+    assert abs(d1 / DRAG_EXACT - 1.0) < 0.06, d1
+    assert abs(d2 / d1 - 1.0) < 1e-3, (d1, d2)
+    # teeth: the two force formulas genuinely differ at this state (the
+    # equilibrium compensates through G) — the deferred-correction sum is
+    # well above the agreement tolerance
+    flow = run_piso_eager(case, initial_flow(case, dt0=1e-3), 800,
+                          cfg=PisoConfig(max_co=0.4, max_dt=5e-3,
+                                         wall_order=2),
+                          backend=MGCGBackend(rtol=1e-6))
+    ws_u, _ = wall_shear2_source(case, *pressure_gradient(case, flow.p))
+    assert abs(float(jnp.sum(ws_u))) > 2e-3 * abs(d1)
+
+
+def test_wall_shear2_source_orientation():
+    """Formula check on the slab: for a horizontal wall (tangent = x) and
+    p = a*x + b*y, the source is (0.5 L_w d_w a, 0) per wall cell —
+    independent of b (the normal gradient projects out)."""
+    case = _slab_case()
+    g = case.grid
+    x = g.x0 + (jnp.arange(g.nx) + 0.5) * g.dx
+    y = g.y0 + (jnp.arange(g.ny) + 0.5) * g.dy
+    a, b = 0.7, -1.3
+    p = (a * x[None, :] + b * y[:, None]) * case.fluid
+    ws_u, ws_v = wall_shear2_source(case, *pressure_gradient(case, p))
+    ws_u, ws_v = np.asarray(ws_u), np.asarray(ws_v)
+    wl = np.asarray(case.wall_len)
+    wd = np.asarray(case.wall_dist)
+    # interior columns only: the inlet/outlet Gauss gradient is one-sided
+    sel = wl > 1e-6
+    sel[:, :3] = False
+    sel[:, -3:] = False
+    expect = 0.5 * wl[sel] * wd[sel] * a
+    np.testing.assert_allclose(ws_u[sel], expect, rtol=0.08)
+    np.testing.assert_allclose(ws_v[sel], 0.0, atol=1e-5 * abs(a))
+
+
+def test_force_report_matches_momentum_budget_wall_order2():
+    """The reported wall_order=2 force equals the order-1 discrete terms
+    minus EXACTLY the deferred-correction source the momentum equation
+    received (momentum consistency — the interior-probe lesson)."""
+    case = _slab_case()
+    flow = run_piso_eager(case, initial_flow(case, dt0=1e-3), 50,
+                          cfg=PisoConfig(max_co=0.4, wall_order=2),
+                          backend=MGCGBackend(rtol=1e-6))
+    r1 = obstacle_force(case, flow.u, flow.v, flow.p, wall_order=1)
+    r2 = obstacle_force(case, flow.u, flow.v, flow.p, wall_order=2)
+    ws_u, ws_v = wall_shear2_source(
+        case, *pressure_gradient(case, flow.p))
+    np.testing.assert_allclose(
+        np.asarray(r2.f_viscous),
+        np.asarray(r1.f_viscous)
+        - np.array([float(jnp.sum(ws_u)), float(jnp.sum(ws_v))]),
+        rtol=1e-6, atol=1e-12)
+    # pressure part is untouched by the shear closure
+    np.testing.assert_allclose(np.asarray(r2.f_pressure),
+                               np.asarray(r1.f_pressure))

@@ -163,6 +163,11 @@ def piso_main(argv=None):
                     help="fvc::ddtCorr(U, phi) in the pressure equation "
                          "(pEqn.H:7 parity; Rhie-Chow transient "
                          "consistency)")
+    ap.add_argument("--wall-order", type=int, default=1, choices=[1, 2],
+                    help="embedded-wall shear closure order: 2 adds the "
+                         "quadratic-profile deferred correction "
+                         "tau_w = nu U_t/d - (d/2) dp/ds and the matching "
+                         "force term (laminar cut/blank walls)")
     ap.add_argument("--forces-out", default=None,
                     help="CSV path for the Cd/Cl time series (the "
                          "controlDict:61-107 forceCoeffs function object "
@@ -197,6 +202,7 @@ def piso_main(argv=None):
                      convection=args.convection,
                      convection_blend=args.convection_blend,
                      ddt=args.ddt, ddt_corr=args.ddt_corr,
+                     wall_order=args.wall_order,
                      momentum_smoother=args.momentum_smoother,
                      turb_wall_fn=args.turb_wall_fn)
     backend, sm_predict = _backend(args.backend, args.bundle, args.stitch,
@@ -244,7 +250,8 @@ def piso_main(argv=None):
                 u_ref=1.0, d_ref=args.obstacle_size,
                 nu_t=None if turb is None else turb.nu_t,
                 k_turb=turb.k if (turb is not None
-                                  and cfg.turb_wall_fn) else None)
+                                  and cfg.turb_wall_fn) else None,
+                wall_order=cfg.wall_order)
             cd, cl = float(rep.cd), float(rep.cl)
             force_rows.append((float(flow.t), cd, cl))
             force_txt = f" Cd={cd:.4f} Cl={cl:.4f}"

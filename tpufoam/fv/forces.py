@@ -10,6 +10,8 @@ half-cell wall distance. Kinematic units (per density), per unit depth.
 
 from __future__ import annotations
 
+from functools import partial
+
 import flax.struct
 import jax
 import jax.numpy as jnp
@@ -57,11 +59,11 @@ def _second_order_wall(f: jnp.ndarray, nb_in, fluid: jnp.ndarray,
     return jnp.where(ok2 > 0, (9.0 * f - f2) / 3.0, 2.0 * f)
 
 
-@jax.jit
+@partial(jax.jit, static_argnames=("wall_order",))
 def _obstacle_force_cut(case: Case, u: jnp.ndarray, v: jnp.ndarray,
                         p: jnp.ndarray, u_ref: float = 1.0,
                         d_ref: float = 1.0, nu_t=None,
-                        k_turb=None) -> ForceReport:
+                        k_turb=None, wall_order: int = 1) -> ForceReport:
     """Cut-cell force: the DISCRETE momentum-consistent wall terms.
 
         F_p  = sum_cells p_P A_w          (the Gauss pressure gradient's
@@ -92,6 +94,16 @@ def _obstacle_force_cut(case: Case, u: jnp.ndarray, v: jnp.ndarray,
         a_wall = case.nu * wall_len / case.wall_dist
     fvx = jnp.sum(a_wall * u)
     fvy = jnp.sum(a_wall * v)
+    if wall_order == 2 and k_turb is None:
+        # momentum-consistent counterpart of the second-order wall-shear
+        # deferred correction (fv.momentum.wall_shear2_source): the fluid
+        # gained + (L_w d_w/2)(t.grad p) t, so the body force loses it.
+        from .momentum import wall_shear2_source
+        from .pressure import pressure_gradient
+        gpx, gpy = pressure_gradient(case, p)
+        ws_u, ws_v = wall_shear2_source(case, gpx, gpy)
+        fvx = fvx - jnp.sum(ws_u)
+        fvy = fvy - jnp.sum(ws_v)
 
     f_pres = jnp.stack([fpx, fpy])
     f_visc = jnp.stack([fvx, fvy])
@@ -104,7 +116,7 @@ def _obstacle_force_cut(case: Case, u: jnp.ndarray, v: jnp.ndarray,
 def obstacle_force(case: Case, u: jnp.ndarray, v: jnp.ndarray,
                    p: jnp.ndarray, u_ref: float = 1.0,
                    d_ref: float = 1.0, nu_t=None,
-                   k_turb=None) -> ForceReport:
+                   k_turb=None, wall_order: int = 1) -> ForceReport:
     """Integrate pressure + viscous force over the obstacle surface.
 
     Cut-cell cases (case.cut) use the discrete momentum-consistent
@@ -124,10 +136,17 @@ def obstacle_force(case: Case, u: jnp.ndarray, v: jnp.ndarray,
     only and ignores them beyond nu_eff shear scaling).
 
     u_ref/d_ref: reference velocity and length for the coefficients
-    (the reference uses magUInf/lRef in its forceCoeffs dict)."""
+    (the reference uses magUInf/lRef in its forceCoeffs dict).
+
+    wall_order=2 (cut-cell path, laminar): subtract the second-order
+    wall-shear deferred correction (L_w d_w/2)(t.grad p) t that
+    fv.momentum added to the fluid — pass the SAME value the stepping
+    config used (PisoConfig.wall_order) so the report stays the exact
+    momentum transfer."""
     if case.cut:
         return _obstacle_force_cut(case, u, v, p, u_ref=u_ref, d_ref=d_ref,
-                                   nu_t=nu_t, k_turb=k_turb)
+                                   nu_t=nu_t, k_turb=k_turb,
+                                   wall_order=wall_order)
     return _obstacle_force_stair(case, u, v, p, u_ref=u_ref, d_ref=d_ref)
 
 

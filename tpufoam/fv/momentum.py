@@ -197,6 +197,35 @@ def wall_conductance(nu: float, k_wall: jnp.ndarray, d: jnp.ndarray,
     return (g_vis**4 + g_log**4) ** 0.25
 
 
+def wall_shear2_source(case: Case, gpx: jnp.ndarray, gpy: jnp.ndarray):
+    """Second-order wall-shear deferred correction (per-cell source pair).
+
+    The first-order embedded-wall link tau_w ~ nu U_t/d_w carries an O(h)
+    one-sided-gradient error. At a stationary no-slip wall the tangential
+    momentum equation reduces EXACTLY to nu d2u_t/dn2|_w = dp/ds (all
+    convective and time-derivative terms vanish with U), so the quadratic
+    near-wall profile gives the second-order closure
+        tau_w = nu U_t/d_w - (d_w/2) dp/ds.
+    The implicit matrix keeps the robust nu L_w/d_w diagonal link; this
+    returns the explicit remainder  + (L_w d_w / 2)(t_hat . grad p) t_hat
+    added to (b_u, b_v) — the force on the fluid gains the same term, so
+    the discrete momentum budget stays exact (fv.forces subtracts it from
+    the body force). Pure elementwise on existing Case fields: no probes,
+    no gathers, unconditionally stable (no U dependence).
+
+    Exact for quadratic profiles: embedded plane Poiseuille flow, where
+    the first-order link errs by exactly (d_w/2)|dp/dx| per unit length
+    (tests/test_cutcell_forces.py)."""
+    ax, ay = case.wall_ax, case.wall_ay
+    amag = jnp.hypot(ax, ay)
+    ok = amag > 1e-12
+    inv = jnp.where(ok, 1.0 / jnp.where(ok, amag, 1.0), 0.0)
+    tx, ty = -ay * inv, ax * inv           # unit tangent (sign-invariant)
+    dpds = tx * gpx + ty * gpy
+    c = 0.5 * case.wall_len * case.wall_dist * dpds
+    return c * tx * case.fluid, c * ty * case.fluid
+
+
 def momentum_coeffs(case: Case, phi_x: jnp.ndarray, phi_y: jnp.ndarray,
                     u_old: jnp.ndarray, v_old: jnp.ndarray,
                     dt: jnp.ndarray,
@@ -207,7 +236,8 @@ def momentum_coeffs(case: Case, phi_x: jnp.ndarray, phi_y: jnp.ndarray,
                     ddt: str = "euler",
                     u_nm1: jnp.ndarray | None = None,
                     v_nm1: jnp.ndarray | None = None,
-                    dt_prev: jnp.ndarray | None = None) -> MomentumCoeffs:
+                    dt_prev: jnp.ndarray | None = None,
+                    wall_grad_p=None) -> MomentumCoeffs:
     """convection: 'limitedLinear' applies the reference's limitedLinearV-1
     limiter (fvSchemes:20) as a deferred correction; 'blend' applies an
     unlimited central deferred correction scaled by `convection_blend`
@@ -227,6 +257,11 @@ def momentum_coeffs(case: Case, phi_x: jnp.ndarray, phi_y: jnp.ndarray,
     sits at y+ ~ 30-100 in turbulent regimes, where the plain half-cell
     viscous link grossly underestimates tau_w. Validated against Dean's
     turbulent-channel Cf correlation (tests/test_turbulence.py).
+
+    wall_grad_p: optional (gpx, gpy) cell-centred pressure gradient —
+    when given (and the wall treatment is the viscous link, k_turb None)
+    the second-order wall-shear deferred correction `wall_shear2_source`
+    is added to (b_u, b_v). PisoConfig.wall_order=2 plumbs it.
 
     ddt: 'euler' (the reference's ddtSchemes default, fvSchemes:19) or
     'backward' — variable-step BDF2 using u_nm1/v_nm1 (= u^{n-1}, the
@@ -323,6 +358,13 @@ def momentum_coeffs(case: Case, phi_x: jnp.ndarray, phi_y: jnp.ndarray,
         s_u, s_v = _transpose_diffusion_source(case, nu_t, u_old, v_old)
         b_u = b_u + s_u * vol * case.fluid
         b_v = b_v + s_v * vol * case.fluid
+    if wall_grad_p is not None and k_turb is None:
+        # second-order wall shear (quadratic profile; see wall_shear2_source).
+        # Skipped under wall functions: the log-law conductance already
+        # models the full profile, a quadratic correction doesn't apply.
+        ws_u, ws_v = wall_shear2_source(case, wall_grad_p[0], wall_grad_p[1])
+        b_u = b_u + ws_u
+        b_v = b_v + ws_v
 
     return MomentumCoeffs(a_e=a_e, a_w=a_w, a_n=a_n, a_s=a_s, a_p=a_p,
                           b_u=b_u, b_v=b_v)

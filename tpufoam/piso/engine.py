@@ -112,6 +112,17 @@ class PisoConfig:
                                       # that dominates the published value.
                                       # Steps at/past t_stop take a 1e-6
                                       # floor dt (harmless chunk filler).
+    wall_order: int = 1               # 2: second-order embedded-wall shear
+                                      # closure tau_w = nu U_t/d_w -
+                                      # (d_w/2) dp/ds (exact wall-
+                                      # compatibility quadratic profile;
+                                      # fv.momentum.wall_shear2_source) as
+                                      # a deferred correction, with the
+                                      # matching term in the reported body
+                                      # force (fv.forces). Laminar cut/
+                                      # blank walls only; wall-function
+                                      # runs ignore it. Default 1 = the
+                                      # validated round-3 linear link.
     shard_mesh: object = None         # jax.sharding.Mesh (hashable) when
                                       # the step runs GSPMD-sharded: the
                                       # pallas momentum kernel then runs
@@ -192,14 +203,16 @@ def _piso_step_impl(case: Case, flow: Flow, cfg: PisoConfig = PisoConfig(),
         p = sm_predict(case, p, _aux()) * case.fluid
 
     # --- momentum predictor: solve(UEqn == -grad p) (UEqn.H:21-23) ---
+    gpx, gpy = pressure_gradient(case, p)
     coef = momentum_coeffs(case, phi_x, phi_y, u, v, dt,
                            convection_blend=cfg.convection_blend, nu_t=nu_t,
                            convection=cfg.convection,
                            k_turb=k_turb if cfg.turb_wall_fn else None,
                            ddt=cfg.ddt,
                            u_nm1=flow.u_prev, v_nm1=flow.v_prev,
-                           dt_prev=flow.dt)
-    gpx, gpy = pressure_gradient(case, p)
+                           dt_prev=flow.dt,
+                           wall_grad_p=(gpx, gpy) if cfg.wall_order == 2
+                           else None)
     u, v = jacobi_momentum(coef, case, u, v, -gpx * volc, -gpy * volc,
                            sweeps=cfg.momentum_sweeps,
                            smoother=cfg.momentum_smoother,
