@@ -76,6 +76,11 @@ def main():
                          "quadratic-profile deferred correction "
                          "tau_w = nu U_t/d - (d/2) dp/ds "
                          "(fv.momentum.wall_shear2_source)")
+    ap.add_argument("--wall-link", default="full",
+                    choices=["full", "tangential"],
+                    help="'tangential' restricts the embedded no-slip "
+                         "link to the tangential velocity "
+                         "(fv.momentum.wall_normal_release)")
     ap.add_argument("--ddt-corr", action="store_true",
                     help="fvc::ddtCorr in the pressure equation "
                          "(pEqn.H:7 parity)")
@@ -132,7 +137,7 @@ def main():
     cfg = PisoConfig(max_co=args.max_co, max_dt=args.max_dt, ddt=args.ddt,
                      ddt_corr=args.ddt_corr,
                      momentum_smoother=args.momentum_smoother,
-                     wall_order=args.wall_order)
+                     wall_order=args.wall_order, wall_link=args.wall_link)
     flow = initial_flow(case, dt0=2e-4)
 
     t0 = time.perf_counter()
@@ -155,7 +160,7 @@ def main():
     # fingerprint: a checkpoint must not silently resume under a
     # different bench/grid/scheme/backend (load raises on mismatch)
     run_meta = dict(bench=args.bench, delta=args.delta, ddt=args.ddt,
-                    wall_order=args.wall_order,
+                    wall_order=args.wall_order, wall_link=args.wall_link,
                     ddt_corr=bool(args.ddt_corr), backend=args.backend,
                     max_co=args.max_co, max_dt=args.max_dt,
                     bundle=bundle_name, mg_cycles=args.mg_cycles
@@ -222,7 +227,8 @@ def main():
     result = dict(bench=args.bench, delta=args.delta,
                   d_over_delta=0.1 / args.delta,
                   boundary="cutcell", ddt=args.ddt, ddt_corr=args.ddt_corr,
-                  wall_order=args.wall_order, max_dt=args.max_dt,
+                  wall_order=args.wall_order, wall_link=args.wall_link,
+                  max_dt=args.max_dt,
                   backend=args.backend, t_end=args.t_end, steps=steps, **s,
                   reference=ref,
                   ms_per_step=(time.perf_counter() - t0)

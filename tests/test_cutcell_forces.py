@@ -107,6 +107,55 @@ def test_wall_shear2_source_orientation():
     np.testing.assert_allclose(ws_v[sel], 0.0, atol=1e-5 * abs(a))
 
 
+def test_tangential_link_invariant_on_horizontal_wall():
+    """On the embedded slab the wall normal is y: the tangential link
+    leaves the u-equation untouched and v is ~0, so the steady drag must
+    match the full link to the v-residual level — measured 0.21% (the
+    inlet/outlet developing-flow wall cells carry small undamped v); a
+    formula error in the projector would show up at O(1)."""
+    case = _slab_case()
+    cfg = PisoConfig(max_co=0.4, max_dt=5e-3, wall_link="tangential")
+    flow = run_piso_eager(case, initial_flow(case, dt0=1e-3), 800,
+                          cfg=cfg, backend=MGCGBackend(rtol=1e-6))
+    rep = obstacle_force(case, flow.u, flow.v, flow.p,
+                         wall_link="tangential")
+    d_full = _steady_drag(case, 1)
+    assert abs(float(rep.total[0]) / d_full - 1.0) < 5e-3, (
+        float(rep.total[0]), d_full)
+
+
+def test_force_report_matches_momentum_budget_tangential_link():
+    """wall_link='tangential' force == full-link discrete terms minus
+    EXACTLY the normal release the momentum equation received."""
+    from tpufoam.fv.momentum import wall_normal_release, wall_unit_normal
+
+    case = _slab_case()
+    flow = run_piso_eager(case, initial_flow(case, dt0=1e-3), 50,
+                          cfg=PisoConfig(max_co=0.4,
+                                         wall_link="tangential"),
+                          backend=MGCGBackend(rtol=1e-6))
+    r_full = obstacle_force(case, flow.u, flow.v, flow.p, wall_link="full")
+    r_tan = obstacle_force(case, flow.u, flow.v, flow.p,
+                           wall_link="tangential")
+    a_wall = case.nu * case.wall_len / case.wall_dist
+    rel_u, rel_v = wall_normal_release(case, a_wall, flow.u, flow.v)
+    np.testing.assert_allclose(
+        np.asarray(r_tan.f_viscous),
+        np.asarray(r_full.f_viscous)
+        - np.array([float(jnp.sum(rel_u)), float(jnp.sum(rel_v))]),
+        rtol=1e-6, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(r_tan.f_pressure),
+                               np.asarray(r_full.f_pressure))
+    # projector sanity: normals are unit on wall cells, zero elsewhere
+    nxh, nyh = wall_unit_normal(case)
+    amag = np.hypot(np.asarray(nxh), np.asarray(nyh))
+    wl = np.asarray(case.wall_len)
+    assert np.allclose(amag[wl > 1e-9], 1.0, atol=1e-5)
+    assert np.allclose(amag[np.asarray(case.wall_ax) == 0.0]
+                       [np.asarray(case.wall_ay)[
+                           np.asarray(case.wall_ax) == 0.0] == 0.0], 0.0)
+
+
 def test_force_report_matches_momentum_budget_wall_order2():
     """The reported wall_order=2 force equals the order-1 discrete terms
     minus EXACTLY the deferred-correction source the momentum equation

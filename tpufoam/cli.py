@@ -168,6 +168,11 @@ def piso_main(argv=None):
                          "quadratic-profile deferred correction "
                          "tau_w = nu U_t/d - (d/2) dp/ds and the matching "
                          "force term (laminar cut/blank walls)")
+    ap.add_argument("--wall-link", default="full",
+                    choices=["full", "tangential"],
+                    help="'tangential' restricts the embedded no-slip "
+                         "link to the tangential velocity (the physical "
+                         "viscous wall traction; laminar cut/blank walls)")
     ap.add_argument("--forces-out", default=None,
                     help="CSV path for the Cd/Cl time series (the "
                          "controlDict:61-107 forceCoeffs function object "
@@ -202,7 +207,7 @@ def piso_main(argv=None):
                      convection=args.convection,
                      convection_blend=args.convection_blend,
                      ddt=args.ddt, ddt_corr=args.ddt_corr,
-                     wall_order=args.wall_order,
+                     wall_order=args.wall_order, wall_link=args.wall_link,
                      momentum_smoother=args.momentum_smoother,
                      turb_wall_fn=args.turb_wall_fn)
     backend, sm_predict = _backend(args.backend, args.bundle, args.stitch,
@@ -251,7 +256,7 @@ def piso_main(argv=None):
                 nu_t=None if turb is None else turb.nu_t,
                 k_turb=turb.k if (turb is not None
                                   and cfg.turb_wall_fn) else None,
-                wall_order=cfg.wall_order)
+                wall_order=cfg.wall_order, wall_link=cfg.wall_link)
             cd, cl = float(rep.cd), float(rep.cl)
             force_rows.append((float(flow.t), cd, cl))
             force_txt = f" Cd={cd:.4f} Cl={cl:.4f}"

@@ -220,7 +220,8 @@ def run_force_series(case, flow, t_end: float, u_ref: float,
         steps += n
         rep = obstacle_force(case, flow.u, flow.v, flow.p,
                              u_ref=u_ref, d_ref=d_ref,
-                             wall_order=getattr(cfg, "wall_order", 1))
+                             wall_order=getattr(cfg, "wall_order", 1),
+                             wall_link=getattr(cfg, "wall_link", "full"))
         ts.append(float(flow.t))
         cds.append(float(rep.cd))
         cls_.append(float(rep.cl))

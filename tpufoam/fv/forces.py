@@ -59,11 +59,12 @@ def _second_order_wall(f: jnp.ndarray, nb_in, fluid: jnp.ndarray,
     return jnp.where(ok2 > 0, (9.0 * f - f2) / 3.0, 2.0 * f)
 
 
-@partial(jax.jit, static_argnames=("wall_order",))
+@partial(jax.jit, static_argnames=("wall_order", "wall_link"))
 def _obstacle_force_cut(case: Case, u: jnp.ndarray, v: jnp.ndarray,
                         p: jnp.ndarray, u_ref: float = 1.0,
                         d_ref: float = 1.0, nu_t=None,
-                        k_turb=None, wall_order: int = 1) -> ForceReport:
+                        k_turb=None, wall_order: int = 1,
+                        wall_link: str = "full") -> ForceReport:
     """Cut-cell force: the DISCRETE momentum-consistent wall terms.
 
         F_p  = sum_cells p_P A_w          (the Gauss pressure gradient's
@@ -94,6 +95,15 @@ def _obstacle_force_cut(case: Case, u: jnp.ndarray, v: jnp.ndarray,
         a_wall = case.nu * wall_len / case.wall_dist
     fvx = jnp.sum(a_wall * u)
     fvy = jnp.sum(a_wall * v)
+    if wall_link == "tangential" and k_turb is None:
+        # the momentum equation released the normal component of the link
+        # (fv.momentum.wall_normal_release) — the body force loses the
+        # same term, keeping the report the exact momentum transfer
+        from .momentum import wall_unit_normal
+        nxh, nyh = wall_unit_normal(case)
+        un = (u * nxh + v * nyh) * case.fluid
+        fvx = fvx - jnp.sum(a_wall * un * nxh)
+        fvy = fvy - jnp.sum(a_wall * un * nyh)
     if wall_order == 2 and k_turb is None:
         # momentum-consistent counterpart of the second-order wall-shear
         # deferred correction (fv.momentum.wall_shear2_source): the fluid
@@ -116,7 +126,8 @@ def _obstacle_force_cut(case: Case, u: jnp.ndarray, v: jnp.ndarray,
 def obstacle_force(case: Case, u: jnp.ndarray, v: jnp.ndarray,
                    p: jnp.ndarray, u_ref: float = 1.0,
                    d_ref: float = 1.0, nu_t=None,
-                   k_turb=None, wall_order: int = 1) -> ForceReport:
+                   k_turb=None, wall_order: int = 1,
+                   wall_link: str = "full") -> ForceReport:
     """Integrate pressure + viscous force over the obstacle surface.
 
     Cut-cell cases (case.cut) use the discrete momentum-consistent
@@ -142,11 +153,13 @@ def obstacle_force(case: Case, u: jnp.ndarray, v: jnp.ndarray,
     wall-shear deferred correction (L_w d_w/2)(t.grad p) t that
     fv.momentum added to the fluid — pass the SAME value the stepping
     config used (PisoConfig.wall_order) so the report stays the exact
-    momentum transfer."""
+    momentum transfer. wall_link='tangential' likewise: subtract the
+    released normal component a_wall (U.n)n (PisoConfig.wall_link)."""
     if case.cut:
         return _obstacle_force_cut(case, u, v, p, u_ref=u_ref, d_ref=d_ref,
                                    nu_t=nu_t, k_turb=k_turb,
-                                   wall_order=wall_order)
+                                   wall_order=wall_order,
+                                   wall_link=wall_link)
     return _obstacle_force_stair(case, u, v, p, u_ref=u_ref, d_ref=d_ref)
 
 

@@ -197,6 +197,41 @@ def wall_conductance(nu: float, k_wall: jnp.ndarray, d: jnp.ndarray,
     return (g_vis**4 + g_log**4) ** 0.25
 
 
+def wall_unit_normal(case: Case):
+    """Unit embedded-wall normal (n_x, n_y) per cell from the wall-area
+    vector (case.wall_ax/ay); zero where the cell has no wall piece.
+    Sign follows A_w (into the body); all users are sign-invariant
+    (projectors n n^T / t t^T)."""
+    ax, ay = case.wall_ax, case.wall_ay
+    amag = jnp.hypot(ax, ay)
+    ok = amag > 1e-12
+    inv = jnp.where(ok, 1.0 / jnp.where(ok, amag, 1.0), 0.0)
+    return ax * inv, ay * inv
+
+
+def wall_normal_release(case: Case, a_wall: jnp.ndarray,
+                        u: jnp.ndarray, v: jnp.ndarray):
+    """Deferred correction that restricts the embedded-wall no-slip link
+    to the TANGENTIAL velocity (PisoConfig.wall_link='tangential').
+
+    The implicit link a_wall = nu L_w/d_w sits isotropically on the
+    diagonal (robust); this returns + a_wall (U.n_hat) n_hat added to
+    (b_u, b_v), so at convergence the wall exerts only
+    -a_wall (U.t_hat) t_hat on the fluid. Physical basis: at a
+    stationary no-slip wall the viscous traction is purely tangential —
+    continuity gives du_n/dn = -du_t/ds = 0 on the wall, so the
+    2 nu du_n/dn normal component vanishes; the discrete isotropic
+    link's penalty on the O(d_w) centroid normal velocity is a spurious
+    normal force (measured at +0.0104 of 2D-1 cl — the full published
+    lift scale; scripts/exp_2d1_lift_budget.py). No-penetration is
+    enforced by the blocked wall-face apertures, not by this link, so
+    releasing the normal component changes no constraint."""
+    nx, ny = wall_unit_normal(case)
+    un = u * nx + v * ny
+    c = a_wall * un
+    return c * nx * case.fluid, c * ny * case.fluid
+
+
 def wall_shear2_source(case: Case, gpx: jnp.ndarray, gpy: jnp.ndarray):
     """Second-order wall-shear deferred correction (per-cell source pair).
 
@@ -216,11 +251,8 @@ def wall_shear2_source(case: Case, gpx: jnp.ndarray, gpy: jnp.ndarray):
     Exact for quadratic profiles: embedded plane Poiseuille flow, where
     the first-order link errs by exactly (d_w/2)|dp/dx| per unit length
     (tests/test_cutcell_forces.py)."""
-    ax, ay = case.wall_ax, case.wall_ay
-    amag = jnp.hypot(ax, ay)
-    ok = amag > 1e-12
-    inv = jnp.where(ok, 1.0 / jnp.where(ok, amag, 1.0), 0.0)
-    tx, ty = -ay * inv, ax * inv           # unit tangent (sign-invariant)
+    nx, ny = wall_unit_normal(case)
+    tx, ty = -ny, nx                       # unit tangent (sign-invariant)
     dpds = tx * gpx + ty * gpy
     c = 0.5 * case.wall_len * case.wall_dist * dpds
     return c * tx * case.fluid, c * ty * case.fluid
@@ -237,7 +269,8 @@ def momentum_coeffs(case: Case, phi_x: jnp.ndarray, phi_y: jnp.ndarray,
                     u_nm1: jnp.ndarray | None = None,
                     v_nm1: jnp.ndarray | None = None,
                     dt_prev: jnp.ndarray | None = None,
-                    wall_grad_p=None) -> MomentumCoeffs:
+                    wall_grad_p=None,
+                    wall_link: str = "full") -> MomentumCoeffs:
     """convection: 'limitedLinear' applies the reference's limitedLinearV-1
     limiter (fvSchemes:20) as a deferred correction; 'blend' applies an
     unlimited central deferred correction scaled by `convection_blend`
@@ -262,6 +295,12 @@ def momentum_coeffs(case: Case, phi_x: jnp.ndarray, phi_y: jnp.ndarray,
     when given (and the wall treatment is the viscous link, k_turb None)
     the second-order wall-shear deferred correction `wall_shear2_source`
     is added to (b_u, b_v). PisoConfig.wall_order=2 plumbs it.
+
+    wall_link: 'full' keeps the isotropic embedded-wall link (the
+    validated round-3 scheme); 'tangential' adds `wall_normal_release`
+    so the link acts on the tangential velocity only (laminar cut/blank
+    walls; wall-function runs ignore it — the log-law conductance is a
+    model of the full traction).
 
     ddt: 'euler' (the reference's ddtSchemes default, fvSchemes:19) or
     'backward' — variable-step BDF2 using u_nm1/v_nm1 (= u^{n-1}, the
@@ -365,6 +404,13 @@ def momentum_coeffs(case: Case, phi_x: jnp.ndarray, phi_y: jnp.ndarray,
         ws_u, ws_v = wall_shear2_source(case, wall_grad_p[0], wall_grad_p[1])
         b_u = b_u + ws_u
         b_v = b_v + ws_v
+    if wall_link == "tangential" and k_turb is None:
+        # release the spurious normal component of the no-slip link (see
+        # wall_normal_release); deferred on u_old like the other
+        # corrections, exact at steady state / O(dt) lag in transients
+        r_u, r_v = wall_normal_release(case, a_wall, u_old, v_old)
+        b_u = b_u + r_u
+        b_v = b_v + r_v
 
     return MomentumCoeffs(a_e=a_e, a_w=a_w, a_n=a_n, a_s=a_s, a_p=a_p,
                           b_u=b_u, b_v=b_v)

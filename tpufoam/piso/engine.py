@@ -123,6 +123,15 @@ class PisoConfig:
                                       # blank walls only; wall-function
                                       # runs ignore it. Default 1 = the
                                       # validated round-3 linear link.
+    wall_link: str = "full"           # 'tangential': restrict the embedded
+                                      # no-slip link to the tangential
+                                      # velocity via the deferred release
+                                      # fv.momentum.wall_normal_release
+                                      # (physical: viscous wall traction
+                                      # has no normal component at a
+                                      # no-slip wall), with the matching
+                                      # term in the reported body force.
+                                      # Laminar cut/blank walls only.
     shard_mesh: object = None         # jax.sharding.Mesh (hashable) when
                                       # the step runs GSPMD-sharded: the
                                       # pallas momentum kernel then runs
@@ -212,7 +221,8 @@ def _piso_step_impl(case: Case, flow: Flow, cfg: PisoConfig = PisoConfig(),
                            u_nm1=flow.u_prev, v_nm1=flow.v_prev,
                            dt_prev=flow.dt,
                            wall_grad_p=(gpx, gpy) if cfg.wall_order == 2
-                           else None)
+                           else None,
+                           wall_link=cfg.wall_link)
     u, v = jacobi_momentum(coef, case, u, v, -gpx * volc, -gpy * volc,
                            sweeps=cfg.momentum_sweeps,
                            smoother=cfg.momentum_smoother,
