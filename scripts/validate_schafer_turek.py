@@ -84,6 +84,9 @@ def main():
     ap.add_argument("--ddt-corr", action="store_true",
                     help="fvc::ddtCorr in the pressure equation "
                          "(pEqn.H:7 parity)")
+    ap.add_argument("--alpha-cut", type=float, default=0.05,
+                    help="cut-cell sliver-blanking threshold "
+                         "(fv.cutcell alpha_cut; sensitivity probes)")
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     ap.add_argument("--out", default=None)
     ap.add_argument("--series-out", default=None)
@@ -108,7 +111,8 @@ def main():
 
     if args.t_end is None:
         args.t_end = 8.0 if args.bench == "2D-3" else 12.0
-    case, u_mean = schafer_turek_case(args.bench, delta=args.delta)
+    case, u_mean = schafer_turek_case(args.bench, delta=args.delta,
+                                      alpha_cut=args.alpha_cut)
     print(f"grid {case.grid.ny} x {case.grid.nx} "
           f"({case.grid.ny * case.grid.nx / 1e3:.0f}k cells, "
           f"D/delta = {0.1 / args.delta:.1f})", flush=True)
@@ -164,7 +168,8 @@ def main():
                     ddt_corr=bool(args.ddt_corr), backend=args.backend,
                     max_co=args.max_co, max_dt=args.max_dt,
                     bundle=bundle_name, mg_cycles=args.mg_cycles
-                    if args.backend == "hybrid" else None)
+                    if args.backend == "hybrid" else None,
+                    alpha_cut=args.alpha_cut)
 
     prefix = None
     resumed = False
@@ -228,7 +233,7 @@ def main():
                   d_over_delta=0.1 / args.delta,
                   boundary="cutcell", ddt=args.ddt, ddt_corr=args.ddt_corr,
                   wall_order=args.wall_order, wall_link=args.wall_link,
-                  max_dt=args.max_dt,
+                  max_dt=args.max_dt, alpha_cut=args.alpha_cut,
                   backend=args.backend, t_end=args.t_end, steps=steps, **s,
                   reference=ref,
                   ms_per_step=(time.perf_counter() - t0)

@@ -77,8 +77,11 @@ def ramp_2d3(t):
     return jnp.sin(jnp.pi * jnp.clip(t, 0.0, 8.0) / 8.0)
 
 
-def schafer_turek_case(bench: str, delta: float):
-    """Build the benchmark Case. Returns (case, u_mean)."""
+def schafer_turek_case(bench: str, delta: float, alpha_cut: float = 0.05):
+    """Build the benchmark Case. Returns (case, u_mean).
+
+    alpha_cut: cut-cell sliver-blanking threshold (fv.cutcell), exposed
+    for sensitivity probes of the sub-cell boundary treatment."""
     from ..core.geometry import channel_case_geometry
     from ..fv.case import build_channel_case
 
@@ -87,7 +90,7 @@ def schafer_turek_case(bench: str, delta: float):
         "cylinder", length=CHANNEL["length"], height=CHANNEL["height"],
         obstacle_size=D_CYL, cx=CHANNEL["cx"], cy=CHANNEL["cy"],
         u_mean=u_mean, nu=CHANNEL["nu"])
-    return build_channel_case(geom, delta=delta), u_mean
+    return build_channel_case(geom, delta=delta, alpha_cut=alpha_cut), u_mean
 
 
 @dataclasses.dataclass
