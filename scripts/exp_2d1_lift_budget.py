@@ -29,7 +29,7 @@ def main():
 
     from tpufoam.eval.benchmark import load_run_state, schafer_turek_case
     from tpufoam.fv.forces import obstacle_force
-    from tpufoam.fv.momentum import wall_shear2_source
+    from tpufoam.fv.momentum import wall_shear2_source, wall_unit_normal
     from tpufoam.fv.pressure import pressure_gradient
 
     case, u_mean = schafer_turek_case("2D-1", delta=delta)
@@ -53,12 +53,9 @@ def main():
 
     gpx, gpy = pressure_gradient(case, flow.p)
     ax, ay = case.wall_ax, case.wall_ay
-    amag = jnp.hypot(ax, ay)
-    ok = amag > 1e-12
-    inv = jnp.where(ok, 1.0 / jnp.where(ok, amag, 1.0), 0.0)
     # n_hat into the SOLID is +A/|A|; centroid sits d_w into the fluid,
     # so p_wall = p_P + d_w * (n_solid . grad p)|_P to first order
-    nx_, ny_ = ax * inv, ay * inv
+    nx_, ny_ = wall_unit_normal(case)
     dpdn = nx_ * gpx + ny_ * gpy
     dfx = float(jnp.sum(case.wall_dist * dpdn * ax))
     dfy = float(jnp.sum(case.wall_dist * dpdn * ay))

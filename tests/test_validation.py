@@ -36,6 +36,18 @@ def band_error(value: float, band: tuple) -> float:
     return (value - hi) / mid if value > hi else (value - lo) / mid
 
 
+def _default_closure(r: dict) -> bool:
+    """True when an artifact was run with the default wall closure and
+    sliver threshold (older artifacts predate the fields and were all
+    default-closure runs). Sensitivity probes (wall_order=2,
+    wall_link='tangential', alpha_cut sweeps) are same-resolution
+    variants that must not enter refinement ladders or act as
+    hybrid-agreement mates."""
+    return (r.get("wall_order", 1) == 1
+            and r.get("wall_link", "full") == "full"
+            and abs(r.get("alpha_cut", 0.05) - 0.05) < 1e-12)
+
+
 def test_2d1_steady_drag_re20():
     """Steady confined-cylinder drag at Re=20: published cd in
     [5.57, 5.59]. The cut-cell aperture boundary (fv/cutcell.py) with the
@@ -86,8 +98,12 @@ def test_2d1_fine_artifact_drag():
     for p in paths:
         with open(p) as f:
             r = json.load(f)
-        # pure-solver ladder only; hybrid runs assert agreement below
-        if r["d_over_delta"] > 40 and r.get("backend") != "hybrid":
+        # pure-solver DEFAULT-CLOSURE ladder only; hybrid runs assert
+        # agreement below, and closure-variant probes (wall_order=2,
+        # wall_link=tangential, alpha_cut sweeps) are same-resolution
+        # sensitivity runs, not ladder entries
+        if (r["d_over_delta"] > 40 and r.get("backend") != "hybrid"
+                and _default_closure(r)):
             runs.append(r)
     if not runs:
         pytest.skip("no committed fine 2D-1 artifacts")
@@ -122,6 +138,7 @@ def test_2d1_hybrid_matches_pure():
     for h in hybrids:
         mates = [r for r in runs
                  if r.get("backend") != "hybrid"
+                 and _default_closure(r)
                  and abs(r["d_over_delta"] - h["d_over_delta"]) < 1e-6]
         assert mates, h
         for m in mates:

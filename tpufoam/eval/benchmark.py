@@ -139,8 +139,12 @@ def load_run_state(path: str, expect_meta: dict | None = None):
         stored = {}
         if "run_meta" in d.files:
             stored = _json.loads(bytes(d["run_meta"]).decode())
-        bad = {k: (stored.get(k), v) for k, v in expect_meta.items()
-               if stored.get(k) != v}
+        # keys ABSENT from the stored fingerprint are treated as matching:
+        # they predate the flag they describe, and every pre-flag run used
+        # that flag's default — rejecting them would strand long
+        # checkpointed runs on every new fingerprint field
+        bad = {k: (stored[k], v) for k, v in expect_meta.items()
+               if k in stored and stored[k] != v}
         if bad:
             raise ValueError(
                 f"run state {path} was written under a different "

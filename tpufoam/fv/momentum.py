@@ -397,14 +397,18 @@ def momentum_coeffs(case: Case, phi_x: jnp.ndarray, phi_y: jnp.ndarray,
         s_u, s_v = _transpose_diffusion_source(case, nu_t, u_old, v_old)
         b_u = b_u + s_u * vol * case.fluid
         b_v = b_v + s_v * vol * case.fluid
-    if wall_grad_p is not None and k_turb is None:
+    if wall_grad_p is not None and k_turb is None and case.cut:
         # second-order wall shear (quadratic profile; see wall_shear2_source).
         # Skipped under wall functions: the log-law conductance already
         # models the full profile, a quadratic correction doesn't apply.
+        # Cut-cell cases only: the stair force report
+        # (forces._obstacle_force_stair) carries no closure corrections,
+        # so applying them on blank grids would silently break the
+        # force == discrete-momentum-transfer identity.
         ws_u, ws_v = wall_shear2_source(case, wall_grad_p[0], wall_grad_p[1])
         b_u = b_u + ws_u
         b_v = b_v + ws_v
-    if wall_link == "tangential" and k_turb is None:
+    if wall_link == "tangential" and k_turb is None and case.cut:
         # release the spurious normal component of the no-slip link (see
         # wall_normal_release); deferred on u_old like the other
         # corrections, exact at steady state / O(dt) lag in transients
