@@ -132,6 +132,41 @@ class PisoConfig:
                                       # no-slip wall), with the matching
                                       # term in the reported body force.
                                       # Laminar cut/blank walls only.
+    sm_safeguard: float = 0.5         # residual safeguard for SM-warm-
+                                      # started capped pressure solves
+                                      # (hybrid production path). After
+                                      # the FIRST corrector solve, if the
+                                      # relative residual exceeds this
+                                      # gate (or is NaN), the solve is
+                                      # re-run from the previous-step
+                                      # pressure with up to
+                                      # sm_safeguard_extra escalation
+                                      # rounds (lax.cond — zero cost on
+                                      # healthy steps beyond one operator
+                                      # apply + two norms). Fixes the
+                                      # measured 2D-3 d94 hybrid blow-up
+                                      # where an out-of-distribution SM
+                                      # init exceeded what a blind capped
+                                      # polish recovers
+                                      # (unstable_2d3_hybrid_d94_*.json);
+                                      # the reference's Algorithm 2
+                                      # accepts the capped solve blindly
+                                      # (DLPoissonFoam.C:104-119). 0
+                                      # disables. Only active when
+                                      # sm_predict is given; set 0 to
+                                      # reverse-differentiate a hybrid
+                                      # step (while_loop has no VJP).
+                                      # vmapped LOCKSTEP hybrid rollouts
+                                      # (piso.batched, sharded fleet)
+                                      # should consider 0: under vmap,
+                                      # cond batches to select and the
+                                      # rescue branch's first solve runs
+                                      # every step even when no lane
+                                      # triggered (results unchanged,
+                                      # cost +~1 capped solve/step).
+                                      # The production fleet lanes are
+                                      # sequential-eager and unaffected.
+    sm_safeguard_extra: int = 3       # max rescue solves per step
     shard_mesh: object = None         # jax.sharding.Mesh (hashable) when
                                       # the step runs GSPMD-sharded: the
                                       # pallas momentum kernel then runs
@@ -167,6 +202,49 @@ def _next_dt(case: Case, flow: Flow, cfg: PisoConfig) -> jnp.ndarray:
     dt_co = cfg.max_co / jnp.maximum(co, 1e-12)
     new_dt = jnp.minimum(jnp.minimum(dt_co, 1.2 * flow.dt), cfg.max_dt)
     return new_dt.astype(flow.dt.dtype)
+
+
+def _gate_sm_prediction(p_sm: jnp.ndarray, p_prev: jnp.ndarray,
+                        fluid: jnp.ndarray) -> jnp.ndarray:
+    """Reject a non-finite surrogate prediction wholesale (fall back to
+    the incoming pressure). A NaN/Inf warm start ahead of the momentum
+    predictor poisons the velocity field before the residual safeguard
+    can act; this gate costs one fused reduction."""
+    ok = jnp.isfinite(p_sm).all()
+    return jnp.where(ok, p_sm, p_prev) * fluid
+
+
+def _rescue_if_unconverged(case: Case, pcoef, rhs, p_cand, p_fallback,
+                           backend, aux, cfg: PisoConfig):
+    """Residual safeguard for SM-warm-started capped solves (see
+    PisoConfig.sm_safeguard). If the first corrector's solution leaves a
+    relative residual above the gate, RESTART from the previous-step
+    pressure (a trusted init — matched pure runs are stable) and apply
+    the capped backend up to sm_safeguard_extra times until the gate
+    clears. Healthy steps pay one pressure_matvec + two norms; the
+    rescue branch only executes when triggered (lax.cond)."""
+    from ..fv.pressure import pressure_matvec
+
+    def rnorm(p):
+        return jnp.linalg.norm((rhs - pressure_matvec(pcoef, p))
+                               * case.fluid)
+
+    gate = cfg.sm_safeguard * (jnp.linalg.norm(rhs * case.fluid) + 1e-30)
+    bad = ~(rnorm(p_cand) <= gate)      # NaN-safe: NaN compares unconverged
+
+    def rescue(_):
+        def cond(c):
+            i, pc = c
+            return (i < cfg.sm_safeguard_extra) & ~(rnorm(pc) <= gate)
+
+        def body(c):
+            i, pc = c
+            return i + 1, backend(case, pcoef, rhs, pc, aux)
+
+        _, pc = jax.lax.while_loop(cond, body, (0, p_fallback * case.fluid))
+        return pc
+
+    return jax.lax.cond(bad, rescue, lambda _: p_cand, None)
 
 
 def _piso_step_impl(case: Case, flow: Flow, cfg: PisoConfig = PisoConfig(),
@@ -209,7 +287,9 @@ def _piso_step_impl(case: Case, flow: Flow, cfg: PisoConfig = PisoConfig(),
 
     # --- optional surrogate pressure prediction (Algorithm 2: before UEqn) ---
     if sm_predict is not None and cfg.sm_before_predictor:
-        p = sm_predict(case, p, _aux()) * case.fluid
+        p_sm = sm_predict(case, p, _aux())
+        p = (_gate_sm_prediction(p_sm, p, case.fluid)
+             if cfg.sm_safeguard > 0.0 else p_sm * case.fluid)
 
     # --- momentum predictor: solve(UEqn == -grad p) (UEqn.H:21-23) ---
     gpx, gpy = pressure_gradient(case, p)
@@ -229,10 +309,12 @@ def _piso_step_impl(case: Case, flow: Flow, cfg: PisoConfig = PisoConfig(),
                            mesh=cfg.shard_mesh)
 
     if sm_predict is not None and not cfg.sm_before_predictor:
-        p = sm_predict(case, p, _aux()) * case.fluid
+        p_sm = sm_predict(case, p, _aux())
+        p = (_gate_sm_prediction(p_sm, p, case.fluid)
+             if cfg.sm_safeguard > 0.0 else p_sm * case.fluid)
 
     # --- PISO corrector loop (pEqn.H, nCorrectors times) ---
-    for _ in range(cfg.n_correctors):
+    for i_corr in range(cfg.n_correctors):
         rau = volc * case.fluid / coef.a_p   # rAU = 1/A() = V/a_P  [s]
         hu, hv = h_operator(coef, u, v)
         hbya_u = hu * case.fluid / coef.a_p  # HbyA = H()/A() = h/a_P
@@ -271,6 +353,12 @@ def _piso_step_impl(case: Case, flow: Flow, cfg: PisoConfig = PisoConfig(),
         pcoef = pressure_coeffs(case, rau)
         rhs = pressure_rhs(case, phi_hx, phi_hy)
         p = backend(case, pcoef, rhs, p, _aux())
+        if (sm_predict is not None and cfg.sm_safeguard > 0.0
+                and i_corr == 0):
+            # the SM init only enters the FIRST corrector; later
+            # correctors start from its (possibly rescued) result
+            p = _rescue_if_unconverged(case, pcoef, rhs, p, flow.p,
+                                       backend, _aux(), cfg)
 
         phi_x, phi_y = correct_fluxes(case, pcoef, p, phi_hx, phi_hy)
         gpx, gpy = pressure_gradient(case, p)
