@@ -87,6 +87,16 @@ def main():
     ap.add_argument("--alpha-cut", type=float, default=0.05,
                     help="cut-cell sliver-blanking threshold "
                          "(fv.cutcell alpha_cut; sensitivity probes)")
+    ap.add_argument("--sm-safeguard", type=float, default=0.5,
+                    help="residual safeguard gate for SM-warm-started "
+                         "capped solves (PisoConfig.sm_safeguard; hybrid "
+                         "backend only; 0 disables). Recorded in the "
+                         "artifact AND the checkpoint fingerprint so a "
+                         "safeguarded and an unsafeguarded run are "
+                         "distinguishable on disk")
+    ap.add_argument("--sm-safeguard-extra", type=int, default=3,
+                    help="max rescue solves per step "
+                         "(PisoConfig.sm_safeguard_extra)")
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     ap.add_argument("--out", default=None)
     ap.add_argument("--series-out", default=None)
@@ -141,7 +151,18 @@ def main():
     cfg = PisoConfig(max_co=args.max_co, max_dt=args.max_dt, ddt=args.ddt,
                      ddt_corr=args.ddt_corr,
                      momentum_smoother=args.momentum_smoother,
-                     wall_order=args.wall_order, wall_link=args.wall_link)
+                     wall_order=args.wall_order, wall_link=args.wall_link,
+                     sm_safeguard=args.sm_safeguard,
+                     sm_safeguard_extra=args.sm_safeguard_extra)
+    if args.momentum_smoother == "pallas":
+        from tpufoam.ops.stencil import pallas_available_for
+        if not pallas_available_for(case.grid.shape, kernel="momentum"):
+            import warnings
+            warnings.warn(
+                f"--momentum-smoother pallas REQUESTED but the kernel is "
+                f"unavailable for grid {case.grid.shape} on this runtime "
+                f"— the run will use the XLA smoother. The artifact "
+                f"records momentum_smoother_active=false.", stacklevel=1)
     flow = initial_flow(case, dt0=2e-4)
 
     t0 = time.perf_counter()
@@ -162,20 +183,35 @@ def main():
                             dt0=2e-4)
 
     # fingerprint: a checkpoint must not silently resume under a
-    # different bench/grid/scheme/backend (load raises on mismatch)
-    run_meta = dict(bench=args.bench, delta=args.delta, ddt=args.ddt,
-                    wall_order=args.wall_order, wall_link=args.wall_link,
-                    ddt_corr=bool(args.ddt_corr), backend=args.backend,
-                    max_co=args.max_co, max_dt=args.max_dt,
-                    bundle=bundle_name, mg_cycles=args.mg_cycles
-                    if args.backend == "hybrid" else None,
-                    alpha_cut=args.alpha_cut)
+    # different bench/grid/scheme/backend (load raises on mismatch).
+    # Defaults travel alongside so a PRE-flag checkpoint resumed under a
+    # non-default new flag is rejected too (ADVICE r3).
+    def _meta_from(ns, bname):
+        return dict(bench=ns.bench, delta=ns.delta, ddt=ns.ddt,
+                    wall_order=ns.wall_order, wall_link=ns.wall_link,
+                    ddt_corr=bool(ns.ddt_corr), backend=ns.backend,
+                    max_co=ns.max_co, max_dt=ns.max_dt,
+                    bundle=bname, mg_cycles=ns.mg_cycles
+                    if ns.backend == "hybrid" else None,
+                    alpha_cut=ns.alpha_cut,
+                    sm_safeguard=ns.sm_safeguard
+                    if ns.backend == "hybrid" else None,
+                    sm_safeguard_extra=ns.sm_safeguard_extra
+                    if ns.backend == "hybrid" else None)
+
+    run_meta = _meta_from(args, bundle_name)
+    # defaults evaluated under the SAME backend, so backend-conditional
+    # fields (mg_cycles, sm_safeguard*) get their real per-flag defaults
+    _dns = ap.parse_args([])
+    _dns.backend = args.backend
+    meta_defaults = _meta_from(_dns, None)
 
     prefix = None
     resumed = False
     if args.state and os.path.exists(args.state):
         from tpufoam.eval.benchmark import load_run_state
-        flow, prefix = load_run_state(args.state, expect_meta=run_meta)
+        flow, prefix = load_run_state(args.state, expect_meta=run_meta,
+                                      defaults=meta_defaults)
         resumed = True
         print(f"resumed from {args.state}: t={float(flow.t):.4f}, "
               f"{prefix.n_steps} steps, {len(prefix.t)} samples", flush=True)
@@ -243,6 +279,8 @@ def main():
     if bundle_name is not None:
         result["bundle"] = bundle_name
         result["mg_cycles"] = args.mg_cycles
+        result["sm_safeguard"] = args.sm_safeguard
+        result["sm_safeguard_extra"] = args.sm_safeguard_extra
     if args.momentum_smoother != "xla":
         # record what actually ran, not just the request: on grids whose
         # width is not lane-aligned the pallas kernel falls through to
@@ -252,6 +290,24 @@ def main():
             from tpufoam.ops.stencil import pallas_available_for
             result["momentum_smoother_active"] = bool(
                 pallas_available_for(case.grid.shape, kernel="momentum"))
+    # writer-side quarantine: a diverged run must NEVER land in a test
+    # glob (the round-3 post-snapshot d94 queue job did exactly that).
+    # Non-finite or absurd force peaks rename the artifact to the
+    # `unstable_` prefix the suite's filters exclude.
+    import math
+    vals = [result.get(k) for k in ("cd", "cl", "cd_max", "cl_max",
+                                    "dp_final") if k in result]
+    diverged = any(v is None or not math.isfinite(v) or abs(v) > 50.0
+                   for v in vals) or not vals
+    if diverged:
+        result["diverged"] = True
+        for attr in ("out", "series_out"):
+            p = getattr(args, attr)
+            if p and not os.path.basename(p).startswith("unstable_"):
+                setattr(args, attr, os.path.join(
+                    os.path.dirname(p), "unstable_" + os.path.basename(p)))
+        print(f"DIVERGED RUN — artifact quarantined to {args.out}",
+              flush=True)
     print(json.dumps(result, indent=2), flush=True)
     if args.out:
         os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)

@@ -127,6 +127,37 @@ def test_safeguard_rejects_nonfinite_prediction():
                                atol=1e-6)
 
 
+def test_safeguard_keeps_poisoned_rollout_stable():
+    """Rollout-level version of the d94 blow-up scenario: a FINITE but
+    catastrophically wrong warm start every step (the failure mode the
+    NaN gate cannot catch). Without the safeguard the capped 2-cycle
+    polish cannot recover and the rollout diverges within a few steps;
+    with it the rescue re-solves from the trusted previous pressure and
+    the multi-step rollout stays finite and near the pure solution."""
+    case = _case()
+    flow0 = _settled(case, n=60)
+    backend = MGBackend(cycles=2, precision="bf16")
+    f_sg, f_pure = flow0, flow0
+    for _ in range(8):
+        f_sg = piso_step(case, f_sg,
+                         cfg=PisoConfig(sm_safeguard=0.5,
+                                        sm_safeguard_extra=4),
+                         backend=backend, sm_predict=_poison_sm)
+        f_pure = piso_step(case, f_pure, cfg=PisoConfig(),
+                           backend=MGCGBackend(rtol=1e-8))
+    u_sg = np.asarray(f_sg.u)
+    assert np.isfinite(u_sg).all()
+    assert np.isfinite(np.asarray(f_sg.p)).all()
+    u_ref = np.asarray(f_pure.u)
+    rel = (np.linalg.norm(u_sg - u_ref)
+           / max(np.linalg.norm(u_ref), 1e-12))
+    # the 0.5-residual gate bounds the PER-STEP error, so poisoning every
+    # step accumulates a bounded drift (~13% measured over 8 steps) —
+    # the claim is stability, not bitwise agreement
+    assert rel < 0.3, rel
+    assert np.abs(u_sg).max() < 3.0 * np.abs(u_ref).max()
+
+
 def test_safeguard_disabled_reproduces_legacy_path():
     """sm_safeguard=0 must trace the exact legacy program (no gate, no
     rescue): jaxpr contains no while/cond from the safeguard."""

@@ -557,6 +557,23 @@ def test_force_series_checkpoint_resume_is_exact(tmp_path):
     with pytest.raises(ValueError, match="ddt"):
         load_run_state(path, expect_meta=dict(meta, ddt="backward"))
 
+    # pre-flag checkpoints (fingerprint ABSENT for a new field): with
+    # `defaults` passed, resuming under the flag's default is fine but a
+    # NON-default request is rejected — the stored run used the default,
+    # so splicing it with a non-default tail would mix configurations
+    # (ADVICE r3). Without defaults, the lenient legacy behavior holds.
+    dfl = dict(meta, alpha_cut=0.05)
+    load_run_state(path, expect_meta=dict(meta, alpha_cut=0.05),
+                   defaults=dfl)  # requested == default: fine
+    load_run_state(path, expect_meta=dict(meta, alpha_cut=0.15))  # lenient
+    with pytest.raises(ValueError, match="alpha_cut"):
+        load_run_state(path, expect_meta=dict(meta, alpha_cut=0.15),
+                       defaults=dfl)
+    # a state with NO fingerprint at all cannot satisfy expect_meta
+    save_run_state(path, flow_h, ser_h)
+    with pytest.raises(ValueError, match="fingerprint"):
+        load_run_state(path, expect_meta=meta)
+
 
 def test_2d2_hybrid_production_path_matches_published():
     """SM-in-the-loop external validation: the committed hybrid-backend

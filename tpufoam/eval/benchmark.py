@@ -125,26 +125,42 @@ def save_run_state(path: str, flow, series: "ForceSeries",
     save_flow(path, flow, turb=turb, extra=extra)
 
 
-def load_run_state(path: str, expect_meta: dict | None = None):
+def load_run_state(path: str, expect_meta: dict | None = None,
+                   defaults: dict | None = None):
     """Returns (flow, ForceSeries[, turb via load_turbulence(path)])
     saved by save_run_state. If `expect_meta` is given and the stored
     fingerprint differs, raises ValueError naming the mismatched keys —
     a state file for another bench/grid/scheme must not silently
-    resume."""
+    resume.
+
+    Keys ABSENT from the stored fingerprint predate the flag they
+    describe, so the stored run used that flag's DEFAULT. With
+    `defaults` given (maps key -> the flag's default value), an absent
+    key therefore matches only when the requested value equals the
+    default — resuming a pre-flag checkpoint under a NON-default new
+    flag is rejected instead of silently splicing two configurations
+    into one series (ADVICE r3). Without `defaults` the old lenient
+    treat-absent-as-matching behavior is kept. A state file with no
+    fingerprint at all is rejected when expect_meta is given."""
     import json as _json
 
     from ..fv.case import load_flow
     d = np.load(path)
     if expect_meta is not None:
-        stored = {}
-        if "run_meta" in d.files:
-            stored = _json.loads(bytes(d["run_meta"]).decode())
-        # keys ABSENT from the stored fingerprint are treated as matching:
-        # they predate the flag they describe, and every pre-flag run used
-        # that flag's default — rejecting them would strand long
-        # checkpointed runs on every new fingerprint field
-        bad = {k: (stored[k], v) for k, v in expect_meta.items()
-               if k in stored and stored[k] != v}
+        if "run_meta" not in d.files:
+            raise ValueError(
+                f"run state {path} carries no configuration fingerprint "
+                f"(pre-fingerprint format); delete the state file or load "
+                f"it with expect_meta=None if you are certain it matches")
+        stored = _json.loads(bytes(d["run_meta"]).decode())
+        bad = {}
+        for k, v in expect_meta.items():
+            if k in stored:
+                if stored[k] != v:
+                    bad[k] = (stored[k], v)
+            elif defaults is not None and k in defaults and defaults[k] != v:
+                bad[k] = (f"<absent: stored run used the default "
+                          f"{defaults[k]!r}>", v)
         if bad:
             raise ValueError(
                 f"run state {path} was written under a different "

@@ -241,7 +241,13 @@ def _rescue_if_unconverged(case: Case, pcoef, rhs, p_cand, p_fallback,
             i, pc = c
             return i + 1, backend(case, pcoef, rhs, pc, aux)
 
-        _, pc = jax.lax.while_loop(cond, body, (0, p_fallback * case.fluid))
+        # do-while: apply the backend ONCE to the fallback before the
+        # first gate check. A check-first loop could return the raw
+        # previous-step pressure untouched (it often clears a loose gate),
+        # and with n_correctors=1 that would skip the pressure solve for
+        # the whole step (ADVICE r3).
+        first = backend(case, pcoef, rhs, p_fallback * case.fluid, aux)
+        _, pc = jax.lax.while_loop(cond, body, (1, first))
         return pc
 
     return jax.lax.cond(bad, rescue, lambda _: p_cand, None)
