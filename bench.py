@@ -1,4 +1,4 @@
-"""tpufoam benchmark — one JSON line for the driver.
+"""tpufoam benchmark — one JSON line for the driver, deadline-proof.
 
 Headline: PISO timestep throughput on a ~1M-cell 2D channel-with-cylinder
 case (the reference's benchmark geometry class, scaled to 2048x512), with
@@ -11,23 +11,144 @@ Baseline: the reference publishes no numbers in-tree (BASELINE.md). We use
 OpenFOAM pisoFoam on a 1M-cell 2D case (GAMG-dominated; consistent with the
 repo's CPU-laptop instrumentation context, log.DL). vs_baseline is the
 speedup against that estimate; the north-star target is >= 50x.
+
+Deadline discipline (VERDICT r3 weak #1 — BENCH_r03 was rc 124): the
+process re-executes itself as a supervised CHILD. The child runs lanes in
+value order (hybrid headline -> MGCG -> fleet), skips lanes that no longer
+fit the wall-clock budget (TPUFOAM_BENCH_BUDGET_S, default 420), and
+checkpoints a best-so-far result JSON to a sidecar after every lane. The
+PARENT waits until the budget and, if the child is still running (a
+mid-lane tunnel stall, a busy chip), prints the sidecar's best-so-far
+result and ABANDONS the child — it is never killed, because SIGKILLing a
+tunneled TPU client mid-RPC can wedge the relay for 20 min-2 h
+(docs/STATUS.md §3). Either way exactly one JSON line reaches stdout and
+the driver's record can never be null again.
+
+Env knobs:
+    TPUFOAM_BENCH_BUDGET_S   wall-clock budget in seconds (default 420)
+    TPUFOAM_BENCH_FORCE_CPU  "1": skip the TPU probe, run the reduced CPU
+                             configuration (used by the committed budget
+                             test so the suite never touches the chip)
+    TPUFOAM_BENCH_SAVE       also write the final result JSON to this path
 """
 
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
-import jax
-import numpy as np
+_T_START = time.perf_counter()
+_CHILD_ENV = "TPUFOAM_BENCH_CHILD_SIDECAR"
+
+
+def _budget() -> float:
+    return float(os.environ.get("TPUFOAM_BENCH_BUDGET_S", "420"))
+
+
+# --------------------------------------------------------------------------
+# parent: supervise the child against the deadline
+# --------------------------------------------------------------------------
+
+def _fallback_result(reason: str) -> dict:
+    """No lane completed: emit an honestly-labeled record carrying the
+    last committed on-chip measurement for context (value 0 would read
+    as a perf regression; a silently-recycled number would be a lie —
+    the label names exactly what the value is)."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    result = {
+        "metric": "PISO step throughput (NO live lane completed)",
+        "value": 0.0,
+        "unit": "Mcells/s",
+        "vs_baseline": 0.0,
+        "extra": {"partial": reason},
+    }
+    for name in ("bench_r4_tpu.json", "bench_r3_tpu.json"):
+        p = os.path.join(root, "artifacts", name)
+        if os.path.exists(p):
+            with open(p) as f:
+                prior = json.load(f)
+            result["metric"] = (
+                "PISO step throughput (last committed on-chip record — "
+                "live run did not complete a lane in budget)")
+            result["value"] = prior.get("value", 0.0)
+            result["unit"] = prior.get("unit", "Mcells/s")
+            result["vs_baseline"] = prior.get("vs_baseline", 0.0)
+            result["extra"]["partial"] = (
+                f"{reason}; value replayed from committed artifacts/{name}"
+                f" — NOT a live measurement")
+            break
+    return result
+
+
+def _parent_main() -> int:
+    import subprocess
+    import tempfile
+
+    sidecar = tempfile.NamedTemporaryFile(
+        prefix="tpufoam_bench_", suffix=".json", delete=False).name
+    env = dict(os.environ, **{_CHILD_ENV: sidecar})
+    child = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__)], env=env,
+        stdout=subprocess.PIPE, text=True, start_new_session=True)
+    deadline = _T_START + _budget()
+    try:
+        out, _ = child.communicate(timeout=max(5.0, deadline
+                                               - time.perf_counter()))
+        lines = [ln for ln in out.strip().splitlines() if ln.strip()]
+        if child.returncode == 0 and lines:
+            print(lines[-1])
+            return 0
+        reason = (f"bench child exited rc={child.returncode} "
+                  f"without a result")
+    except subprocess.TimeoutExpired:
+        # ABANDON the child (never SIGKILL a TPU client mid-RPC); it
+        # finishes or dies on its own in its own session.
+        reason = (f"budget {_budget():g}s expired with a lane still "
+                  f"in flight (stalled tunnel or busy chip); child "
+                  f"abandoned, best-so-far emitted")
+    result = None
+    try:
+        if os.path.getsize(sidecar) > 0:
+            with open(sidecar) as f:
+                result = json.load(f)
+            result.setdefault("extra", {})
+            result["extra"]["partial"] = reason + "; lanes completed: " + \
+                result["extra"].get("lanes_done", "?")
+    except Exception:
+        result = None
+    if result is None:
+        result = _fallback_result(reason)
+    print(json.dumps(result))
+    return 0
+
+
+# --------------------------------------------------------------------------
+# child: the actual benchmark, budget-aware between lanes
+# --------------------------------------------------------------------------
+
+def _remaining() -> float:
+    return _T_START + _budget() - time.perf_counter()
+
+
+def _checkpoint(result: dict) -> None:
+    """Atomically refresh the parent's best-so-far sidecar."""
+    path = os.environ.get(_CHILD_ENV)
+    if not path:
+        return
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(result, f)
+    os.replace(tmp, path)
 
 
 def _device_reachable(timeout=150.0):
     """Shared with the driver compile check: __graft_entry__.probe_tpu
-    (relay-listener check first, then a detached never-killed subprocess
-    probe that also rejects a silent in-child CPU fallback), so a dead
-    axon tunnel degrades to an honest reduced CPU benchmark instead of
-    hanging the driver."""
+    (relay-listener check, then a detached never-killed subprocess probe
+    that times backend init AND a tiny device round-trip, rejecting both
+    a dead relay and a live-but-stalled tunnel), so the bench degrades
+    to an honest reduced CPU run instead of hanging the driver."""
     from __graft_entry__ import probe_tpu_status
     return probe_tpu_status(timeout=timeout)
 
@@ -41,6 +162,9 @@ def time_rollout(case, flow, n_steps, cfg, backend, sm_predict=None,
     # samples (docs/STATUS.md), so the driver headline uses >=30-step
     # windows x >=5 repeats and reports median AND spread (VERDICT r2
     # weak #6). Returns (sec/step median, spread tuple, final flow).
+    import jax
+    import numpy as np
+
     from tpufoam.piso.engine import run_piso_eager
     flow2 = run_piso_eager(case, flow, n_steps, cfg=cfg, backend=backend,
                            sm_predict=sm_predict)
@@ -57,21 +181,37 @@ def time_rollout(case, flow, n_steps, cfg, backend, sm_predict=None,
     return float(np.median(per_step)), spread, flow2
 
 
-def main():
-    reachable, probe_reason = _device_reachable()
+def _child_main():
+    force_cpu = os.environ.get("TPUFOAM_BENCH_FORCE_CPU") == "1"
+    if force_cpu:
+        reachable, probe_reason = False, "TPUFOAM_BENCH_FORCE_CPU=1"
+    else:
+        # never let the probe eat more than half the budget
+        reachable, probe_reason = _device_reachable(
+            timeout=min(150.0, max(10.0, 0.5 * _remaining())))
     cpu_fallback = not reachable
+
+    import jax
+
     if cpu_fallback:
-        # dead tunnel: run a reduced, honestly-labeled CPU benchmark
-        # (one host core; the full 1M-cell config would take hours) and
-        # attach the last committed on-chip measurement for context
+        # dead tunnel / forced: run a reduced, honestly-labeled CPU
+        # benchmark (one host core; the full 1M-cell config would take
+        # hours) and attach the last committed on-chip measurement
         jax.config.update("jax_platforms", "cpu")
+
+    import dataclasses as _dc
+
+    import numpy as np
 
     from tpufoam.core.geometry import channel_case_geometry
     from tpufoam.fv.case import build_channel_case, initial_flow
     from tpufoam.piso.engine import PisoConfig, continuity_error
-    from tpufoam.solvers.backends import CGBackend
+    from tpufoam.solvers.backends import MGBackend, MGCGBackend
+    from tpufoam.surrogate.pipeline import SurrogateBundle, make_predictor
 
-    ny, nx = (256, 1024) if cpu_fallback else (512, 2048)
+    tiny = os.environ.get("TPUFOAM_BENCH_TINY") == "1"  # smoke tests only
+    ny, nx = (64, 256) if tiny else (256, 1024) if cpu_fallback \
+        else (512, 2048)
     height = 2.0
     delta = height / ny
     geom = channel_case_geometry("cylinder", length=nx * delta, height=height,
@@ -80,76 +220,122 @@ def main():
     n_cells = case.grid.n_cells
     flow = initial_flow(case, dt0=5e-4)
     cfg = PisoConfig(n_correctors=2, max_co=0.5, max_dt=2e-3)
+    n_steps = 5 if tiny else 10 if cpu_fallback else 30
+    repeats = 2 if (tiny or cpu_fallback) else 5
 
-    n_steps = 10 if cpu_fallback else 30
-    repeats = 2 if cpu_fallback else 5
-    from tpufoam.solvers.backends import MGCGBackend
-    cg = MGCGBackend(rtol=1e-6, maxiter=60)
-    t_cg, sp_cg, flow_cg = time_rollout(case, flow, n_steps, cfg, cg,
-                                        repeats=repeats)
-
-    # Algorithm-2 coupling: SM predicts once per step, correctors run capped
-    # multigrid cycles. Uses the trained in-repo bundle when present
-    # (scripts/train_bench_bundle.py), else a structural random bundle
-    # (timing-faithful either way).
-    import os
-
-    from tpufoam.solvers.backends import MGBackend
-    from tpufoam.surrogate.pipeline import SurrogateBundle, make_predictor
+    # surrogate bundle for the hybrid lanes (Algorithm-2 coupling: SM
+    # predicts once per step, correctors run capped multigrid cycles)
     root = os.path.dirname(os.path.abspath(__file__))
-    # prefer the reference-envelope bundle (scripts/train_ref_scale.py:
-    # 5.7e4 blocks, D=49152, 512-PC cap) over the small multi-geometry one
     bundle_name = None
-    for name in ("sm_ref512", "sm_cyl128"):
-        if os.path.isdir(os.path.join(root, "artifacts", name)):
-            bundle_name = name
-            break
+    if not tiny:  # tiny smoke grids are smaller than the trained block
+        for name in ("sm_ref512", "sm_cyl128"):
+            if os.path.isdir(os.path.join(root, "artifacts", name)):
+                bundle_name = name
+                break
     trained = bundle_name is not None
     if trained:
         bundle = SurrogateBundle.load(os.path.join(root, "artifacts",
                                                    bundle_name))
     else:
         from __graft_entry__ import _tiny_bundle
-        bundle = _tiny_bundle(block_size=128)
+        bundle = _tiny_bundle(block_size=32 if tiny else 128)
     predictor = make_predictor(bundle, stitch="lstsq")
-    # bf16 mixed-precision V-cycles (f32 residual, bf16 correction,
-    # ~10% step win) + the fused temporal-blocked Pallas MOMENTUM
-    # multisweep (8 coupled-field sweeps in one HBM round trip:
-    # 5.68 -> 5.04 ms/step measured in isolation,
-    # scripts/bench_momentum_pallas.py). The pressure-side pallas
-    # smoother is intentionally OFF here: it wins in a standalone
-    # mg_solve (-19%, bench_pallas_vcycle.py) but combining both kernels
-    # in-step measures consistently slower than momentum-only (5.36 vs
-    # 5.04) — see docs/STATUS.md. Falls back to XLA if the kernel path
-    # fails on this runtime.
-    import dataclasses as _dc
-    from tpufoam.ops.stencil import pallas_available_for
-    if pallas_available_for(case.fluid.shape, case.fluid.dtype,
-                            kernel="momentum"):
-        # pallas supported here: a failure is a REAL regression — let it
-        # fail the benchmark rather than silently re-timing as xla
-        # (ADVICE r2: the old blanket except hid genuine breakage)
-        t_hy, sp_hy, flow_hy = time_rollout(
-            case, flow, n_steps,
-            _dc.replace(cfg, momentum_smoother="pallas"),
-            MGBackend(cycles=2, precision="bf16"),
-            sm_predict=predictor, repeats=repeats)
-        smoother = "pallas-momentum"
-    else:
-        t_hy, sp_hy, flow_hy = time_rollout(
-            case, flow, n_steps, cfg, MGBackend(cycles=2, precision="bf16"),
-            sm_predict=predictor, repeats=repeats)
-        smoother = "xla"
 
-    # batched case-farming mode: 4 geometries x 1M cells — aggregate
-    # throughput. Production form is SEQUENTIAL eager rollouts per case
-    # (each case runs the optimal single-case program; async dispatch
-    # pipelines host latency), which the on-chip A/B measured decisively
-    # ahead of the vmapped lockstep it replaces: 483 vs 311 Mcells/s
-    # capped-MG, 375 vs 244 hybrid (artifacts/fleet_ab_tpu.json; the
-    # vmapped path stays tested in tests/test_parallel.py and available
-    # via piso.batched for lockstep-coupled studies).
-    def fleet_throughput():
+    # bf16 mixed-precision V-cycles (f32 residual, bf16 correction) + the
+    # fused temporal-blocked Pallas MOMENTUM multisweep. The pressure-side
+    # pallas smoother is intentionally OFF (docs/STATUS.md: combining both
+    # kernels in-step measures slower than momentum-only).
+    from tpufoam.ops.stencil import pallas_available_for
+    use_pallas = pallas_available_for(case.fluid.shape, case.fluid.dtype,
+                                      kernel="momentum")
+    hybrid_cfg = (_dc.replace(cfg, momentum_smoother="pallas")
+                  if use_pallas else cfg)
+    smoother = "pallas-momentum" if use_pallas else "xla"
+    hybrid_be = MGBackend(cycles=2, precision="bf16")
+    cg_be = MGCGBackend(rtol=1e-6, maxiter=60)
+    baseline_mcells_s = 1.0  # est. single-core OpenFOAM pisoFoam, 1M cells
+    size_label = f"{n_cells / 1e6:.2g}M-cell"
+
+    lanes_done: list[str] = []
+    extra = {
+        "n_cells": n_cells,
+        "timing_windows": f"{n_steps} steps x {repeats} repeats, median",
+        "hybrid_bundle": bundle_name if trained else "random-structural",
+        "hybrid_smoother": smoother,
+        "budget_s": _budget(),
+        "device": None,  # filled after first lane (device init is lazy)
+    }
+    if cpu_fallback:
+        extra["platform_fallback"] = (
+            f"{probe_reason} (docs/STATUS.md §3) — reduced CPU "
+            "run on one host core; NOT comparable to on-chip numbers")
+        onchip = os.path.join(root, "artifacts", "bench_r3_tpu.json")
+        if os.path.exists(onchip):
+            with open(onchip) as f:
+                extra["last_onchip_measurement"] = json.load(f)
+
+    def build_result(headline_mcells, label):
+        extra["lanes_done"] = ",".join(lanes_done) or "none"
+        return {
+            "metric": f"PISO step throughput ({size_label} channel, "
+                      f"{label})",
+            "value": round(headline_mcells, 3),
+            "unit": "Mcells/s",
+            "vs_baseline": round(headline_mcells / baseline_mcells_s, 2),
+            "extra": dict(extra),
+        }
+
+    # ---- lane 1 (headline): hybrid production step --------------------
+    t_lane = time.perf_counter()
+    t_hy, sp_hy, flow_hy = time_rollout(case, flow, n_steps, hybrid_cfg,
+                                        hybrid_be, sm_predict=predictor,
+                                        repeats=repeats)
+    hybrid_lane_cost = time.perf_counter() - t_lane
+    import jax as _jax
+    extra["device"] = str(_jax.devices()[0])
+    extra["sec_per_step_hybrid_sm"] = round(t_hy, 4)
+    extra["hybrid_mcells_s"] = round(n_cells / t_hy / 1e6, 3)
+    extra["sec_per_step_spread_hybrid"] = [round(x, 4) for x in sp_hy]
+    lanes_done.append("hybrid")
+    result = build_result(
+        n_cells / t_hy / 1e6,
+        "surrogate-warm-started PISO, accuracy check pending")
+    _checkpoint(result)
+
+    # ---- lane 2: MG-PCG exact solve + matched-accuracy check ----------
+    # needed to certify the headline; lane cost is compile-dominated, so
+    # the completed hybrid lane is the estimator (CG steps are ~3x
+    # slower but the timed windows are seconds)
+    if _remaining() > 1.3 * hybrid_lane_cost + 10.0:
+        t_cg, sp_cg, flow_cg = time_rollout(case, flow, n_steps, cfg, cg_be,
+                                            repeats=repeats)
+        import jax.numpy as jnp
+        m = case.fluid > 0
+        u_ref = jnp.where(m, flow_cg.u, 0.0)
+        l2_u = float(jnp.linalg.norm(flow_hy.u * case.fluid - u_ref)
+                     / jnp.maximum(jnp.linalg.norm(u_ref), 1e-12))
+        extra["sec_per_step_cg"] = round(t_cg, 4)
+        extra["cg_mcells_s"] = round(n_cells / t_cg / 1e6, 3)
+        extra["sec_per_step_spread_cg"] = [round(x, 4) for x in sp_cg]
+        extra["hybrid_vs_cg_rel_l2_u"] = round(l2_u, 5)
+        extra["continuity_err_cg"] = float(continuity_error(case, flow_cg))
+        lanes_done.append("mgcg")
+        hybrid_ok = trained and l2_u < 0.01
+        t_head = t_hy if hybrid_ok else t_cg
+        label = ("surrogate-warm-started PISO" if hybrid_ok
+                 else "MG-PCG PISO @ rtol 1e-6")
+        result = build_result(n_cells / t_head / 1e6,
+                              label + ", matched L2 vs exact solve")
+        _checkpoint(result)
+    else:
+        extra["skipped_mgcg"] = "insufficient budget remaining"
+
+    # ---- lanes 3/4: case-farming fleet (4 geometries x 1M cells) ------
+    # Production form is SEQUENTIAL eager rollouts per case (on-chip A/B
+    # vs vmapped lockstep: 483 vs 311 Mcells/s capped-MG, 375 vs 244
+    # hybrid — artifacts/fleet_ab_tpu.json; the vmapped path stays tested
+    # in tests/test_parallel.py and available via piso.batched).
+    def fleet_lane(sm):
         from tpufoam.piso.engine import run_piso_eager
         shapes = [("cylinder", 0.5), ("rectangle", 0.4), ("triangle", 0.45),
                   ("ellipse", 0.6)]
@@ -160,88 +346,64 @@ def main():
             c = build_channel_case(g, delta=delta)
             cs.append(c)
             fs.append(initial_flow(c, dt0=5e-4))
-        be = MGBackend(cycles=2, precision="bf16")
-        fleet_cfg = (_dc.replace(cfg, momentum_smoother="pallas")
-                     if smoother == "pallas-momentum" else cfg)
-
-        def lane(sm):
-            state = [run_piso_eager(c, f, n_steps, cfg=fleet_cfg,
-                                    backend=be, sm_predict=sm)
-                     for c, f in zip(cs, fs)]
+        state = [run_piso_eager(c, f, n_steps, cfg=hybrid_cfg,
+                                backend=hybrid_be, sm_predict=sm)
+                 for c, f in zip(cs, fs)]
+        for o in state:
+            _jax.block_until_ready(o.u)
+        ts = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            state = [run_piso_eager(c, f, n_steps, cfg=hybrid_cfg,
+                                    backend=hybrid_be, sm_predict=sm)
+                     for c, f in zip(cs, state)]
             for o in state:
-                jax.block_until_ready(o.u)
-            ts = []
-            for _ in range(repeats):
-                t0 = time.perf_counter()
-                state = [run_piso_eager(c, f, n_steps, cfg=fleet_cfg,
-                                        backend=be, sm_predict=sm)
-                         for c, f in zip(cs, state)]
-                for o in state:
-                    jax.block_until_ready(o.u)
-                ts.append(time.perf_counter() - t0)
-            return (len(shapes) * n_cells
-                    / (float(np.median(ts)) / n_steps) / 1e6)
+                _jax.block_until_ready(o.u)
+            ts.append(time.perf_counter() - t0)
+        return (len(shapes) * n_cells
+                / (float(np.median(ts)) / n_steps) / 1e6)
 
-        # capped-MG case farming AND the full production config
-        # (surrogate warm start + capped MG), both sequential-eager
-        return lane(None), lane(predictor)
+    # each fleet lane compiles 4 new cases: ~4x a single-lane cost
+    fleet_est = 4.0 * hybrid_lane_cost
+    if _remaining() > 1.2 * fleet_est:
+        extra["fleet_4x1M_mcells_s"] = round(fleet_lane(None), 1)
+        extra["fleet_mode"] = ("sequential-eager per case (A/B vs vmapped "
+                               "lockstep: artifacts/fleet_ab_tpu.json)")
+        lanes_done.append("fleet-mg")
+        result = build_result(result["value"],
+                              result["metric"].split("channel, ", 1)[1][:-1])
+        _checkpoint(result)
+        if _remaining() > 1.2 * fleet_est:
+            extra["fleet_4x1M_hybrid_sm_mcells_s"] = round(
+                fleet_lane(predictor), 1)
+            lanes_done.append("fleet-hybrid")
+            result = build_result(
+                result["value"],
+                result["metric"].split("channel, ", 1)[1][:-1])
+            _checkpoint(result)
+        else:
+            extra["skipped_fleet_hybrid"] = "insufficient budget remaining"
+    else:
+        extra["skipped_fleet"] = "insufficient budget remaining"
 
-    fleet_mcells_s, fleet_hybrid_mcells_s = fleet_throughput()
-
-    # matched-accuracy check: hybrid rollout vs the CG-tolerance rollout
-    import jax.numpy as jnp
-    m = case.fluid > 0
-    u_ref = jnp.where(m, flow_cg.u, 0.0)
-    l2_u = float(jnp.linalg.norm(flow_hy.u * case.fluid - u_ref)
-                 / jnp.maximum(jnp.linalg.norm(u_ref), 1e-12))
-
-    # headline: the DL-accelerated solver (the reference's production mode)
-    # when it matches the exact solve; otherwise the exact solve itself
-    hybrid_ok = trained and l2_u < 0.01
-    t_head = t_hy if hybrid_ok else t_cg
-    label = ("surrogate-warm-started PISO" if hybrid_ok
-             else "MG-PCG PISO @ rtol 1e-6")
-    mcells_s = n_cells / t_head / 1e6
-    baseline_mcells_s = 1.0  # est. single-core OpenFOAM pisoFoam, 1M cells
-    size_label = f"{n_cells / 1e6:.2g}M-cell"
-    result = {
-        "metric": f"PISO step throughput ({size_label} channel, {label}, "
-                  "matched L2 vs exact solve)",
-        "value": round(mcells_s, 3),
-        "unit": "Mcells/s",
-        "vs_baseline": round(mcells_s / baseline_mcells_s, 2),
-        "extra": {
-            "n_cells": n_cells,
-            "sec_per_step_cg": round(t_cg, 4),
-            "cg_mcells_s": round(n_cells / t_cg / 1e6, 3),
-            "sec_per_step_hybrid_sm": round(t_hy, 4),
-            "hybrid_mcells_s": round(n_cells / t_hy / 1e6, 3),
-            "sec_per_step_spread_cg": [round(x, 4) for x in sp_cg],
-            "sec_per_step_spread_hybrid": [round(x, 4) for x in sp_hy],
-            "timing_windows": f"{n_steps} steps x {repeats} repeats, median",
-            "hybrid_vs_cg_rel_l2_u": round(l2_u, 5),
-            "hybrid_bundle": bundle_name if trained else "random-structural",
-            "hybrid_smoother": smoother,
-            "fleet_4x1M_mcells_s": round(fleet_mcells_s, 1),
-            "fleet_4x1M_hybrid_sm_mcells_s": round(fleet_hybrid_mcells_s, 1),
-            "fleet_mode": "sequential-eager per case (A/B vs vmapped "
-                          "lockstep: artifacts/fleet_ab_tpu.json)",
-            "continuity_err_cg": float(continuity_error(case, flow_cg)),
-            "device": str(jax.devices()[0]),
-            "baseline_note": "1.0 Mcells/s = est. 1 s/step single-core "
-                             "OpenFOAM pisoFoam @ 1M cells (no in-repo "
-                             "published numbers; see BASELINE.md)",
-        },
-    }
-    if cpu_fallback:
-        result["extra"]["platform_fallback"] = (
-            f"{probe_reason} (docs/STATUS.md §3) — reduced CPU "
-            "run on one host core; NOT comparable to on-chip numbers")
-        onchip = os.path.join(root, "artifacts", "bench_r3_tpu.json")
-        if os.path.exists(onchip):
-            with open(onchip) as f:
-                result["extra"]["last_onchip_measurement"] = json.load(f)
+    extra["baseline_note"] = ("1.0 Mcells/s = est. 1 s/step single-core "
+                              "OpenFOAM pisoFoam @ 1M cells (no in-repo "
+                              "published numbers; see BASELINE.md)")
+    extra["lanes_done"] = ",".join(lanes_done)
+    result["extra"] = dict(extra)
+    _checkpoint(result)
+    save = os.environ.get("TPUFOAM_BENCH_SAVE")
+    if save:
+        with open(save, "w") as f:
+            json.dump(result, f, indent=2)
     print(json.dumps(result))
+
+
+def main():
+    if os.environ.get(_CHILD_ENV):
+        _child_main()
+    else:
+        sys.exit(_parent_main())
 
 
 if __name__ == "__main__":
