@@ -97,6 +97,12 @@ def main():
     ap.add_argument("--sm-safeguard-extra", type=int, default=3,
                     help="max rescue solves per step "
                          "(PisoConfig.sm_safeguard_extra)")
+    ap.add_argument("--sm-trust", type=float, default=1.0,
+                    help="SM warm-start plausibility gate applied BEFORE "
+                         "the momentum predictor (PisoConfig.sm_trust): "
+                         "reject predictions that move the pressure by "
+                         "more than this relative L2 factor (0 = accept "
+                         "blindly, reference Algorithm-2 parity)")
     ap.add_argument("--platform", default=None, choices=["cpu", "tpu"])
     ap.add_argument("--out", default=None)
     ap.add_argument("--series-out", default=None)
@@ -153,7 +159,8 @@ def main():
                      momentum_smoother=args.momentum_smoother,
                      wall_order=args.wall_order, wall_link=args.wall_link,
                      sm_safeguard=args.sm_safeguard,
-                     sm_safeguard_extra=args.sm_safeguard_extra)
+                     sm_safeguard_extra=args.sm_safeguard_extra,
+                     sm_trust=args.sm_trust)
     if args.momentum_smoother == "pallas":
         from tpufoam.ops.stencil import pallas_available_for
         if not pallas_available_for(case.grid.shape, kernel="momentum"):
@@ -197,6 +204,8 @@ def main():
                     sm_safeguard=ns.sm_safeguard
                     if ns.backend == "hybrid" else None,
                     sm_safeguard_extra=ns.sm_safeguard_extra
+                    if ns.backend == "hybrid" else None,
+                    sm_trust=ns.sm_trust
                     if ns.backend == "hybrid" else None)
 
     run_meta = _meta_from(args, bundle_name)
@@ -281,6 +290,7 @@ def main():
         result["mg_cycles"] = args.mg_cycles
         result["sm_safeguard"] = args.sm_safeguard
         result["sm_safeguard_extra"] = args.sm_safeguard_extra
+        result["sm_trust"] = args.sm_trust
     if args.momentum_smoother != "xla":
         # record what actually ran, not just the request: on grids whose
         # width is not lane-aligned the pallas kernel falls through to

@@ -158,13 +158,63 @@ def test_safeguard_keeps_poisoned_rollout_stable():
     assert np.abs(u_sg).max() < 3.0 * np.abs(u_ref).max()
 
 
+def test_trust_gate_rejects_out_of_distribution_prediction():
+    """Unit property of the sm_trust gate (the 2D-3 ramp-foot failure the
+    residual safeguard could NOT catch, unstable_st_2d3_hybrid_d94.json):
+    an O(1) prediction on a near-zero pressure is implausible — rejected
+    wholesale before the momentum predictor — while a small-perturbation
+    prediction passes through bitwise."""
+    from tpufoam.piso.engine import _gate_sm_prediction
+
+    case = _case()
+    p_prev = (1e-6 * jnp.ones_like(case.fluid)) * case.fluid
+    noise = jax.random.normal(jax.random.PRNGKey(2), p_prev.shape,
+                              p_prev.dtype)
+    out = _gate_sm_prediction(p_prev + noise, p_prev, case.fluid, trust=1.0)
+    np.testing.assert_array_equal(np.asarray(out),
+                                  np.asarray(p_prev * case.fluid))
+    # zero previous pressure (cold start from rest): ANY nonzero
+    # prediction is rejected — the pure solver's own init is kept
+    zero = jnp.zeros_like(p_prev)
+    out0 = _gate_sm_prediction(noise, zero, case.fluid, trust=1.0)
+    np.testing.assert_array_equal(np.asarray(out0), np.asarray(zero))
+    # plausible prediction (1% perturbation of an O(1) field): bitwise
+    # pass-through
+    flow = _settled(case)
+    p_ok = flow.p * 1.01
+    out_ok = _gate_sm_prediction(p_ok, flow.p, case.fluid, trust=1.0)
+    np.testing.assert_array_equal(np.asarray(out_ok),
+                                  np.asarray(p_ok * case.fluid))
+
+
+def test_trust_gate_neutralizes_poisoned_predictions_bitwise():
+    """Rollout form: with the trust gate on, a catastrophically-wrong
+    prediction EVERY step is rejected before the momentum predictor, so
+    the hybrid rollout is BITWISE the pure rollout with the same backend
+    (rejection falls back to the previous-step pressure — exactly the
+    pure solver's init). This is the property that makes the production
+    hybrid safe on out-of-distribution transients."""
+    case = _case()
+    flow0 = _settled(case, n=60)
+    backend = MGBackend(cycles=4)
+    f_tr, f_pure = flow0, flow0
+    for _ in range(5):
+        f_tr = piso_step(case, f_tr, cfg=PisoConfig(sm_trust=1.0),
+                         backend=backend, sm_predict=_poison_sm)
+        f_pure = piso_step(case, f_pure, cfg=PisoConfig(), backend=backend)
+    np.testing.assert_array_equal(np.asarray(f_tr.u), np.asarray(f_pure.u))
+    np.testing.assert_array_equal(np.asarray(f_tr.p), np.asarray(f_pure.p))
+
+
 def test_safeguard_disabled_reproduces_legacy_path():
-    """sm_safeguard=0 must trace the exact legacy program (no gate, no
-    rescue): jaxpr contains no while/cond from the safeguard."""
+    """sm_safeguard=0 + sm_trust=0 must trace the exact legacy program
+    (no gate, no rescue): jaxpr contains no while/cond from the
+    safeguard."""
     case = _case()
     flow0 = initial_flow(case, 1e-3)
     jaxpr = jax.make_jaxpr(
-        lambda fl: piso_step(case, fl, cfg=PisoConfig(sm_safeguard=0.0),
+        lambda fl: piso_step(case, fl, cfg=PisoConfig(sm_safeguard=0.0,
+                                                      sm_trust=0.0),
                              backend=MGBackend(cycles=2),
                              sm_predict=_identity_sm))(flow0)
     assert "while" not in str(jaxpr)

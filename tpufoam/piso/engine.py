@@ -167,6 +167,37 @@ class PisoConfig:
                                       # The production fleet lanes are
                                       # sequential-eager and unaffected.
     sm_safeguard_extra: int = 3       # max rescue solves per step
+    sm_trust: float = 1.0             # plausibility gate on the SM warm
+                                      # start, applied BEFORE the momentum
+                                      # predictor: reject the prediction
+                                      # (fall back to the previous-step
+                                      # pressure — the pure solver's own
+                                      # init) when
+                                      # ||(p_sm - p_prev) * fluid|| >
+                                      # sm_trust * ||p_prev * fluid||.
+                                      # The residual safeguard cannot
+                                      # catch this failure mode: under
+                                      # Algorithm 2 the prediction enters
+                                      # the MOMENTUM predictor, so a
+                                      # finite-but-garbage p_sm poisons
+                                      # the velocity field before any
+                                      # pressure rescue runs. Measured on
+                                      # the 2D-3 ramp (safeguarded d94
+                                      # hybrid, unstable_st_2d3_hybrid_
+                                      # d94.json): at the ramp foot the
+                                      # flow is near zero, far outside
+                                      # the bundle's training
+                                      # distribution, and the SM's O(1)
+                                      # prediction noise on an O(1e-3)
+                                      # pressure seeded exponential Cd
+                                      # growth from t~0.03. Healthy
+                                      # predictions change the pressure
+                                      # by far less than 100% per step,
+                                      # so 1.0 is loose; 0 disables
+                                      # (reference Algorithm-2 parity:
+                                      # accept blindly). Two norms +
+                                      # a where; differentiable and
+                                      # vmap-safe.
     shard_mesh: object = None         # jax.sharding.Mesh (hashable) when
                                       # the step runs GSPMD-sharded: the
                                       # pallas momentum kernel then runs
@@ -205,12 +236,19 @@ def _next_dt(case: Case, flow: Flow, cfg: PisoConfig) -> jnp.ndarray:
 
 
 def _gate_sm_prediction(p_sm: jnp.ndarray, p_prev: jnp.ndarray,
-                        fluid: jnp.ndarray) -> jnp.ndarray:
-    """Reject a non-finite surrogate prediction wholesale (fall back to
-    the incoming pressure). A NaN/Inf warm start ahead of the momentum
-    predictor poisons the velocity field before the residual safeguard
-    can act; this gate costs one fused reduction."""
+                        fluid: jnp.ndarray,
+                        trust: float = 0.0) -> jnp.ndarray:
+    """Reject a non-finite OR implausible surrogate prediction wholesale
+    (fall back to the incoming pressure). A NaN/Inf — or finite but
+    out-of-distribution (PisoConfig.sm_trust) — warm start ahead of the
+    momentum predictor poisons the velocity field before the residual
+    safeguard can act; this gate costs two fused reductions."""
     ok = jnp.isfinite(p_sm).all()
+    if trust > 0.0:
+        dn = jnp.linalg.norm((p_sm - p_prev) * fluid)
+        pn = jnp.linalg.norm(p_prev * fluid)
+        # NaN dn compares False -> rejected
+        ok = ok & (dn <= trust * pn)
     return jnp.where(ok, p_sm, p_prev) * fluid
 
 
@@ -294,8 +332,9 @@ def _piso_step_impl(case: Case, flow: Flow, cfg: PisoConfig = PisoConfig(),
     # --- optional surrogate pressure prediction (Algorithm 2: before UEqn) ---
     if sm_predict is not None and cfg.sm_before_predictor:
         p_sm = sm_predict(case, p, _aux())
-        p = (_gate_sm_prediction(p_sm, p, case.fluid)
-             if cfg.sm_safeguard > 0.0 else p_sm * case.fluid)
+        p = (_gate_sm_prediction(p_sm, p, case.fluid, trust=cfg.sm_trust)
+             if cfg.sm_safeguard > 0.0 or cfg.sm_trust > 0.0
+             else p_sm * case.fluid)
 
     # --- momentum predictor: solve(UEqn == -grad p) (UEqn.H:21-23) ---
     gpx, gpy = pressure_gradient(case, p)
@@ -316,8 +355,9 @@ def _piso_step_impl(case: Case, flow: Flow, cfg: PisoConfig = PisoConfig(),
 
     if sm_predict is not None and not cfg.sm_before_predictor:
         p_sm = sm_predict(case, p, _aux())
-        p = (_gate_sm_prediction(p_sm, p, case.fluid)
-             if cfg.sm_safeguard > 0.0 else p_sm * case.fluid)
+        p = (_gate_sm_prediction(p_sm, p, case.fluid, trust=cfg.sm_trust)
+             if cfg.sm_safeguard > 0.0 or cfg.sm_trust > 0.0
+             else p_sm * case.fluid)
 
     # --- PISO corrector loop (pEqn.H, nCorrectors times) ---
     for i_corr in range(cfg.n_correctors):
