@@ -125,6 +125,40 @@ def test_bridge_poisson_model(built_bridge, tmp_path):
         th.join(timeout=5)
 
 
+def test_openfoam_comm_headers_execute_under_mock_fvmesh(built_bridge,
+                                                         tmp_path):
+    """Execution check for the VERBATIM OpenFOAM comm headers (VERDICT r3
+    item 8): bridge/openfoam/mockHarness.C #includes TpufoamComm_init.H
+    and TpufoamComm.H unmodified, under the mock fvMesh surface of
+    mockOpenFOAM.H, and drives init + 3 step exchanges against a LIVE
+    server — verifying the identity round trip lands in p/out and that
+    correctBoundaryConditions runs per exchange. Before this, the
+    OpenFOAM-typed glue was compile-unchecked (only the OpenFOAM-free
+    TpufoamCoupling.H core ever ran)."""
+    of_dir = os.path.join(BRIDGE_DIR, "openfoam")
+    for f in ("TpufoamCoupling.H", "TpufoamComm_init.H", "TpufoamComm.H",
+              "mockOpenFOAM.H", "mockHarness.C"):
+        shutil.copy(os.path.join(of_dir, f), built_bridge)
+    subprocess.run(
+        ["g++", "-O2", "-Wall", "-std=c++17",
+         str(built_bridge / "mockHarness.C"),
+         str(built_bridge / "tpufoam_bridge.cpp"),
+         "-I", str(built_bridge),
+         "-o", str(built_bridge / "mock_harness")],
+        check=True, capture_output=True)
+    sock = tmp_path / "tbm.sock"
+    srv, th = _run_server(sock, model="identity")
+    try:
+        out = subprocess.run([str(built_bridge / "mock_harness"), str(sock)],
+                             capture_output=True, text=True, timeout=120)
+        assert out.returncode == 0, out.stdout + out.stderr
+        assert "mock-fvMesh harness ok" in out.stdout, out.stdout
+        assert "3 exchanges" in out.stdout
+    finally:
+        srv.stop()
+        th.join(timeout=5)
+
+
 def test_openfoam_comm_layer_compiles_and_runs(built_bridge, tmp_path):
     """The OpenFOAM adapter's coupling core (bridge/openfoam/
     TpufoamCoupling.H — deliberately OpenFOAM-free) must compile against
