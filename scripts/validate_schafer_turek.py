@@ -61,7 +61,19 @@ def main():
                          "(e.g. artifacts/sm_st128)")
     ap.add_argument("--mg-cycles", type=int, default=2,
                     help="polish V-cycles per corrector in hybrid mode "
-                         "(bench.py production config: 2)")
+                         "(bench.py production config: 2); also the cycle "
+                         "count for --backend mg")
+    ap.add_argument("--mg-bf16", action="store_true",
+                    help="--backend mg control lane: run the capped MG "
+                         "polish in the hybrid's bf16 mixed precision "
+                         "WITHOUT the surrogate (isolates capped-polish "
+                         "residual accumulation from SM bias)")
+    ap.add_argument("--hybrid-solver", default="mg",
+                    choices=["mg", "mgcg"],
+                    help="hybrid corrector solver: 'mg' = capped bf16 "
+                         "polish (production); 'mgcg' = full-tolerance "
+                         "MGCG (control lane isolating SM bias from "
+                         "capped-polish residual)")
     ap.add_argument("--momentum-smoother", default="xla",
                     choices=["xla", "pallas"],
                     help="'pallas' = the fused temporal-blocked momentum "
@@ -144,7 +156,9 @@ def main():
         bundle = SurrogateBundle.load(args.bundle)
         bundle_name = os.path.basename(os.path.normpath(args.bundle))
         sm_predict = make_predictor(bundle, stitch="lstsq")
-        backend = MGBackend(cycles=args.mg_cycles, precision="bf16")
+        backend = (MGCGBackend(rtol=1e-6)
+                   if args.hybrid_solver == "mgcg"
+                   else MGBackend(cycles=args.mg_cycles, precision="bf16"))
         if case.grid.ny < bundle.block_size or case.grid.nx < bundle.block_size:
             raise SystemExit(
                 f"grid {case.grid.ny}x{case.grid.nx} smaller than the "
@@ -153,7 +167,8 @@ def main():
     elif args.backend == "mgcg":
         backend = MGCGBackend(rtol=1e-6)
     else:
-        backend = MGBackend(cycles=4)
+        backend = (MGBackend(cycles=args.mg_cycles, precision="bf16")
+                   if args.mg_bf16 else MGBackend(cycles=4))
     cfg = PisoConfig(max_co=args.max_co, max_dt=args.max_dt, ddt=args.ddt,
                      ddt_corr=args.ddt_corr,
                      momentum_smoother=args.momentum_smoother,
@@ -206,6 +221,10 @@ def main():
                     sm_safeguard_extra=ns.sm_safeguard_extra
                     if ns.backend == "hybrid" else None,
                     sm_trust=ns.sm_trust
+                    if ns.backend == "hybrid" else None,
+                    mg_bf16=bool(ns.mg_bf16) if ns.backend == "mg"
+                    else None,
+                    hybrid_solver=ns.hybrid_solver
                     if ns.backend == "hybrid" else None)
 
     run_meta = _meta_from(args, bundle_name)
@@ -291,6 +310,10 @@ def main():
         result["sm_safeguard"] = args.sm_safeguard
         result["sm_safeguard_extra"] = args.sm_safeguard_extra
         result["sm_trust"] = args.sm_trust
+        result["hybrid_solver"] = args.hybrid_solver
+    if args.backend == "mg":
+        result["mg_cycles"] = args.mg_cycles
+        result["mg_bf16"] = bool(args.mg_bf16)
     if args.momentum_smoother != "xla":
         # record what actually ran, not just the request: on grids whose
         # width is not lane-aligned the pallas kernel falls through to

@@ -534,12 +534,49 @@ def test_sharded_gate_matches_kernel_preconditions():
     # (the kernel itself would raise 'exceeds scoped VMEM' mid-trace)
     assert not stencil.pallas_sharded_available_for((512, 65536), mesh,
                                                     interpret=True)
-    # (b) bf16 requires 16-row alignment of the HALOED block: nyl=24
-    # passes the old nyl%8 check but (24 + 2*16) % 16 != 0
-    assert not stencil.pallas_sharded_available_for(
+    # (b) bf16's 16-row tiling of the haloed block (nyl=24 -> 56 rows,
+    # not 16-aligned) used to be rejected here; the kernels now pad
+    # internally to aligned dims, so the gate ACCEPTS it — exactness at
+    # padded odd shapes is pinned in test_pallas_ops.py
+    assert stencil.pallas_sharded_available_for(
         (96, 2048), mesh, dtype=jnp.bfloat16, interpret=True)
     assert stencil.pallas_sharded_available_for(
         (96, 2048), mesh, dtype=jnp.float32, interpret=True)
+
+
+def test_sharded_pallas_jacobi_odd_block_bf16_matches_xla():
+    """The case the relaxed gate newly admits: bf16 local blocks whose
+    haloed height is not 16-aligned (96 rows over 4 devices -> 24 + 2*16
+    = 56-row haloed block, padded to 64 inside the kernel). Must still
+    equal the XLA smoother on the global array."""
+    import jax
+
+    from tpufoam.core.geometry import channel_case_geometry
+    from tpufoam.fv.case import build_channel_case
+    from tpufoam.fv.pressure import pressure_coeffs
+    from tpufoam.ops import stencil
+    from tpufoam.parallel.mesh import device_mesh
+    from tpufoam.solvers.multigrid import jacobi_smooth
+
+    geom = channel_case_geometry("cylinder", length=5.375, height=1.0,
+                                 obstacle_size=0.3)
+    case = build_channel_case(geom, delta=1.0 / 96)   # 96 x 516
+    rau = jnp.ones(case.grid.shape, dtype=jnp.float32) * case.fluid
+    coef = jax.tree.map(lambda a: a.astype(jnp.bfloat16),
+                        pressure_coeffs(case, rau))
+    rng = np.random.default_rng(13)
+    x = jnp.asarray(rng.standard_normal(case.grid.shape), dtype=jnp.bfloat16)
+    b = jnp.asarray(rng.standard_normal(case.grid.shape), dtype=jnp.bfloat16)
+    mesh = device_mesh(8)   # (4, 2): nyl=24, nxl=258 — both odd-tiled
+    assert stencil.pallas_sharded_available_for(
+        case.grid.shape, mesh, dtype=jnp.bfloat16, interpret=True)
+    ref = np.asarray(jacobi_smooth(coef, x, b, iters=4, omega=0.8)
+                     .astype(jnp.float32))
+    with mesh:
+        out = stencil.jacobi_multisweep_pallas_sharded(
+            mesh, coef, x, b, iters=4, omega=0.8, interpret=True)
+    np.testing.assert_allclose(np.asarray(out.astype(jnp.float32)), ref,
+                               atol=2e-2)
 
 
 def test_sharded_pallas_jacobi_matches_single_device():
