@@ -96,6 +96,12 @@ def main():
     ap.add_argument("--ddt-corr", action="store_true",
                     help="fvc::ddtCorr in the pressure equation "
                          "(pEqn.H:7 parity)")
+    ap.add_argument("--cy", type=float, default=None,
+                    help="cylinder centre height override (default: the "
+                         "published 0.2). 0.205 = exact mid-height, the "
+                         "symmetric 2D-1 control whose true cl is 0 — "
+                         "the measured tail |cl| IS the scheme's "
+                         "spurious-lift floor")
     ap.add_argument("--alpha-cut", type=float, default=0.05,
                     help="cut-cell sliver-blanking threshold "
                          "(fv.cutcell alpha_cut; sensitivity probes)")
@@ -140,7 +146,7 @@ def main():
     if args.t_end is None:
         args.t_end = 8.0 if args.bench == "2D-3" else 12.0
     case, u_mean = schafer_turek_case(args.bench, delta=args.delta,
-                                      alpha_cut=args.alpha_cut)
+                                      alpha_cut=args.alpha_cut, cy=args.cy)
     print(f"grid {case.grid.ny} x {case.grid.nx} "
           f"({case.grid.ny * case.grid.nx / 1e3:.0f}k cells, "
           f"D/delta = {0.1 / args.delta:.1f})", flush=True)
@@ -215,7 +221,7 @@ def main():
                     max_co=ns.max_co, max_dt=ns.max_dt,
                     bundle=bname, mg_cycles=ns.mg_cycles
                     if ns.backend == "hybrid" else None,
-                    alpha_cut=ns.alpha_cut,
+                    alpha_cut=ns.alpha_cut, cy=ns.cy,
                     sm_safeguard=ns.sm_safeguard
                     if ns.backend == "hybrid" else None,
                     sm_safeguard_extra=ns.sm_safeguard_extra
@@ -298,6 +304,7 @@ def main():
                   boundary="cutcell", ddt=args.ddt, ddt_corr=args.ddt_corr,
                   wall_order=args.wall_order, wall_link=args.wall_link,
                   max_dt=args.max_dt, alpha_cut=args.alpha_cut,
+                  cy=args.cy,
                   backend=args.backend, t_end=args.t_end, steps=steps, **s,
                   reference=ref,
                   ms_per_step=(time.perf_counter() - t0)

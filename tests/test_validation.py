@@ -629,3 +629,38 @@ def test_2d2_hybrid_production_path_matches_published():
             assert abs(r["cd_max"] / p["cd_max"] - 1) < 0.01, (r, p)
             assert abs(r["cl_max"] / p["cl_max"] - 1) < 0.03, (r, p)
             assert abs(r["strouhal"] / p["strouhal"] - 1) < 0.02, (r, p)
+
+
+def test_2d1_richardson_extrapolation():
+    """Richardson closure of the 2D-1 lift question (VERDICT r3 next
+    #3b): the three-point fit cl(delta) = cl0 + C delta^p over the
+    committed d47/d94/d125 default-closure artifacts. The d94->d125
+    increment (~1e-4) is an order of magnitude below the d47->d94 one at
+    a 1.33x grid ratio, so the apparent order lands far above the
+    scheme's formal order — the ladder is CONVERGED, and the continuum
+    estimate equals the plateau, ~0.004 below the published band. This
+    pins the formal closure: the uniform cut-cell scheme's converged
+    2D-1 cl is outside [0.0104, 0.0110]; matching it needs wall-resolved
+    (graded) meshing, the reference's gen_blockMeshDict.py:4-196
+    capability."""
+    path = os.path.join(ARTIFACTS, "st_2d1_richardson.json")
+    if not os.path.exists(path):
+        pytest.skip("no committed Richardson artifact")
+    with open(path) as f:
+        d = json.load(f)
+    runs = d["runs"]
+    assert len(runs) == 3
+    # recompute the extrapolation from the recorded ladder points
+    (d1, c1), (d2, c2), (d3, c3) = [(r["delta"], r["cl"]) for r in runs]
+    assert d1 > d2 > d3
+    p = d["apparent_order"]
+    if p is not None:
+        r13, r23 = d1 / d3, d2 / d3
+        target = (c1 - c2) / (c2 - c3)
+        assert abs((r13**p - r23**p) / (r23**p - 1.0) - target) < 1e-3
+        assert p > 3.0, p          # far above the formal order: plateau
+        cl0 = c3 - (c2 - c3) / (r23**p - 1.0)
+        assert abs(cl0 - d["cl_extrapolated"]) < 1e-9
+    lo, hi = d["published_band"]
+    assert d["cl_extrapolated"] < lo          # converged BELOW the band
+    assert 0.003 < d["band_distance"] < 0.006  # the documented floor
