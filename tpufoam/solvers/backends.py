@@ -56,6 +56,9 @@ class MGBackend:
                              # bf16 correction — halves smoother HBM traffic)
     smoother: str = "xla"    # "pallas": temporal-blocked multisweep kernel
                              # (ops.stencil) on levels it can tile
+    max_levels: int = 12     # hierarchy depth cap (see mg_solve: the
+                             # deep-hierarchy op-count lever at 8M+ cells)
+    coarse_iters: int = 40   # Jacobi sweeps on the coarsest level
 
     def __call__(self, case, coef, rhs, p_prev, aux):
         import warnings
@@ -72,7 +75,8 @@ class MGBackend:
             pre, post = 2, 2   # V(1,1)/one-sided cycles are not safe standalone
         return mg_solve(coef, rhs, p_prev, cycles=self.cycles,
                         pre=pre, post=post, dtype=dtype,
-                        smoother=self.smoother) * case.fluid
+                        smoother=self.smoother, max_levels=self.max_levels,
+                        coarse_iters=self.coarse_iters) * case.fluid
 
 
 @dataclasses.dataclass(frozen=True)
