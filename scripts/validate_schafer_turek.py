@@ -69,11 +69,24 @@ def main():
                          "WITHOUT the surrogate (isolates capped-polish "
                          "residual accumulation from SM bias)")
     ap.add_argument("--hybrid-solver", default="mg",
-                    choices=["mg", "mgcg"],
+                    choices=["mg", "mgcg", "mgcg-capped", "mg-adaptive"],
                     help="hybrid corrector solver: 'mg' = capped bf16 "
                          "polish (production); 'mgcg' = full-tolerance "
                          "MGCG (control lane isolating SM bias from "
-                         "capped-polish residual)")
+                         "capped-polish residual); 'mgcg-capped' = "
+                         "MGCG rtol 1e-3 maxiter 6 — residual-ADAPTIVE "
+                         "capped polish (spends iterations only on hard "
+                         "steps; the robustness candidate when fixed "
+                         "cycles accumulate transient error); "
+                         "'mg-adaptive' = bf16 MG polish with "
+                         "residual-adaptive cycle count "
+                         "(--hybrid-rtol/--hybrid-max-cycles; "
+                         "mg_solve rtol semantics)")
+    ap.add_argument("--hybrid-rtol", type=float, default=1e-2,
+                    help="relative-residual exit for "
+                         "--hybrid-solver mg-adaptive")
+    ap.add_argument("--hybrid-max-cycles", type=int, default=16,
+                    help="cycle cap for --hybrid-solver mg-adaptive")
     ap.add_argument("--momentum-smoother", default="xla",
                     choices=["xla", "pallas"],
                     help="'pallas' = the fused temporal-blocked momentum "
@@ -162,9 +175,14 @@ def main():
         bundle = SurrogateBundle.load(args.bundle)
         bundle_name = os.path.basename(os.path.normpath(args.bundle))
         sm_predict = make_predictor(bundle, stitch="lstsq")
-        backend = (MGCGBackend(rtol=1e-6)
-                   if args.hybrid_solver == "mgcg"
-                   else MGBackend(cycles=args.mg_cycles, precision="bf16"))
+        backend = {
+            "mgcg": MGCGBackend(rtol=1e-6),
+            "mgcg-capped": MGCGBackend(rtol=1e-3, maxiter=6),
+            "mg": MGBackend(cycles=args.mg_cycles, precision="bf16"),
+            "mg-adaptive": MGBackend(cycles=args.hybrid_max_cycles,
+                                     precision="bf16",
+                                     rtol=args.hybrid_rtol),
+        }[args.hybrid_solver]
         if case.grid.ny < bundle.block_size or case.grid.nx < bundle.block_size:
             raise SystemExit(
                 f"grid {case.grid.ny}x{case.grid.nx} smaller than the "
@@ -231,7 +249,10 @@ def main():
                     mg_bf16=bool(ns.mg_bf16) if ns.backend == "mg"
                     else None,
                     hybrid_solver=ns.hybrid_solver
-                    if ns.backend == "hybrid" else None)
+                    if ns.backend == "hybrid" else None,
+                    hybrid_rtol=ns.hybrid_rtol
+                    if ns.backend == "hybrid"
+                    and ns.hybrid_solver == "mg-adaptive" else None)
 
     run_meta = _meta_from(args, bundle_name)
     # defaults evaluated under the SAME backend, so backend-conditional
@@ -318,6 +339,9 @@ def main():
         result["sm_safeguard_extra"] = args.sm_safeguard_extra
         result["sm_trust"] = args.sm_trust
         result["hybrid_solver"] = args.hybrid_solver
+        if args.hybrid_solver == "mg-adaptive":
+            result["hybrid_rtol"] = args.hybrid_rtol
+            result["hybrid_max_cycles"] = args.hybrid_max_cycles
     if args.backend == "mg":
         result["mg_cycles"] = args.mg_cycles
         result["mg_bf16"] = bool(args.mg_bf16)

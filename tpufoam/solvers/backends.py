@@ -59,6 +59,14 @@ class MGBackend:
     max_levels: int = 12     # hierarchy depth cap (see mg_solve: the
                              # deep-hierarchy op-count lever at 8M+ cells)
     coarse_iters: int = 40   # Jacobi sweeps on the coarsest level
+    rtol: float = 0.0        # > 0 (bf16 form only): residual-ADAPTIVE
+                             # capping — `cycles` becomes the max and the
+                             # loop exits once the rel residual clears
+                             # rtol. The robustness fix for impulsive/
+                             # ramp steps where a fixed 2-cycle polish
+                             # leaves ~10% residual and re-excites the
+                             # outlet-column ring (mg_solve docstring).
+                             # 0 keeps the fixed differentiable loop.
 
     def __call__(self, case, coef, rhs, p_prev, aux):
         import warnings
@@ -76,7 +84,8 @@ class MGBackend:
         return mg_solve(coef, rhs, p_prev, cycles=self.cycles,
                         pre=pre, post=post, dtype=dtype,
                         smoother=self.smoother, max_levels=self.max_levels,
-                        coarse_iters=self.coarse_iters) * case.fluid
+                        coarse_iters=self.coarse_iters,
+                        rtol=self.rtol) * case.fluid
 
 
 @dataclasses.dataclass(frozen=True)
