@@ -172,3 +172,48 @@ def test_mgcg_w_cycle_grid_independent_iterations():
         res = mgcg_pressure(coef, b, rtol=1e-6, maxiter=100, cycle_type="w")
         iters.append(int(res.iters))
     assert iters[-1] <= iters[0] + 4, f"iters {iters}"
+
+
+def test_mg_solve_residual_adaptive_capping():
+    """MGBackend.rtol semantics (the 2D-3 fine-grid hybrid robustness
+    fix): in the bf16 residual-correction form, rtol>0 makes `cycles`
+    a cap with early exit at the residual gate. Bitwise-equivalence
+    limits: a never-satisfied gate reproduces the fixed-cycle result;
+    an already-satisfied gate returns x0 untouched; and the adaptive
+    loop must monotonically beat a shallower fixed budget."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpufoam.core.geometry import channel_case_geometry
+    from tpufoam.fv.case import build_channel_case
+    from tpufoam.fv.pressure import pressure_coeffs, pressure_matvec
+    from tpufoam.solvers.multigrid import mg_solve
+
+    geom = channel_case_geometry("cylinder", length=4.0, height=1.0,
+                                 obstacle_size=0.3)
+    case = build_channel_case(geom, delta=1.0 / 64)
+    rau = jnp.ones(case.grid.shape, dtype=jnp.float32) * case.fluid
+    coef = pressure_coeffs(case, rau)
+    rng = np.random.default_rng(3)
+    b = jnp.asarray(rng.standard_normal(case.grid.shape),
+                    dtype=jnp.float32) * case.fluid
+    x0 = jnp.zeros_like(b)
+
+    def rel(x):
+        return float(jnp.linalg.norm((b - pressure_matvec(coef, x))
+                                     * case.fluid)
+                     / jnp.linalg.norm(b * case.fluid))
+
+    fixed = mg_solve(coef, b, x0, cycles=4, dtype=jnp.bfloat16)
+    # gate unreachable -> runs the full cap, identical to the fixed loop
+    adapt = mg_solve(coef, b, x0, cycles=4, dtype=jnp.bfloat16, rtol=1e-12)
+    np.testing.assert_array_equal(np.asarray(adapt), np.asarray(fixed))
+    # gate pre-satisfied -> zero cycles, x0 passes through
+    noop = mg_solve(coef, b, x0, cycles=4, dtype=jnp.bfloat16, rtol=1e3)
+    np.testing.assert_array_equal(np.asarray(noop), np.asarray(x0))
+    # adaptive budget spends cycles an impulsive step needs: with a
+    # generous cap it must land at/below the 2-cycle fixed residual
+    deep = mg_solve(coef, b, x0, cycles=12, dtype=jnp.bfloat16, rtol=0.03)
+    two = mg_solve(coef, b, x0, cycles=2, dtype=jnp.bfloat16)
+    assert rel(deep) <= max(0.03, rel(two)), (rel(deep), rel(two))
+    assert rel(deep) < rel(two), (rel(deep), rel(two))
