@@ -664,3 +664,61 @@ def test_2d1_richardson_extrapolation():
     lo, hi = d["published_band"]
     assert d["cl_extrapolated"] < lo          # converged BELOW the band
     assert 0.003 < d["band_distance"] < 0.006  # the documented floor
+
+
+def test_2d1_centred_cylinder_control():
+    """Symmetric-control probe of the 2D-1 lift plateau (VERDICT r3 next
+    #3a): cylinder at cy=0.205 (within delta/3 of the discrete channel
+    mid-height — make_grid rounds the 0.41 channel to ny*delta =
+    0.40954, so the control's effective offset is +0.00023, 4.6% of the
+    published 0.005). Measured: |cl| = 7.5e-5 (cl_std 1.4e-4), cd
+    5.5518 (in band within 0.4%).
+
+    DECISIVE: |cl| << 0.004, so the plateau at +0.0063 is NOT a random
+    spurious-lift floor of the cut-cell machinery — the scheme
+    systematically UNDER-RESPONDS to the cross-channel offset (the
+    budget decomposition names the carrier: the wall-link normal-
+    component penalty, scripts/exp_2d1_lift_budget.py). Matching the
+    published band needs wall-resolved grading (the reference's
+    body-fitted O-grid, gen_blockMeshDict.py:4-196) or a higher-order
+    embedded-wall reconstruction — the documented closure, together
+    with the Richardson extrapolation test above. Side finding pinned
+    here too: every uniform validation grid carries the ~4-5% effective-
+    offset shrink from the height rounding (0.41 -> 0.4095/0.4096)."""
+    path = os.path.join(ARTIFACTS, "ctl_2d1_d47_centred.json")
+    if not os.path.exists(path):
+        pytest.skip("no committed centred-control artifact")
+    with open(path) as f:
+        r = json.load(f)
+    assert r.get("cy") == 0.205, r
+    assert abs(band_error(r["cd"], PUBLISHED["2D-1"]["cd"])) < 0.01, r
+    assert r["cd_std"] < 1e-3 * abs(r["cd"])          # steady tail
+    assert abs(r["cl"]) < 1e-3, r                     # << the 0.004 floor
+
+
+def test_2d3_capped_polish_control_experiments():
+    """Mechanism controls for the fine-grid 2D-3 hybrid blow-up (round
+    4): at d94, (a) the capped 2-cycle bf16 MG polish WITHOUT any
+    surrogate diverges mid-ramp (NaN by t=2.13 — quarantined artifact),
+    while (b) the surrogate + FULL-tolerance MGCG runs clean through the
+    same window. Together with the identical |Cd|~570 startup ring in
+    both d125 hybrid runs (pure MGCG: 0.7), this convicts the fixed
+    capped polish — not the SM warm start — as the divergence mechanism,
+    and motivates the residual-adaptive polish (MGBackend.rtol)."""
+    clean = os.path.join(ARTIFACTS, "ctl_2d3_d94_smexact.json")
+    broken = os.path.join(ARTIFACTS, "unstable_ctl_2d3_d94_mgcap.json")
+    if not (os.path.exists(clean) and os.path.exists(broken)):
+        pytest.skip("no committed d94 control artifacts")
+    with open(clean) as f:
+        ok = json.load(f)
+    assert ok["backend"] == "hybrid" and ok["hybrid_solver"] == "mgcg", ok
+    assert np.isfinite([ok["cd_max"], ok["cl_max"]]).all(), ok
+    # mid-ramp at t=2.5: cd rides the ramp (max at the window end),
+    # lift still tiny — physical, no ring
+    assert 1.5 < ok["cd_max"] < 3.0, ok
+    assert abs(ok["t_cd_max"] - ok["t_end"]) < 0.05, ok
+    assert abs(ok["cl_max"]) < 0.05, ok
+    with open(broken) as f:
+        bad = json.load(f)
+    assert bad.get("diverged") is True and bad.get("mg_bf16") is True, bad
+    assert bad.get("backend") == "mg", bad
