@@ -8,7 +8,7 @@ the continuum (a converged value outside the published [0.0104, 0.0110]
 band — i.e. a genuine capability limit of the uniform cut-cell scheme on
 this O(0.2%-of-drag) quantity) or is it pre-asymptotic?
 
-Writes artifacts/validation/st_2d1_richardson.json; pinned by
+Writes artifacts/validation/richardson_2d1.json; pinned by
 tests/test_validation.py::test_2d1_richardson_extrapolation.
 """
 
@@ -87,7 +87,7 @@ def main():
             "body-fitted O-grid resolves it; gen_blockMeshDict.py:4-196)."
         ),
     )
-    path = os.path.join(ART, "st_2d1_richardson.json")
+    path = os.path.join(ART, "richardson_2d1.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out, indent=2))

@@ -643,7 +643,7 @@ def test_2d1_richardson_extrapolation():
     2D-1 cl is outside [0.0104, 0.0110]; matching it needs wall-resolved
     (graded) meshing, the reference's gen_blockMeshDict.py:4-196
     capability."""
-    path = os.path.join(ARTIFACTS, "st_2d1_richardson.json")
+    path = os.path.join(ARTIFACTS, "richardson_2d1.json")
     if not os.path.exists(path):
         pytest.skip("no committed Richardson artifact")
     with open(path) as f:
