@@ -16,6 +16,10 @@ import os
 import subprocess
 import sys
 
+import pytest
+pytestmark = pytest.mark.slow  # multi-minute: excluded from the quick tier (scripts/run_suite.py --tier quick)
+
+
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

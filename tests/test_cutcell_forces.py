@@ -27,6 +27,10 @@ from tpufoam.fv.pressure import pressure_gradient
 from tpufoam.piso.engine import PisoConfig, run_piso_eager
 from tpufoam.solvers.backends import MGCGBackend
 
+import pytest
+pytestmark = pytest.mark.slow  # multi-minute: excluded from the quick tier (scripts/run_suite.py --tier quick)
+
+
 L, H = 2.0, 1.0
 NU = 0.05
 Y_W = 0.2735          # slab top, deliberately mid-cell at delta = 1/32

@@ -2,6 +2,8 @@
 
 import numpy as np
 import pytest
+pytestmark = pytest.mark.slow  # multi-minute: excluded from the quick tier (scripts/run_suite.py --tier quick)
+
 
 import jax
 

@@ -15,6 +15,10 @@ from tpufoam.fv.case import build_channel_case, initial_flow
 from tpufoam.piso.engine import PisoConfig, piso_step
 from tpufoam.solvers.backends import MGBackend
 
+import pytest
+pytestmark = pytest.mark.slow  # multi-minute: excluded from the quick tier (scripts/run_suite.py --tier quick)
+
+
 
 def test_grad_through_coupled_steps():
     geom = ChannelCase(length=2.0, height=1.0, shape=None, nu=0.05)

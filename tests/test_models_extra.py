@@ -4,6 +4,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+pytestmark = pytest.mark.slow  # multi-minute: excluded from the quick tier (scripts/run_suite.py --tier quick)
+
 
 from tpufoam.models.pinn import (PinnConfig, init_pinn, make_training_points,
                                  pinn_loss, train_pinn, uvp_fn)

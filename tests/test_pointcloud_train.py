@@ -2,6 +2,8 @@
 
 import numpy as np
 import pytest
+pytestmark = pytest.mark.slow  # multi-minute: excluded from the quick tier (scripts/run_suite.py --tier quick)
+
 
 from tpufoam.utils.hdf5_io import CH_DELTAS, write_dataset
 

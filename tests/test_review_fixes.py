@@ -12,6 +12,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+pytestmark = pytest.mark.slow  # multi-minute: excluded from the quick tier (scripts/run_suite.py --tier quick)
+
 
 from tpufoam.solvers.multigrid import prolong, restrict
 from tpufoam.surrogate.features import smart_arcsinh

@@ -15,6 +15,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+pytestmark = pytest.mark.slow  # multi-minute: excluded from the quick tier (scripts/run_suite.py --tier quick)
+
 
 from tpufoam.core.geometry import channel_case_geometry
 from tpufoam.fv.case import build_channel_case, initial_flow

@@ -3,6 +3,8 @@
 import jax.numpy as jnp
 import numpy as np
 import pytest
+pytestmark = pytest.mark.slow  # multi-minute: excluded from the quick tier (scripts/run_suite.py --tier quick)
+
 
 from tpufoam.surrogate.blocks import (assemble_lstsq, assemble_scan,
                                       block_zero_mean, build_block_layout,

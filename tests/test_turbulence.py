@@ -31,6 +31,7 @@ def test_init_turbulence_values():
     assert np.all(np.asarray(turb.nu_t) >= 0)
 
 
+@pytest.mark.slow  # live multi-step run
 def test_sst_free_decay_matches_analytic():
     """No shear, no walls binding: dk/dt = -beta* k w, dw/dt = -beta w^2
     has the closed form w = w0/(1+beta w0 t), k = k0 (w/w0)^(beta*/beta).
@@ -68,6 +69,7 @@ def test_sst_free_decay_matches_analytic():
     assert np.isclose(k_num, k_exact, rtol=0.15)
 
 
+@pytest.mark.slow  # live multi-step run
 def test_turbulent_channel_runs_and_produces_eddy_viscosity():
     """High-Re channel with obstacle: fields stay finite, nu_t developing
     downstream exceeds molecular nu (a turbulence model that never turns
@@ -123,6 +125,7 @@ def test_turbulence_state_save_resume(tmp_path):
     assert load_turbulence(path) is None
 
 
+@pytest.mark.slow  # live multi-step run
 def test_turbulent_channel_cf_matches_dean():
     """EXTERNAL anchor for k-omega SST + wall functions (VERDICT r2 weak
     #4: the model previously had only self-referential checks): a
@@ -194,6 +197,7 @@ def test_turbulent_hybrid_dean_artifacts_match_pure():
     assert abs(rh["k_wall_mean"] / rp["k_wall_mean"] - 1.0) < 0.01
 
 
+@pytest.mark.slow  # live multi-step run
 def test_turbulent_hybrid_in_the_loop_with_trained_bundle():
     """SM-in-the-loop for the TURBULENT regime: the committed sm_turb256
     bundle (trained on SST+wall-function wake data,

@@ -48,6 +48,7 @@ def _default_closure(r: dict) -> bool:
             and abs(r.get("alpha_cut", 0.05) - 0.05) < 1e-12)
 
 
+@pytest.mark.slow  # live multi-step run
 def test_2d1_steady_drag_re20():
     """Steady confined-cylinder drag at Re=20: published cd in
     [5.57, 5.59]. The cut-cell aperture boundary (fv/cutcell.py) with the
@@ -485,6 +486,7 @@ def test_2d2_backward_ddt_lift_in_published_band():
         assert abs(band_error(r["strouhal"], ref["strouhal"])) < 0.02, r
 
 
+@pytest.mark.slow  # live multi-step run
 def test_hybrid_force_series_smoke():
     """The SM-in-the-loop validation path (validate_schafer_turek
     --backend hybrid): run_force_series with a surrogate warm start +
@@ -513,6 +515,7 @@ def test_hybrid_force_series_smoke():
     assert np.isfinite(np.asarray(flow.p)).all()
 
 
+@pytest.mark.slow  # live multi-step run
 def test_force_series_checkpoint_resume_is_exact(tmp_path):
     """Run-state checkpoint/resume (the reference's `startFrom
     latestTime`, controlDict:20, extended with the forceCoeffs history):
