@@ -279,7 +279,8 @@ def mg_solve(coef: PressureCoeffs, b: jnp.ndarray, x0: jnp.ndarray,
     Jacobi sweeps, so cap depth only as far as those sweeps still reduce
     the coarse residual.
 
-    `rtol > 0` (requires `dtype`, i.e. the residual-correction form):
+    `rtol > 0` (residual-correction form; works for bf16 `dtype` AND
+    f32 `dtype=None`):
     RESIDUAL-ADAPTIVE capping — `cycles` becomes the maximum, and the
     loop exits early once ||b - A x|| <= rtol * ||b||. The correction
     form computes the f32 residual every cycle anyway, so adaptivity
@@ -290,12 +291,17 @@ def mg_solve(coef: PressureCoeffs, b: jnp.ndarray, x0: jnp.ndarray,
     |Cd| ~ 570 on the 2D-3 d125 hybrid startup where the pure MGCG run
     shows 0.7) and diverged the d94 hybrid mid-ramp; settled steps exit
     after 1-2 cycles, so the production cost is nearly unchanged.
+    PRECISION CAVEAT (measured, scripts in docs/STATUS.md r4): the bf16
+    correction form has a NOISE FLOOR of ~0.10 relative residual on the
+    Schaefer-Turek operators — an rtol below it burns the full cycle cap
+    and still returns ~0.1. Use dtype=None (f32 corrections, ~0.5/cycle
+    contraction to machine level) for tolerances below ~0.15.
     Caveats (same as the sm_safeguard rescue): while_loop has no VJP —
     use rtol=0 for reverse-mode AD; under vmap the loop runs until every
     lane converges."""
     levels = build_hierarchy(coef, min_size=min_size, max_levels=max_levels)
     levels_lp = _cast_levels(levels, dtype) if dtype is not None else None
-    if rtol and rtol > 0.0 and dtype is not None:
+    if rtol and rtol > 0.0:
         gate = rtol * (jnp.linalg.norm(b) + 1e-30)
 
         def cond(c):
