@@ -25,20 +25,43 @@ ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
 
 
 def main():
+    import argparse
+
     import jax
     import numpy as np
 
+    from tpufoam.core.geometry import channel_case_geometry
     from tpufoam.eval.benchmark import schafer_turek_case
-    from tpufoam.fv.case import initial_flow
+    from tpufoam.fv.case import build_channel_case, initial_flow
     from tpufoam.ops import stencil as st
     from tpufoam.piso.engine import PisoConfig, run_piso_eager
     from tpufoam.solvers.backends import MGBackend
     from tpufoam.surrogate.pipeline import SurrogateBundle, make_predictor
 
-    bundle = SurrogateBundle.load(os.path.join(ROOT, "artifacts",
-                                               "sm_st128"))
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--size", default="512x2750",
+                    help="'512x2750' (Schaefer-Turek d125 case) or an "
+                         "nyXnx channel-bench grid, e.g. 2048x4096")
+    ap.add_argument("--out", default="pallas_d125_tile_probe.json")
+    args = ap.parse_args()
+
+    ny, nx = (int(v) for v in args.size.split("x"))
+    if (ny, nx) == (512, 2750):
+        bundle = SurrogateBundle.load(os.path.join(ROOT, "artifacts",
+                                                   "sm_st128"))
+        case, _ = schafer_turek_case("2D-2", delta=0.0008)
+        cfg_kw = dict(max_co=0.4, max_dt=5e-4, ddt="backward")
+    else:
+        bundle = SurrogateBundle.load(os.path.join(ROOT, "artifacts",
+                                                   "sm_ref512"))
+        height = 2.0
+        delta = height / ny
+        geom = channel_case_geometry("cylinder", length=nx * delta,
+                                     height=height, obstacle_size=0.5,
+                                     nu=8e-3)
+        case = build_channel_case(geom, delta=delta)
+        cfg_kw = dict(n_correctors=2, max_co=0.5, max_dt=2e-3)
     predictor = make_predictor(bundle, stitch="lstsq")
-    case, _ = schafer_turek_case("2D-2", delta=0.0008)   # 512 x 2750
     flow0 = initial_flow(case, dt0=2e-4)
     be = MGBackend(cycles=2, precision="bf16")
     n_steps, repeats = 30, 5
@@ -55,10 +78,9 @@ def main():
         if vmem_budget is not None:
             st.VMEM_LIMIT = vmem_budget
         try:
-            tile = st._fit_tile_y(*st._padded_dims(512, 2750, np.float32),
+            tile = st._fit_tile_y(*st._padded_dims(ny, nx, np.float32),
                                   8, 11, 2, 4)
-            cfg = PisoConfig(max_co=0.4, max_dt=5e-4, ddt="backward",
-                             momentum_smoother=mom)
+            cfg = PisoConfig(momentum_smoother=mom, **cfg_kw)
             flow = run_piso_eager(case, flow0, n_steps, cfg=cfg,
                                   backend=be, sm_predict=predictor)
             jax.block_until_ready(flow.u)
@@ -76,15 +98,14 @@ def main():
         finally:
             st.VMEM_LIMIT = old
 
-    out = {"grid": "512x2750", "device": None, "lanes": {}}
+    out = {"grid": args.size, "device": None, "lanes": {}}
     out["lanes"]["xla"] = lane("xla")
     out["lanes"]["pallas_default"] = lane("pallas")             # tile 64
     out["lanes"]["pallas_10mb"] = lane("pallas", 10 * 2**20)    # tile 32
     out["lanes"]["pallas_6mb"] = lane("pallas", 6 * 2**20)      # tile 16
     out["device"] = str(jax.devices()[0])
     print(json.dumps(out, indent=2))
-    with open(os.path.join(ROOT, "artifacts",
-                           "pallas_d125_tile_probe.json"), "w") as f:
+    with open(os.path.join(ROOT, "artifacts", args.out), "w") as f:
         json.dump(out, f, indent=2)
 
 
