@@ -363,8 +363,13 @@ def _child_main():
         return (len(shapes) * n_cells
                 / (float(np.median(ts)) / n_steps) / 1e6)
 
-    # each fleet lane compiles 4 new cases: ~4x a single-lane cost
-    fleet_est = 4.0 * hybrid_lane_cost
+    # each fleet lane REUSES the single-case compiled program (the case
+    # is a traced ARGUMENT and the statics are identical to the hybrid
+    # lane), so its cost is ~4x the timing windows + slack — NOT 4x the
+    # compile-heavy first lane (that estimate skipped the fleet lanes
+    # under slow-tunnel compiles)
+    window_s = (repeats + 1) * n_steps * t_hy
+    fleet_est = 4.0 * window_s + 60.0
     if _remaining() > 1.2 * fleet_est:
         extra["fleet_4x1M_mcells_s"] = round(fleet_lane(None), 1)
         extra["fleet_mode"] = ("sequential-eager per case (A/B vs vmapped "
