@@ -401,7 +401,10 @@ def _child_main():
     if save:
         with open(save, "w") as f:
             json.dump(result, f, indent=2)
-    print(json.dumps(result))
+    try:
+        print(json.dumps(result))
+    except BrokenPipeError:
+        pass  # parent emitted best-so-far at the budget and exited
 
 
 def main():
