@@ -238,7 +238,8 @@ def main():
                     ddt_corr=bool(ns.ddt_corr), backend=ns.backend,
                     max_co=ns.max_co, max_dt=ns.max_dt,
                     bundle=bname, mg_cycles=ns.mg_cycles
-                    if ns.backend == "hybrid" else None,
+                    if ns.backend == "hybrid"
+                    or (ns.backend == "mg" and ns.mg_bf16) else None,
                     alpha_cut=ns.alpha_cut, cy=ns.cy,
                     sm_safeguard=ns.sm_safeguard
                     if ns.backend == "hybrid" else None,
@@ -251,6 +252,9 @@ def main():
                     hybrid_solver=ns.hybrid_solver
                     if ns.backend == "hybrid" else None,
                     hybrid_rtol=ns.hybrid_rtol
+                    if ns.backend == "hybrid"
+                    and ns.hybrid_solver == "mg-adaptive" else None,
+                    hybrid_max_cycles=ns.hybrid_max_cycles
                     if ns.backend == "hybrid"
                     and ns.hybrid_solver == "mg-adaptive" else None)
 

@@ -167,7 +167,7 @@ class PisoConfig:
                                       # The production fleet lanes are
                                       # sequential-eager and unaffected.
     sm_safeguard_extra: int = 3       # max rescue solves per step
-    sm_trust: float = 1.0             # plausibility gate on the SM warm
+    sm_trust: float = 0.0             # plausibility gate on the SM warm
                                       # start, applied BEFORE the momentum
                                       # predictor: reject the prediction
                                       # (fall back to the previous-step
@@ -197,7 +197,19 @@ class PisoConfig:
                                       # (reference Algorithm-2 parity:
                                       # accept blindly). Two norms +
                                       # a where; differentiable and
-                                      # vmap-safe.
+                                      # vmap-safe. DEFAULT 0 (ADVICE r4):
+                                      # the gate cannot catch the one
+                                      # real failure observed (a
+                                      # deterministic surrogate's OOD
+                                      # bias evolves smoothly), and a
+                                      # nonzero default silently changed
+                                      # previously-validated hybrid
+                                      # trajectories and rejected cold
+                                      # starts (p_prev == 0 requires
+                                      # dn <= 0). Opt in explicitly
+                                      # (e.g. --sm-trust 1.0); the gate
+                                      # now passes exact-zero p_prev
+                                      # unconditionally.
     shard_mesh: object = None         # jax.sharding.Mesh (hashable) when
                                       # the step runs GSPMD-sharded: the
                                       # pallas momentum kernel then runs
@@ -247,8 +259,11 @@ def _gate_sm_prediction(p_sm: jnp.ndarray, p_prev: jnp.ndarray,
     if trust > 0.0:
         dn = jnp.linalg.norm((p_sm - p_prev) * fluid)
         pn = jnp.linalg.norm(p_prev * fluid)
-        # NaN dn compares False -> rejected
-        ok = ok & (dn <= trust * pn)
+        # NaN dn compares False -> rejected; an exact-zero incoming
+        # pressure (cold start) carries no scale to compare against, so
+        # it passes rather than unconditionally rejecting every warm
+        # start until pressure develops (ADVICE r4)
+        ok = ok & ((dn <= trust * pn) | (pn == 0.0))
     return jnp.where(ok, p_sm, p_prev) * fluid
 
 

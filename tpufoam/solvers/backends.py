@@ -81,6 +81,20 @@ class MGBackend:
                 "clamping to V(2,2). Use MGCGBackend for light cycles.",
                 stacklevel=2)
             pre, post = 2, 2   # V(1,1)/one-sided cycles are not safe standalone
+        if dtype is not None and 0.0 < self.rtol < 0.15:
+            # measured (docs/STATUS.md r4 item 10c): the bf16
+            # residual-correction form has a ~0.10 relative-residual noise
+            # floor on the Schaefer-Turek operators — a sub-floor rtol
+            # silently burns the full cycle cap every step (up to
+            # `cycles`x the cost) and still returns ~0.1. The failure
+            # mode is silent cost, not wrong results, hence warn-not-raise.
+            warnings.warn(
+                f"MGBackend(precision='bf16', rtol={self.rtol:g}) is below "
+                "the measured ~0.10 bf16 correction-form residual noise "
+                "floor; every step will burn the full cycle cap. Use "
+                "rtol >= 0.15 with bf16, or precision='f32' "
+                "(mgcg-capped is the production transient polish).",
+                stacklevel=2)
         return mg_solve(coef, rhs, p_prev, cycles=self.cycles,
                         pre=pre, post=post, dtype=dtype,
                         smoother=self.smoother, max_levels=self.max_levels,
