@@ -175,11 +175,18 @@ def test_trust_gate_rejects_out_of_distribution_prediction():
     out = _gate_sm_prediction(p_prev + noise, p_prev, case.fluid, trust=1.0)
     np.testing.assert_array_equal(np.asarray(out),
                                   np.asarray(p_prev * case.fluid))
-    # zero previous pressure (cold start from rest): ANY nonzero
-    # prediction is rejected — the pure solver's own init is kept
+    # exact-zero previous pressure (cold start from rest) carries no
+    # scale to compare against: the finite prediction PASSES instead of
+    # being unconditionally rejected until pressure develops (ADVICE r4;
+    # the residual safeguard still guards the solve itself)
     zero = jnp.zeros_like(p_prev)
     out0 = _gate_sm_prediction(noise, zero, case.fluid, trust=1.0)
-    np.testing.assert_array_equal(np.asarray(out0), np.asarray(zero))
+    np.testing.assert_array_equal(np.asarray(out0),
+                                  np.asarray(noise * case.fluid))
+    # ... but a non-finite cold-start prediction is still rejected
+    bad = noise.at[0, 0].set(jnp.nan)
+    outb = _gate_sm_prediction(bad, zero, case.fluid, trust=1.0)
+    np.testing.assert_array_equal(np.asarray(outb), np.asarray(zero))
     # plausible prediction (1% perturbation of an O(1) field): bitwise
     # pass-through
     flow = _settled(case)

@@ -62,6 +62,67 @@ class Case:
 
 
 
+class GridMetrics:
+    """Broadcastable FV metric terms for uniform AND stretched grids.
+
+    On uniform grids every field is the SAME Python float the legacy
+    expressions used (dy/dx conductances, 0.5 face weights), so the traced
+    programs — and their results — are bitwise identical to the validated
+    round-2..4 scheme. On stretched tensor-product grids (Grid2D.xs/ys)
+    they become (1, nx)/(ny, 1) float32 constants: cell spacings, per-
+    direction centre-to-centre distances, and distance-weighted face
+    interpolation weights (the weight OF THE CELL at its own face). All
+    downstream use is broadcasting into existing fused elementwise
+    graphs — no gathers, no stride tricks (docs/STATUS.md §2 invariants).
+    """
+
+    __slots__ = ("dxc", "dyc", "hx_e", "hx_w", "hy_n", "hy_s",
+                 "wx_e", "wx_w", "wy_n", "wy_s", "stretched")
+
+    def __init__(self, grid: Grid2D):
+        self.stretched = grid.stretched
+        if not grid.stretched:
+            self.dxc, self.dyc = grid.dx, grid.dy
+            self.hx_e = self.hx_w = grid.dx
+            self.hy_n = self.hy_s = grid.dy
+            self.wx_e = self.wx_w = self.wy_n = self.wy_s = 0.5
+            return
+        xs, ys = grid.spacing_arrays(np)
+
+        def row(v):
+            return jnp.asarray(v.astype(np.float32))[None, :]
+
+        def col(v):
+            return jnp.asarray(v.astype(np.float32))[:, None]
+
+        self.dxc, self.dyc = row(xs), col(ys)
+        # centre-to-centre distances toward each neighbour; the domain-edge
+        # entries (no neighbour) carry the own-cell spacing — their faces
+        # are always closed (open_* = 0) or handled by dedicated boundary
+        # closures (inlet/outlet half-distance uses dxc directly)
+        self.hx_e = row(0.5 * (xs + np.append(xs[1:], xs[-1])))
+        self.hx_w = row(0.5 * (xs + np.concatenate([xs[:1], xs[:-1]])))
+        self.hy_n = col(0.5 * (ys + np.append(ys[1:], ys[-1])))
+        self.hy_s = col(0.5 * (ys + np.concatenate([ys[:1], ys[:-1]])))
+        # linear face interpolation: value at the cell's east face =
+        # wx_e * f_P + (1 - wx_e) * f_E with wx_e = dx_E / (dx_P + dx_E)
+        # (the face sits half of each cell away from either centre)
+        xe = np.append(xs[1:], xs[-1])
+        xw = np.concatenate([xs[:1], xs[:-1]])
+        yn = np.append(ys[1:], ys[-1])
+        yso = np.concatenate([ys[:1], ys[:-1]])
+        self.wx_e = row(xe / (xs + xe))
+        self.wx_w = row(xw / (xs + xw))
+        self.wy_n = col(yn / (ys + yn))
+        self.wy_s = col(yso / (ys + yso))
+
+
+def grid_metrics(grid: Grid2D) -> GridMetrics:
+    """Metric terms for the FV discretization (see GridMetrics). Called at
+    trace time inside jitted steps — the arrays are small constants."""
+    return GridMetrics(grid)
+
+
 def domain_row_masks(case: "Case"):
     """(dom_n, dom_s): fluid cells in the top/bottom DOMAIN wall rows.
     One implementation for the momentum / pressure / SST wall links,
@@ -87,10 +148,11 @@ class Flow:
     p_prev: jnp.ndarray
 
 
-def build_channel_case(geom: ChannelCase, delta: float,
+def build_channel_case(geom: ChannelCase, delta: float = None,
                        n_boundary: int = 720,
                        boundary: str = "cutcell",
-                       alpha_cut: float = 0.05) -> Case:
+                       alpha_cut: float = 0.05,
+                       grid: Grid2D = None) -> Case:
     """Discretize a ChannelCase onto a uniform grid (one-time host setup).
 
     boundary: 'cutcell' resolves the obstacle with sub-cell face apertures
@@ -98,10 +160,17 @@ def build_channel_case(geom: ChannelCase, delta: float,
     bias); 'blank' is the round-2 binary centre-inside mask. Both run
     through the same generalized discretization — blank mode is the
     binary-aperture limit.
+
+    grid: pass a prebuilt Grid2D (e.g. a stretched make_graded_grid that
+    packs cells around the obstacle — the reference's simpleGrading
+    counterpart) instead of the uniform `delta` spacing.
     """
     from .cutcell import cut_masks
 
-    grid = make_grid(0.0, geom.length, 0.0, geom.height, delta)
+    if grid is None:
+        if delta is None:
+            raise ValueError("pass either delta (uniform) or grid")
+        grid = make_grid(0.0, geom.length, 0.0, geom.height, delta)
     pts = grid.cell_centers_flat(np)
 
     top_b = geom.boundary_points_top(4 * n_boundary)
@@ -121,7 +190,11 @@ def build_channel_case(geom: ChannelCase, delta: float,
                             obst_inside=inside.reshape(-1))
     sdf = jnp.asarray(sdf).reshape(grid.shape) * fluid_np
 
-    y = grid.y0 + (np.arange(grid.ny) + 0.5) * grid.dy
+    if not grid.stretched:
+        y = grid.y0 + (np.arange(grid.ny) + 0.5) * grid.dy
+    else:
+        ye = grid.y_edges(np)
+        y = 0.5 * (ye[:-1] + ye[1:])
     inlet_u = geom.inlet_profile(y).astype(np.float32)
 
     _validate_connectivity(fluid_np)
@@ -262,16 +335,30 @@ def fluxes_from_velocity(case: Case, u: jnp.ndarray, v: jnp.ndarray):
     (upwind cell value), wall/solid faces = 0.
     """
     grid = case.grid
-    dy, dx = grid.dy, grid.dx
+    if not grid.stretched:
+        dy, dx = grid.dy, grid.dx
+        face_val_x = 0.5 * (u[:, :-1] + u[:, 1:])      # faces j=1..nx-1
+        face_val_y = 0.5 * (v[:-1, :] + v[1:, :])      # faces i=1..ny-1
+        dy_col = dy * jnp.ones((grid.ny, 1), dtype=u.dtype)
+    else:
+        # distance-weighted face interpolation + per-row/column face areas
+        xs, ys = grid.spacing_arrays(np)
+        wfx = jnp.asarray((xs[1:] / (xs[:-1] + xs[1:]))
+                          .astype(np.float32))[None, :]   # weight of LEFT cell
+        wfy = jnp.asarray((ys[1:] / (ys[:-1] + ys[1:]))
+                          .astype(np.float32))[:, None]
+        face_val_x = wfx * u[:, :-1] + (1.0 - wfx) * u[:, 1:]
+        face_val_y = wfy * v[:-1, :] + (1.0 - wfy) * v[1:, :]
+        dy = jnp.asarray(ys.astype(np.float32))[:, None]  # x-face areas/row
+        dx = jnp.asarray(xs.astype(np.float32))[None, :]  # y-face areas/col
+        dy_col = dy
 
-    face_val_x = 0.5 * (u[:, :-1] + u[:, 1:])          # faces j=1..nx-1
     phi_x = jnp.concatenate([
-        (case.inlet_u * case.fluid[:, 0] * dy)[:, None],
+        case.inlet_u[:, None] * case.fluid[:, :1] * dy_col,
         face_val_x * case.open_w[:, 1:] * dy,
-        (u[:, -1] * case.fluid[:, -1] * dy)[:, None],
+        u[:, -1:] * case.fluid[:, -1:] * dy_col,
     ], axis=1)
 
-    face_val_y = 0.5 * (v[:-1, :] + v[1:, :])          # faces i=1..ny-1
     zrow = jnp.zeros((1, grid.nx), dtype=u.dtype)
     phi_y = jnp.concatenate([
         zrow,

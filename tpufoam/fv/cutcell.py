@@ -58,20 +58,35 @@ def cut_masks(grid, shape, inside_centers: np.ndarray,
     Returns dict of numpy arrays (see module docstring).
     """
     ny, nx = grid.shape
+    stretched = getattr(grid, "stretched", False)
+    if stretched:
+        # per-axis spacing/edge arrays (the graded-grid generalization);
+        # the uniform branch below keeps the original scalar arithmetic
+        # bit-for-bit (validated round-3/4 geometry)
+        xs_c, ys_c = grid.spacing_arrays(np)
+        xe_c, ye_c = grid.x_edges(np), grid.y_edges(np)
+        DX, DY = xs_c[None, :], ys_c[:, None]       # (1,nx), (ny,1)
+        h = float(min(xs_c.min(), ys_c.min()))
+        h_pad = 2.0 * float(max(xs_c.max(), ys_c.max()))
+        cx = 0.5 * (xe_c[:-1] + xe_c[1:])
+        cy = 0.5 * (ye_c[:-1] + ye_c[1:])
+    else:
+        DX, DY = grid.dx, grid.dy
+        h = min(grid.dx, grid.dy)
+        h_pad = 2.0 * h
+        cx = grid.x0 + (np.arange(nx) + 0.5) * grid.dx
+        cy = grid.y0 + (np.arange(ny) + 0.5) * grid.dy
     dx, dy = grid.dx, grid.dy
-    h = min(dx, dy)
 
     thx = np.ones((ny, nx + 1), dtype=np.float64)
     thy = np.ones((ny + 1, nx), dtype=np.float64)
     alpha = 1.0 - inside_centers.astype(np.float64)
-    cx = grid.x0 + (np.arange(nx) + 0.5) * dx
-    cy = grid.y0 + (np.arange(ny) + 0.5) * dy
     CX, CY = np.meshgrid(cx, cy)
     cent_x, cent_y = CX.copy(), CY.copy()
 
     if shape is not None and mode == "cutcell":
         bp = shape.boundary_points(256)
-        pad = 2.0 * h
+        pad = h_pad
         xlo, xhi = bp[:, 0].min() - pad, bp[:, 0].max() + pad
         ylo, yhi = bp[:, 1].min() - pad, bp[:, 1].max() + pad
         j_sel = np.where((cx > xlo) & (cx < xhi))[0]
@@ -82,8 +97,14 @@ def cut_masks(grid, shape, inside_centers: np.ndarray,
             off = (np.arange(n_sub) + 0.5) / n_sub
 
             # cell volume fractions + fluid-part centroids (midpoint grid)
-            xs = grid.x0 + (j_sel[None, :, None] + off[None, None, :]) * dx
-            ys = grid.y0 + (i_sel[:, None, None] + off[None, None, :]) * dy
+            if stretched:
+                xs = (xe_c[j_sel][None, :, None]
+                      + off[None, None, :] * xs_c[j_sel][None, :, None])
+                ys = (ye_c[i_sel][:, None, None]
+                      + off[None, None, :] * ys_c[i_sel][:, None, None])
+            else:
+                xs = grid.x0 + (j_sel[None, :, None] + off[None, None, :]) * dx
+                ys = grid.y0 + (i_sel[:, None, None] + off[None, None, :]) * dy
             # (ni, nj, k, k, 2): broadcast x along one sample axis, y other
             px = np.broadcast_to(xs[:, :, None, :],
                                  (i1 - i0, j1 - j0, n_sub, n_sub))
@@ -104,8 +125,14 @@ def cut_masks(grid, shape, inside_centers: np.ndarray,
                 CY[i0:i1, j0:j1])
 
             # x-face apertures: faces j0..j1 (inclusive), rows i0..i1
-            fx = grid.x0 + np.arange(j0, j1 + 1) * dx
-            fy = grid.y0 + (np.arange(i0, i1)[:, None] + off[None, :]) * dy
+            if stretched:
+                fx = xe_c[j0:j1 + 1]
+                fy = (ye_c[i0:i1][:, None]
+                      + off[None, :] * ys_c[i0:i1][:, None])
+            else:
+                fx = grid.x0 + np.arange(j0, j1 + 1) * dx
+                fy = grid.y0 + (np.arange(i0, i1)[:, None]
+                                + off[None, :]) * dy
             pfx = np.broadcast_to(fx[None, :, None],
                                   (i1 - i0, j1 - j0 + 1, n_sub))
             pfy = np.broadcast_to(fy[:, None, :],
@@ -114,9 +141,14 @@ def cut_masks(grid, shape, inside_centers: np.ndarray,
                 shape, np.stack([pfx, pfy], axis=-1))
 
             # y-face apertures: faces i0..i1 (inclusive), cols j0..j1
-            gy = grid.y0 + np.arange(i0, i1 + 1) * dy
-            gx = grid.x0 + (np.arange(j0, j1)[None, :, None]
-                            + off[None, None, :]) * dx
+            if stretched:
+                gy = ye_c[i0:i1 + 1]
+                gx = (xe_c[j0:j1][None, :, None]
+                      + off[None, None, :] * xs_c[j0:j1][None, :, None])
+            else:
+                gy = grid.y0 + np.arange(i0, i1 + 1) * dy
+                gx = grid.x0 + (np.arange(j0, j1)[None, :, None]
+                                + off[None, None, :]) * dx
             pgy = np.broadcast_to(gy[:, None, None],
                                   (i1 - i0 + 1, j1 - j0, n_sub))
             pgx = np.broadcast_to(gx, (i1 - i0 + 1, j1 - j0, n_sub))
@@ -153,9 +185,9 @@ def cut_masks(grid, shape, inside_centers: np.ndarray,
     ty = thy.copy()
     ty[0, :] = fluid[0, :]
     ty[-1, :] = fluid[-1, :]
-    wall_ax = -(tx[:, 1:] - tx[:, :-1]) * dy * fluid
-    wall_ay = -(ty[1:, :] - ty[:-1, :]) * dx * fluid
-    wall_len = _wetted_length(tx, ty, fluid, dx, dy, mode)
+    wall_ax = -(tx[:, 1:] - tx[:, :-1]) * DY * fluid
+    wall_ay = -(ty[1:, :] - ty[:-1, :]) * DX * fluid
+    wall_len = _wetted_length(tx, ty, fluid, DX, DY, mode)
 
     # --- wall distance + nearest boundary point (force probe anchors) -------
     wall_dist = np.ones((ny, nx), dtype=np.float64)
@@ -167,7 +199,11 @@ def cut_masks(grid, shape, inside_centers: np.ndarray,
             tree = cKDTree(bpts)
             cen = np.stack([cent_x[sel], cent_y[sel]], axis=-1)
             d, _ = tree.query(cen)
-            wall_dist[sel] = np.clip(d, 0.05 * h, 0.5 * h)
+            # clip bounds follow the LOCAL cell size on stretched grids
+            h_cell = (np.minimum(np.broadcast_to(DX, (ny, nx)),
+                                 np.broadcast_to(DY, (ny, nx)))[sel]
+                      if stretched else h)
+            wall_dist[sel] = np.clip(d, 0.05 * h_cell, 0.5 * h_cell)
         else:
             # blank mode: the discrete wall IS the closed face, half a
             # cell away ALONG ITS OWN AXIS (a centre can graze the true
@@ -182,8 +218,8 @@ def cut_masks(grid, shape, inside_centers: np.ndarray,
             d_w = (1.0 - tx[:, :-1]) * fluid
             d_n = (1.0 - ty[1:, :]) * fluid
             d_s = (1.0 - ty[:-1, :]) * fluid
-            cond = ((d_e + d_w) * dy / (0.5 * dx)
-                    + (d_n + d_s) * dx / (0.5 * dy))
+            cond = ((d_e + d_w) * DY / (0.5 * DX)
+                    + (d_n + d_s) * DX / (0.5 * DY))
             wall_dist[sel] = wall_len[sel] / cond[sel]
 
     return dict(alpha=alpha, fluid=fluid, thx=thx, thy=thy,
@@ -192,7 +228,7 @@ def cut_masks(grid, shape, inside_centers: np.ndarray,
 
 
 def _wetted_length(tx: np.ndarray, ty: np.ndarray, fluid: np.ndarray,
-                   dx: float, dy: float, mode: str) -> np.ndarray:
+                   dx, dy, mode: str) -> np.ndarray:
     """Per-cell embedded-wall WETTED length for the no-slip friction link.
 
     The net area vector |A_w| (= hypot of the aperture-deficit sums) is

@@ -18,7 +18,7 @@ import flax.struct
 import jax.numpy as jnp
 from jax import lax
 
-from .case import Case, domain_row_masks
+from .case import Case, domain_row_masks, grid_metrics
 from .operators import nb_e, nb_n, nb_s, nb_w
 
 
@@ -41,16 +41,18 @@ def _deferred_central_correction(case: Case, f_e, f_w, f_n, f_s,
     positive axis direction: for a cell's east/north face the cell is L,
     for its west/south face the cell is R (so F>0 upwinds from the
     *neighbour* there)."""
-    def face_corr(f_flux, left, right, open_mask):
-        central = 0.5 * (left + right)
+    m = grid_metrics(case.grid)
+
+    def face_corr(f_flux, left, right, open_mask, w_left):
+        central = w_left * left + (1.0 - w_left) * right
         upwind = jnp.where(f_flux > 0, left, right)
         # the flux already carries the face aperture — only gate on open
         return jnp.where(open_mask > 0, f_flux * (central - upwind), 0.0)
 
-    out = (face_corr(f_e, phi, nb_e(phi), case.open_e)
-           - face_corr(f_w, nb_w(phi), phi, case.open_w)
-           + face_corr(f_n, phi, nb_n(phi), case.open_n)
-           - face_corr(f_s, nb_s(phi), phi, case.open_s))
+    out = (face_corr(f_e, phi, nb_e(phi), case.open_e, m.wx_e)
+           - face_corr(f_w, nb_w(phi), phi, case.open_w, 1.0 - m.wx_w)
+           + face_corr(f_n, phi, nb_n(phi), case.open_n, m.wy_n)
+           - face_corr(f_s, nb_s(phi), phi, case.open_s, 1.0 - m.wy_s))
     return -gamma * out
 
 
@@ -92,19 +94,23 @@ def _limited_linear_corrections(case: Case, f_e, f_w, f_n, f_s,
         psi_m = jnp.clip(2.0 * r_m / k, 0.0, 1.0) * mRR
         return jnp.where(F > 0, psi_p, psi_m)
 
-    def face_corr(F, L, R, psi, open_mask):
-        central = 0.5 * (L + R)
+    def face_corr(F, L, R, psi, open_mask, w_left):
+        central = w_left * L + (1.0 - w_left) * R
         upwind = jnp.where(F > 0, L, R)
         # F already carries the face aperture — only gate on open
         return jnp.where(open_mask > 0, F * psi * (central - upwind), 0.0)
 
+    _m = grid_metrics(case.grid)
     corr = {}
-    # (face flux, L-shift, R-shift, LL-shift fn, RR-shift fn, open mask, sign)
+    # (face flux, L-shift, R-shift, LL-shift fn, RR-shift fn, open mask,
+    #  sign, left-cell interpolation weight — 0.5 uniform, distance-
+    #  weighted stretched; the limiter ratio r stays index-space, standard
+    #  practice on mildly graded grids)
     faces = (
-        (f_e, None, "e", "w", ("e", "e"), case.open_e, +1.0),
-        (f_w, "w", None, ("w", "w"), "e", case.open_w, -1.0),
-        (f_n, None, "n", "s", ("n", "n"), case.open_n, +1.0),
-        (f_s, "s", None, ("s", "s"), "n", case.open_s, -1.0),
+        (f_e, None, "e", "w", ("e", "e"), case.open_e, +1.0, _m.wx_e),
+        (f_w, "w", None, ("w", "w"), "e", case.open_w, -1.0, 1.0 - _m.wx_w),
+        (f_n, None, "n", "s", ("n", "n"), case.open_n, +1.0, _m.wy_n),
+        (f_s, "s", None, ("s", "s"), "n", case.open_s, -1.0, 1.0 - _m.wy_s),
     )
 
     def apply_shift(spec, x):
@@ -118,7 +124,7 @@ def _limited_linear_corrections(case: Case, f_e, f_w, f_n, f_s,
 
     corr_u = jnp.zeros_like(u)
     corr_v = jnp.zeros_like(v)
-    for F, sl, sr, sll, srr, open_m, sign in faces:
+    for F, sl, sr, sll, srr, open_m, sign, w_left in faces:
         mLL = apply_shift(sll, fl)
         mRR = apply_shift(srr, fl)
         uL, uR = apply_shift(sl, u), apply_shift(sr, u)
@@ -128,8 +134,8 @@ def _limited_linear_corrections(case: Case, f_e, f_w, f_n, f_s,
         psi_v = psi_face(F, vL, vR, apply_shift(sll, v), apply_shift(srr, v),
                          mLL, mRR)
         psi = jnp.minimum(psi_u, psi_v)   # the shared V-scheme limiter
-        corr_u = corr_u + sign * face_corr(F, uL, uR, psi, open_m)
-        corr_v = corr_v + sign * face_corr(F, vL, vR, psi, open_m)
+        corr_u = corr_u + sign * face_corr(F, uL, uR, psi, open_m, w_left)
+        corr_v = corr_v + sign * face_corr(F, vL, vR, psi, open_m, w_left)
     return -corr_u, -corr_v
 
 
@@ -142,7 +148,7 @@ def _transpose_diffusion_source(case: Case, nu_t: jnp.ndarray,
         s_u = dnut/dx * du/dx + dnut/dy * dv/dx
         s_v = dnut/dx * du/dy + dnut/dy * dv/dy
     Returned per unit volume; caller multiplies by V."""
-    dx, dy = case.grid.dx, case.grid.dy
+    m = grid_metrics(case.grid)
 
     def grad(f):
         me, mw = nb_e(case.fluid), nb_w(case.fluid)
@@ -151,8 +157,16 @@ def _transpose_diffusion_source(case: Case, nu_t: jnp.ndarray,
         fw = jnp.where(mw > 0, nb_w(f), f)
         fn = jnp.where(mn > 0, nb_n(f), f)
         fs = jnp.where(ms > 0, nb_s(f), f)
-        gx = (fe - fw) / (jnp.maximum(me + mw, 1.0) * dx)
-        gy = (fn - fs) / (jnp.maximum(mn + ms, 1.0) * dy)
+        if not m.stretched:
+            gx = (fe - fw) / (jnp.maximum(me + mw, 1.0) * m.dxc)
+            gy = (fn - fs) / (jnp.maximum(mn + ms, 1.0) * m.dyc)
+        else:
+            # nonuniform central difference over the actual centre spans;
+            # one-sided (masked) neighbours contribute their own distance
+            gx = (fe - fw) / jnp.maximum(me * m.hx_e + mw * m.hx_w,
+                                         0.5 * m.dxc)
+            gy = (fn - fs) / jnp.maximum(mn * m.hy_n + ms * m.hy_s,
+                                         0.5 * m.dyc)
         return gx, gy
 
     ntx, nty = grad(nu_t)
@@ -313,18 +327,27 @@ def momentum_coeffs(case: Case, phi_x: jnp.ndarray, phi_y: jnp.ndarray,
     of the vortex-shedding limit cycle is what holds the 2D-2 cl_max
     ~2% under the published band (docs/STATUS.md)."""
     grid = case.grid
-    dx, dy, nu = grid.dx, grid.dy, case.nu
+    nu = case.nu
+    # metric terms: scalars on uniform grids (bitwise-identical legacy
+    # expressions), per-axis broadcastable constants on stretched grids
+    # (fv.case.GridMetrics — the simpleGrading counterpart)
+    m = grid_metrics(grid)
+    dx, dy = m.dxc, m.dyc
     vol = dx * dy
     if nu_t is None:
-        # scalar conductances broadcast over all faces
-        d_e = d_w = d_cx = nu * dy / dx
-        d_n = d_s = d_cy = nu * dx / dy
+        # conductances: face area / centre-to-centre distance
+        d_e = nu * m.dyc / m.hx_e
+        d_w = nu * m.dyc / m.hx_w
+        d_n = nu * m.dxc / m.hy_n
+        d_s = nu * m.dxc / m.hy_s
+        d_cx = nu * dy / dx
+        d_cy = nu * dx / dy
     else:
         nu_eff = nu + nu_t
-        d_e = 0.5 * (nu_eff + nb_e(nu_eff)) * dy / dx
-        d_w = 0.5 * (nu_eff + nb_w(nu_eff)) * dy / dx
-        d_n = 0.5 * (nu_eff + nb_n(nu_eff)) * dx / dy
-        d_s = 0.5 * (nu_eff + nb_s(nu_eff)) * dx / dy
+        d_e = (m.wx_e * nu_eff + (1 - m.wx_e) * nb_e(nu_eff)) * m.dyc / m.hx_e
+        d_w = (m.wx_w * nu_eff + (1 - m.wx_w) * nb_w(nu_eff)) * m.dyc / m.hx_w
+        d_n = (m.wy_n * nu_eff + (1 - m.wy_n) * nb_n(nu_eff)) * m.dxc / m.hy_n
+        d_s = (m.wy_s * nu_eff + (1 - m.wy_s) * nb_s(nu_eff)) * m.dxc / m.hy_s
         d_cx = nu_eff * dy / dx   # half-cell wall/inlet conductances
         d_cy = nu_eff * dx / dy
 

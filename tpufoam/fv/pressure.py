@@ -21,7 +21,7 @@ from __future__ import annotations
 import flax.struct
 import jax.numpy as jnp
 
-from .case import Case, domain_row_masks
+from .case import Case, domain_row_masks, grid_metrics
 from .operators import divergence, nb_e, nb_n, nb_s, nb_w
 
 
@@ -41,20 +41,21 @@ class PressureCoeffs:
 
 
 def pressure_coeffs(case: Case, rau: jnp.ndarray) -> PressureCoeffs:
-    grid = case.grid
-    kx = grid.dy / grid.dx
-    ky = grid.dx / grid.dy
+    # metric terms are scalars on uniform grids (bitwise-identical legacy
+    # expressions: 0.5 face weights, dy/dx conductances) and broadcastable
+    # per-axis constants on stretched grids (fv.case.GridMetrics)
+    m = grid_metrics(case.grid)
 
-    rau_e = 0.5 * (rau + nb_e(rau))
-    rau_w = 0.5 * (rau + nb_w(rau))
-    rau_n = 0.5 * (rau + nb_n(rau))
-    rau_s = 0.5 * (rau + nb_s(rau))
+    rau_e = m.wx_e * rau + (1.0 - m.wx_e) * nb_e(rau)
+    rau_w = m.wx_w * rau + (1.0 - m.wx_w) * nb_w(rau)
+    rau_n = m.wy_n * rau + (1.0 - m.wy_n) * nb_n(rau)
+    rau_s = m.wy_s * rau + (1.0 - m.wy_s) * nb_s(rau)
 
-    c_e = case.open_e * rau_e * kx
-    c_w = case.open_w * rau_w * kx
-    c_n = case.open_n * rau_n * ky
-    c_s = case.open_s * rau_s * ky
-    c_out = case.outlet_e * rau * (2.0 * kx)   # half-distance Dirichlet
+    c_e = case.open_e * rau_e * (m.dyc / m.hx_e)
+    c_w = case.open_w * rau_w * (m.dyc / m.hx_w)
+    c_n = case.open_n * rau_n * (m.dxc / m.hy_n)
+    c_s = case.open_s * rau_s * (m.dxc / m.hy_s)
+    c_out = case.outlet_e * rau * (2.0 * (m.dyc / m.dxc))  # half-distance Dirichlet
 
     diag = (c_e + c_w + c_n + c_s + c_out) * case.fluid + (1.0 - case.fluid)
     return PressureCoeffs(c_e=c_e, c_w=c_w, c_n=c_n, c_s=c_s,
@@ -103,20 +104,22 @@ def pressure_gradient(case: Case, p: jnp.ndarray):
     Dirichlet 0 at the outlet. In the binary-aperture limit this is exactly
     the round-2 blanked-grid Gauss-linear gradient; with fractional
     apertures it is the consistent cut-cell gradient (fv.cutcell)."""
-    grid = case.grid
+    m = grid_metrics(case.grid)
 
     # open-face contributions (value * aperture); closed fractions of each
-    # face are covered by the wall-area closure term below
-    s_e = case.open_e * 0.5 * (p + nb_e(p))
-    s_w = case.open_w * 0.5 * (p + nb_w(p)) + case.inlet_w * p
+    # face are covered by the wall-area closure term below. Face values
+    # are distance-weighted on stretched grids (m.w* = 0.5 uniform).
+    s_e = case.open_e * (m.wx_e * p + (1.0 - m.wx_e) * nb_e(p))
+    s_w = case.open_w * (m.wx_w * p + (1.0 - m.wx_w) * nb_w(p)) \
+        + case.inlet_w * p
     # outlet face: Dirichlet p = 0 -> contributes nothing
     dom_n, dom_s = domain_row_masks(case)
-    s_n = case.open_n * 0.5 * (p + nb_n(p)) + dom_n * p
-    s_s = case.open_s * 0.5 * (p + nb_s(p)) + dom_s * p
+    s_n = case.open_n * (m.wy_n * p + (1.0 - m.wy_n) * nb_n(p)) + dom_n * p
+    s_s = case.open_s * (m.wy_s * p + (1.0 - m.wy_s) * nb_s(p)) + dom_s * p
 
-    sx = (s_e - s_w) * grid.dy + p * case.wall_ax
-    sy = (s_n - s_s) * grid.dx + p * case.wall_ay
-    inv_v = 1.0 / (jnp.maximum(case.alpha, 1e-6) * grid.dx * grid.dy)
+    sx = (s_e - s_w) * m.dyc + p * case.wall_ax
+    sy = (s_n - s_s) * m.dxc + p * case.wall_ay
+    inv_v = 1.0 / (jnp.maximum(case.alpha, 1e-6) * m.dxc * m.dyc)
     gpx = sx * inv_v * case.fluid
     gpy = sy * inv_v * case.fluid
     return gpx, gpy

@@ -51,6 +51,12 @@ def init_turbulence(case: Case, intensity: float = 0.05,
     """Freestream/inlet turbulence from intensity I and mixing length
     l = length_frac * channel height (the 0/k, 0/omega dictionaries' role):
     k = 1.5 (I U_ref)^2, omega = sqrt(k) / (Cmu^0.25 l)."""
+    if getattr(case.grid, "stretched", False):
+        # the SST transport discretization below takes scalar spacings;
+        # graded-grid turbulence needs the metric-aware generalization
+        # (laminar momentum/pressure already have it — fv.case.GridMetrics)
+        raise ValueError("k-omega SST is implemented for uniform grids; "
+                         "stretched grids run laminar (2D-1/2/3 class)")
     u_ref = jnp.maximum(jnp.max(case.inlet_u), 1e-6)
     height = case.grid.ny * case.grid.dy
     k_in = 1.5 * (intensity * u_ref) ** 2

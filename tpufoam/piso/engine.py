@@ -222,13 +222,18 @@ class PisoConfig:
 def courant_number(case: Case, flow: Flow) -> jnp.ndarray:
     """max Courant number from face fluxes (CourantNo.H semantics)."""
     grid = case.grid
-    vol = grid.dx * grid.dy
     sum_phi = (jnp.abs(flow.phi_x[:, 1:]) + jnp.abs(flow.phi_x[:, :-1])
                + jnp.abs(flow.phi_y[1:, :]) + jnp.abs(flow.phi_y[:-1, :]))
     # cut cells: floor alpha at 0.5 so sliver cells don't collapse dt (the
     # implicit momentum/wall-link treatment handles their stiffness; the
     # CFL bound is an accuracy heuristic, not a stability wall here)
     alpha_co = jnp.maximum(case.alpha, 0.5)
+    if grid.stretched:
+        from ..fv.case import grid_metrics
+        m = grid_metrics(grid)
+        return 0.5 * jnp.max(sum_phi * case.fluid
+                             / (alpha_co * (m.dxc * m.dyc))) * flow.dt
+    vol = grid.dx * grid.dy
     return 0.5 * jnp.max(sum_phi * case.fluid / alpha_co) / vol * flow.dt
 
 
@@ -320,7 +325,12 @@ def _piso_step_impl(case: Case, flow: Flow, cfg: PisoConfig = PisoConfig(),
     predictor (fv.turbulence supplies it; `turbulence->divDevSigma(U)`).
     """
     grid = case.grid
-    vol = grid.dx * grid.dy
+    if grid.stretched:
+        from ..fv.case import grid_metrics
+        _m = grid_metrics(grid)
+        vol = _m.dxc * _m.dyc     # (ny, nx) broadcastable constant
+    else:
+        vol = grid.dx * grid.dy
     volc = case.alpha * vol       # cut-cell fluid volumes (== vol when blank)
     dt = _next_dt(case, flow, cfg) if cfg.adjust_dt else flow.dt
     if cfg.t_stop and cfg.t_stop > 0:

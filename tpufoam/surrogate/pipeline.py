@@ -211,6 +211,15 @@ def make_predictor(bundle: SurrogateBundle, family: FamilyConfig | None = None,
 
     def _predict(case: Case, p_prev: jnp.ndarray, aux: dict,
                  solve_op=None) -> jnp.ndarray:
+        if getattr(case.grid, "stretched", False):
+            # the surrogate contract is the reference's: uniform blocks
+            # over a uniform grid (utils.py:111-125 create_uniform_grid).
+            # Stretched graded grids are a pure-solver capability; serve
+            # surrogates by resampling to a uniform grid first.
+            raise ValueError(
+                "surrogate predictors require a uniform grid; this case "
+                "uses a stretched (graded) Grid2D — run the pure solver "
+                "backends there, or resample to a uniform grid")
         layout = build_block_layout(case.grid.ny, case.grid.nx,
                                     bundle.block_size, bundle.overlap_ratio)
         fields = dict(aux)
