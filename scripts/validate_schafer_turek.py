@@ -118,6 +118,22 @@ def main():
     ap.add_argument("--alpha-cut", type=float, default=0.05,
                     help="cut-cell sliver-blanking threshold "
                          "(fv.cutcell alpha_cut; sensitivity probes)")
+    ap.add_argument("--grade", type=float, default=0.0,
+                    help="> 0: STRETCHED tensor-product grid with this "
+                         "h_fine inside the cylinder band (--delta is "
+                         "then ignored) — the solver-native counterpart "
+                         "of the reference's simpleGrading O-grid "
+                         "(gen_blockMeshDict.py). Packs wall-resolving "
+                         "cells around the cylinder at a fraction of the "
+                         "uniform cell count and fits the 0.41 channel "
+                         "height exactly")
+    ap.add_argument("--grade-coarse", type=float, default=8.0,
+                    help="far-field spacing as a multiple of --grade")
+    ap.add_argument("--grade-ratio", type=float, default=1.12,
+                    help="cell-to-cell growth ratio outside the band")
+    ap.add_argument("--grade-band", type=float, default=0.07,
+                    help="margin beyond the cylinder radius kept at "
+                         "h_fine (covers the near wake/boundary layer)")
     ap.add_argument("--sm-safeguard", type=float, default=0.5,
                     help="residual safeguard gate for SM-warm-started "
                          "capped solves (PisoConfig.sm_safeguard; hybrid "
@@ -158,11 +174,21 @@ def main():
 
     if args.t_end is None:
         args.t_end = 8.0 if args.bench == "2D-3" else 12.0
+    grading = None
+    if args.grade and args.grade > 0:
+        grading = dict(h_fine=args.grade,
+                       h_coarse=args.grade_coarse * args.grade,
+                       ratio=args.grade_ratio, band=args.grade_band)
     case, u_mean = schafer_turek_case(args.bench, delta=args.delta,
-                                      alpha_cut=args.alpha_cut, cy=args.cy)
+                                      alpha_cut=args.alpha_cut, cy=args.cy,
+                                      grading=grading)
+    eff_delta = args.grade if grading else args.delta
     print(f"grid {case.grid.ny} x {case.grid.nx} "
           f"({case.grid.ny * case.grid.nx / 1e3:.0f}k cells, "
-          f"D/delta = {0.1 / args.delta:.1f})", flush=True)
+          f"D/delta = {0.1 / eff_delta:.1f}"
+          + (f", graded {args.grade:g}->{args.grade_coarse * args.grade:g}"
+             f" r={args.grade_ratio:g}" if grading else "")
+          + ")", flush=True)
 
     sm_predict = None
     bundle_name = None
@@ -256,7 +282,11 @@ def main():
                     and ns.hybrid_solver == "mg-adaptive" else None,
                     hybrid_max_cycles=ns.hybrid_max_cycles
                     if ns.backend == "hybrid"
-                    and ns.hybrid_solver == "mg-adaptive" else None)
+                    and ns.hybrid_solver == "mg-adaptive" else None,
+                    grade=ns.grade if ns.grade else None,
+                    grade_coarse=ns.grade_coarse if ns.grade else None,
+                    grade_ratio=ns.grade_ratio if ns.grade else None,
+                    grade_band=ns.grade_band if ns.grade else None)
 
     run_meta = _meta_from(args, bundle_name)
     # defaults evaluated under the SAME backend, so backend-conditional
@@ -324,8 +354,8 @@ def main():
                  cl_std=float(series.cl[sel].std()))
         ref = {k: list(v) for k, v in PUBLISHED["2D-1"].items()
                if k in ("cd", "cl")}
-    result = dict(bench=args.bench, delta=args.delta,
-                  d_over_delta=0.1 / args.delta,
+    result = dict(bench=args.bench, delta=eff_delta,
+                  d_over_delta=0.1 / eff_delta,
                   boundary="cutcell", ddt=args.ddt, ddt_corr=args.ddt_corr,
                   wall_order=args.wall_order, wall_link=args.wall_link,
                   max_dt=args.max_dt, alpha_cut=args.alpha_cut,
@@ -349,6 +379,10 @@ def main():
     if args.backend == "mg":
         result["mg_cycles"] = args.mg_cycles
         result["mg_bf16"] = bool(args.mg_bf16)
+    if grading is not None:
+        result["grading"] = dict(grading)
+        result["n_cells"] = case.grid.n_cells
+        result["grid_shape"] = list(case.grid.shape)
     if args.momentum_smoother != "xla":
         # record what actually ran, not just the request: on grids whose
         # width is not lane-aligned the pallas kernel falls through to
