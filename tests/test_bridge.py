@@ -125,6 +125,63 @@ def test_bridge_poisson_model(built_bridge, tmp_path):
         th.join(timeout=5)
 
 
+def _build_mock_harness(built_bridge):
+    """Compile the mock-fvMesh harness once per module (idempotent)."""
+    binary = built_bridge / "mock_harness"
+    if binary.exists():
+        return binary
+    of_dir = os.path.join(BRIDGE_DIR, "openfoam")
+    for f in ("TpufoamCoupling.H", "TpufoamComm_init.H", "TpufoamComm.H",
+              "mockOpenFOAM.H", "mockHarness.C"):
+        shutil.copy(os.path.join(of_dir, f), built_bridge)
+    subprocess.run(
+        ["g++", "-O2", "-Wall", "-std=c++17",
+         str(built_bridge / "mockHarness.C"),
+         str(built_bridge / "tpufoam_bridge.cpp"),
+         "-I", str(built_bridge),
+         "-o", str(binary)],
+        check=True, capture_output=True)
+    return binary
+
+
+def test_openfoam_comm_headers_multirank_matches_single_rank(built_bridge,
+                                                             tmp_path):
+    """The verbatim comm headers through the MULTI-RANK path (VERDICT r4
+    #6): the reference's production mode is 4-rank MPI
+    (python_module.py:179-185,501-511). Two forked mock ranks each
+    register a contiguous row slab of the same global mesh through
+    TpufoamComm_init.H — whose Pstream::allGatherList (mocked over the
+    filesystem, real inter-PROCESS semantics) globalizes the boundary
+    sets — and exchange through TpufoamComm.H against the tb_init_rank
+    server path (per-rank registration, barrier, assemble, scatter).
+    The rank-order concatenation of the 2-rank Poisson result must equal
+    the single-rank run BITWISE (identical assembled cloud, identical
+    device program)."""
+    binary = _build_mock_harness(built_bridge)
+    sock = tmp_path / "tbmm.sock"
+    srv, th = _run_server(sock, model="poisson", delta=0.05)
+    env = dict(os.environ, TPUFOAM_MOCK_GATHER_DIR=str(tmp_path))
+    try:
+        for n_ranks, world in (("1", "30"), ("2", "40")):
+            out = subprocess.run(
+                [str(binary), str(sock), n_ranks, world,
+                 str(tmp_path / f"mw{world}")],
+                capture_output=True, text=True, timeout=600, env=env)
+            assert out.returncode == 0, out.stdout + out.stderr
+        assert "mock multi-rank world done (2 ranks)" in out.stdout
+        assert "rank 0/2" in out.stdout and "rank 1/2" in out.stdout
+        p_single = np.fromfile(tmp_path / "mw30.r0.bin")
+        p_multi = np.concatenate([np.fromfile(tmp_path / "mw40.r0.bin"),
+                                  np.fromfile(tmp_path / "mw40.r1.bin")])
+        assert p_single.shape == p_multi.shape == (128,)
+        assert np.isfinite(p_single).all()
+        assert p_single.std() > 0  # non-degenerate field
+        np.testing.assert_array_equal(p_single, p_multi)
+    finally:
+        srv.stop()
+        th.join(timeout=5)
+
+
 def test_openfoam_comm_headers_execute_under_mock_fvmesh(built_bridge,
                                                          tmp_path):
     """Execution check for the VERBATIM OpenFOAM comm headers (VERDICT r3
@@ -135,17 +192,7 @@ def test_openfoam_comm_headers_execute_under_mock_fvmesh(built_bridge,
     correctBoundaryConditions runs per exchange. Before this, the
     OpenFOAM-typed glue was compile-unchecked (only the OpenFOAM-free
     TpufoamCoupling.H core ever ran)."""
-    of_dir = os.path.join(BRIDGE_DIR, "openfoam")
-    for f in ("TpufoamCoupling.H", "TpufoamComm_init.H", "TpufoamComm.H",
-              "mockOpenFOAM.H", "mockHarness.C"):
-        shutil.copy(os.path.join(of_dir, f), built_bridge)
-    subprocess.run(
-        ["g++", "-O2", "-Wall", "-std=c++17",
-         str(built_bridge / "mockHarness.C"),
-         str(built_bridge / "tpufoam_bridge.cpp"),
-         "-I", str(built_bridge),
-         "-o", str(built_bridge / "mock_harness")],
-        check=True, capture_output=True)
+    _build_mock_harness(built_bridge)
     sock = tmp_path / "tbm.sock"
     srv, th = _run_server(sock, model="identity")
     try:
