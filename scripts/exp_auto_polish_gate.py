@@ -31,12 +31,22 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--delta", type=float, default=0.41 / 64)
     ap.add_argument("--platform", default="cpu")
+    ap.add_argument("--bundle", default=None,
+                    help="surrogate bundle dir: record the HYBRID path "
+                         "(SM warm start + fixed polish) — the production "
+                         "configuration the auto gate must discriminate on")
+    ap.add_argument("--bench", default="both", choices=["both", "2D-2", "2D-3"])
+    ap.add_argument("--max-dt", type=float, default=2e-3,
+                    help="use 5e-4 on d94+ grids (stable-dt threshold "
+                         "scales ~delta^2; docs/STATUS.md item 25)")
     ap.add_argument("--out", default="artifacts/auto_gate_residuals.json")
     args = ap.parse_args()
 
     import jax
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
+    if args.platform == "cpu":
+        # the axon plugin ignores JAX_PLATFORMS; "tpu" means leave the
+        # backend at the plugin default (docs/STATUS.md §3)
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     from jax.experimental import io_callback
 
@@ -47,6 +57,12 @@ def main():
     from tpufoam.solvers.backends import MGBackend
 
     log: list = []
+
+    sm_predict = None
+    if args.bundle:
+        from tpufoam.surrogate.pipeline import SurrogateBundle, make_predictor
+        sm_predict = make_predictor(SurrogateBundle.load(args.bundle),
+                                    stitch="lstsq")
 
     class RecordingMG:
         """Fixed-polish backend that streams each solve's relative
@@ -71,13 +87,15 @@ def main():
         flow = initial_flow(case, dt0=2e-4 if bench == "2D-3" else 1e-3)
         if flow_fn:
             flow = flow_fn(case, flow)
-        cfg = PisoConfig(max_co=0.4, max_dt=2e-3, ddt="backward", **cfg_kw)
+        cfg = PisoConfig(max_co=0.4, max_dt=args.max_dt, ddt="backward",
+                         sm_safeguard=0.0, **cfg_kw)
         be = RecordingMG()
         t_mark = []
         while float(flow.t) < t_end:
             n = 200
             start = len(log)
-            flow = run_piso_eager(case, flow, n, cfg=cfg, backend=be)
+            flow = run_piso_eager(case, flow, n, cfg=cfg, backend=be,
+                                  sm_predict=sm_predict)
             t_mark.append((float(flow.t), start, len(log)))
             if not np.isfinite(np.asarray(flow.u)).all():
                 print(f"  {bench} DIVERGED at t={float(flow.t):.3f}")
@@ -85,28 +103,32 @@ def main():
         return np.asarray(log), t_mark
 
     # --- 2D-2: settled shedding (the fixed polish's home turf) ---------
-    print("2D-2 run...", flush=True)
-    res22, marks22 = run("2D-2", 12.0, {})
-    n22 = len(res22)
-    # settled = last 40% of samples
-    settled = res22[int(0.6 * n22):]
+    settled = res22 = np.zeros(0)
+    if args.bench in ("both", "2D-2"):
+        print("2D-2 run...", flush=True)
+        res22, marks22 = run("2D-2", 12.0, {})
+        n22 = len(res22)
+        # settled = last 40% of samples
+        settled = res22[int(0.6 * n22):]
 
     # --- 2D-3: ramp from rest (the failure regime) ---------------------
-    log.clear()
-    print("2D-3 run...", flush=True)
+    ramp_phase = res23 = np.zeros(0)
+    if args.bench in ("both", "2D-3"):
+        log.clear()
+        print("2D-3 run...", flush=True)
 
-    def from_rest(case, flow):
-        return initial_flow(
-            case.replace(inlet_u=case.inlet_u * 0.0), dt0=2e-4)
+        def from_rest(case, flow):
+            return initial_flow(
+                case.replace(inlet_u=case.inlet_u * 0.0), dt0=2e-4)
 
-    res23, marks23 = run("2D-3", 8.0,
-                         dict(inlet_scale_fn=ramp_2d3), from_rest)
-    # the dangerous phase: mid-ramp acceleration through transition
-    # (t in [1, 4] — where the d94/d125 hybrids historically blew up)
-    t_of = np.zeros(len(res23))
-    for t, a, b in marks23:
-        t_of[a:b] = t
-    ramp_phase = res23[(t_of >= 1.0) & (t_of <= 4.0)]
+        res23, marks23 = run("2D-3", 8.0,
+                             dict(inlet_scale_fn=ramp_2d3), from_rest)
+        # the dangerous phase: mid-ramp acceleration through transition
+        # (t in [1, 4] — where the d94/d125 hybrids historically blew up)
+        t_of = np.zeros(len(res23))
+        for t, a, b in marks23:
+            t_of[a:b] = t
+        ramp_phase = res23[(t_of >= 1.0) & (t_of <= 4.0)]
 
     def stats(a):
         a = a[np.isfinite(a)]
@@ -117,7 +139,7 @@ def main():
                     p99=float(np.percentile(a, 99)),
                     max=float(a.max()))
 
-    out = dict(delta=args.delta,
+    out = dict(delta=args.delta, bundle=args.bundle, max_dt=args.max_dt,
                settled_2d2=stats(settled),
                all_2d2=stats(res22),
                ramp_2d3=stats(ramp_phase),

@@ -69,7 +69,8 @@ def main():
                          "WITHOUT the surrogate (isolates capped-polish "
                          "residual accumulation from SM bias)")
     ap.add_argument("--hybrid-solver", default="mg",
-                    choices=["mg", "mgcg", "mgcg-capped", "mg-adaptive"],
+                    choices=["mg", "mgcg", "mgcg-capped", "mg-adaptive",
+                             "auto"],
                     help="hybrid corrector solver: 'mg' = capped bf16 "
                          "polish (production); 'mgcg' = full-tolerance "
                          "MGCG (control lane isolating SM bias from "
@@ -81,7 +82,14 @@ def main():
                          "'mg-adaptive' = bf16 MG polish with "
                          "residual-adaptive cycle count "
                          "(--hybrid-rtol/--hybrid-max-cycles; "
-                         "mg_solve rtol semantics)")
+                         "mg_solve rtol semantics); 'auto' = the "
+                         "SELF-SELECTING production polish (fixed bf16 "
+                         "polish + per-solve residual-gated escalation "
+                         "to mgcg-capped; --auto-tau)")
+    ap.add_argument("--auto-tau", type=float, default=0.05,
+                    help="escalation gate for --hybrid-solver auto "
+                         "(relative residual after the fast polish; "
+                         "artifacts/auto_gate_*.json)")
     ap.add_argument("--hybrid-rtol", type=float, default=1e-2,
                     help="relative-residual exit for "
                          "--hybrid-solver mg-adaptive")
@@ -201,6 +209,7 @@ def main():
         bundle = SurrogateBundle.load(args.bundle)
         bundle_name = os.path.basename(os.path.normpath(args.bundle))
         sm_predict = make_predictor(bundle, stitch="lstsq")
+        from tpufoam.solvers.backends import AutoBackend
         backend = {
             "mgcg": MGCGBackend(rtol=1e-6),
             "mgcg-capped": MGCGBackend(rtol=1e-3, maxiter=6),
@@ -208,6 +217,7 @@ def main():
             "mg-adaptive": MGBackend(cycles=args.hybrid_max_cycles,
                                      precision="bf16",
                                      rtol=args.hybrid_rtol),
+            "auto": AutoBackend(cycles=args.mg_cycles, tau=args.auto_tau),
         }[args.hybrid_solver]
         if case.grid.ny < bundle.block_size or case.grid.nx < bundle.block_size:
             raise SystemExit(
@@ -283,6 +293,9 @@ def main():
                     hybrid_max_cycles=ns.hybrid_max_cycles
                     if ns.backend == "hybrid"
                     and ns.hybrid_solver == "mg-adaptive" else None,
+                    auto_tau=ns.auto_tau
+                    if ns.backend == "hybrid"
+                    and ns.hybrid_solver == "auto" else None,
                     grade=ns.grade if ns.grade else None,
                     grade_coarse=ns.grade_coarse if ns.grade else None,
                     grade_ratio=ns.grade_ratio if ns.grade else None,
@@ -376,6 +389,8 @@ def main():
         if args.hybrid_solver == "mg-adaptive":
             result["hybrid_rtol"] = args.hybrid_rtol
             result["hybrid_max_cycles"] = args.hybrid_max_cycles
+        if args.hybrid_solver == "auto":
+            result["auto_tau"] = args.auto_tau
     if args.backend == "mg":
         result["mg_cycles"] = args.mg_cycles
         result["mg_bf16"] = bool(args.mg_bf16)

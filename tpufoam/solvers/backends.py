@@ -149,6 +149,65 @@ class MGCGBackend:
 
 
 @dataclasses.dataclass(frozen=True)
+class AutoBackend:
+    """Self-selecting production polish (VERDICT r4 #3: one config that
+    is fast on settled flows AND robust on impulsive transients, matching
+    the reference's single production mode, DLPoissonFoam.C:104-119).
+
+    Fast path: the fixed `cycles`-cycle bf16 polish (the validated 2D-2
+    production config). Per solve, the f32 residual — one matvec + two
+    norms, the same probe the sm_safeguard rescue uses — gates an
+    ESCALATION to the Krylov-capped polish (mgcg-capped: f32-vector MGCG
+    at `rtol`, `maxiter`), warm-started from the polished result.
+    Measured separation (artifacts/auto_gate_*.json): settled-shedding
+    solves leave O(1e-3) relative residual, while the impulsive/ramp
+    steps that ring or diverge under a fixed polish leave 0.1-1; `tau`
+    sits between. Settled flows therefore pay only the residual probe
+    (<= a safeguard check); transients get mgcg-capped physics exactly on
+    the steps that need it.
+
+    escalate_precision: 'bf16' runs the escalated MGCG's PRECONDITIONER
+    cycles in bf16 (CG vectors stay f32) — safe at the loose 1e-3
+    tolerance (the 1e-6 stall caution does not bind; measured A/B in
+    docs/STATUS.md r5).
+
+    Caveats (same class as sm_safeguard): lax.cond — under vmap both
+    branches execute (cost, not correctness); the escalated while_loop
+    has no VJP, so use a fixed backend for reverse-mode AD."""
+    cycles: int = 2
+    tau: float = 0.05
+    rtol: float = 1e-3
+    maxiter: int = 6
+    precision: str = "bf16"          # fast-path polish precision
+    escalate_precision: str = "f32"  # preconditioner dtype inside MGCG
+
+    def __call__(self, case, coef, rhs, p_prev, aux):
+        import jax
+
+        from ..fv.pressure import pressure_matvec
+        from .multigrid import mg_solve, mgcg_pressure
+        dtype = jnp.bfloat16 if self.precision == "bf16" else None
+        p1 = mg_solve(coef, rhs, p_prev, cycles=self.cycles,
+                      dtype=dtype) * case.fluid
+        r = jnp.linalg.norm((rhs - pressure_matvec(coef, p1)) * case.fluid)
+        b = jnp.linalg.norm(rhs * case.fluid)
+        edtype = jnp.bfloat16 if self.escalate_precision == "bf16" else None
+
+        def escalate(_):
+            return mgcg_pressure(coef, rhs, x0=p1, rtol=self.rtol,
+                                 maxiter=self.maxiter,
+                                 dtype=edtype).x * case.fluid
+
+        def keep(_):
+            return p1
+
+        # NaN r compares False on the > — escalate on non-finite too
+        # (the MGCG restart is the saner recovery than keeping a NaN)
+        need = ~(r <= self.tau * b)
+        return jax.lax.cond(need, escalate, keep, None)
+
+
+@dataclasses.dataclass(frozen=True)
 class SurrogateBackend:
     """Pure-surrogate pressure: p = SM(state). `predict` is a jitted pure
     function built by tpufoam.surrogate.pipeline.make_predictor."""
