@@ -73,6 +73,8 @@ _KERNEL_BANDS = {
     "jacobi": (8, 1),        # 7 operands + 1 staging, 1 out
     "matvec": (1, 6),        # haloed-x scratch; 5 coeff bands + 1 out
     "jacobi_sweep": (1, 7),  # haloed-x scratch; 6 operand bands + 1 out
+    "smooth_residual": (8, 2),  # 7 operands + 1 staging, x/r out
+    "corr_smooth": (9, 1),   # 8 operands + 1 staging, 1 out
 }
 
 
@@ -553,6 +555,201 @@ def jacobi_multisweep_pallas(coef, x: jnp.ndarray, b: jnp.ndarray,
         + [pltpu.SemaphoreType.DMA((n_ops,))],
         interpret=interpret,
     )(om, padh(x), padh(b), padh(c_e), padh(c_w), padh(c_n),
+      padh(c_s), padh(diag, value=1.0)))
+
+
+# ---------------------------------------------------------------------------
+# Fused V-cycle legs (VERDICT r4 #4: the large-grid floor is HBM
+# bandwidth spread across MG transfer chains — fuse the per-level
+# smooth->residual (down leg) and correction-add->smooth (up leg) into
+# single haloed passes, collapsing the 3 XLA passes of each leg into one
+# kernel call per level. Same trapezoid-validity halo argument as the
+# multisweep kernels; the residual needs ONE more neighbour ring, so the
+# down leg is exact for sweeps <= halo - 1.)
+# ---------------------------------------------------------------------------
+
+
+def _make_smooth_residual_kernel(tile_y: int, halo: int, sweeps: int,
+                                 nx: int):
+    n_ops = 7  # x, b, ce, cw, cn, cs, diag
+
+    def kernel(omega_ref, xp_ref, b_ref, ce_ref, cw_ref, cn_ref, cs_ref,
+               diag_ref, x_out, r_out, xa, xb_, bs, ces, cws, cns, css,
+               diags, sems):
+        i = pl.program_id(0)
+        row0 = pl.multiple_of(i * tile_y, halo)
+        window = pl.ds(row0, tile_y + 2 * halo)
+        hbm = (xp_ref, b_ref, ce_ref, cw_ref, cn_ref, cs_ref, diag_ref)
+        vmem = (xa, bs, ces, cws, cns, css, diags)
+        copies = [pltpu.make_async_copy(h.at[window, :], v, sems.at[j])
+                  for j, (h, v) in enumerate(zip(hbm, vmem))]
+        for c in copies:
+            c.start()
+        for c in copies:
+            c.wait()
+
+        omega = omega_ref[0]
+        b = bs[:, :]
+        ce = ces[:, :]
+        cw = cws[:, :]
+        cn = cns[:, :]
+        cs = css[:, :]
+        diag = diags[:, :]
+        n_rows = tile_y + 2 * halo
+        row = jax.lax.broadcasted_iota(jnp.int32, (n_rows, nx), 0)
+        edge = (row == 0) | (row == n_rows - 1)
+
+        def apply_a(x):
+            xn = jnp.concatenate([x[1:, :], x[-1:, :]], axis=0)
+            xs_ = jnp.concatenate([x[:1, :], x[:-1, :]], axis=0)
+            xe, xw = _shift_ew(x)
+            return diag * x - ce * xe - cw * xw - cn * xn - cs * xs_
+
+        src, dst = xa, xb_
+        for _ in range(sweeps):
+            x = src[:, :]
+            y = x + omega * (b - apply_a(x)) / diag
+            dst[:, :] = jnp.where(edge, x, y)
+            src, dst = dst, src
+
+        x_fin = src[:, :]
+        r = b - apply_a(x_fin)
+        x_out[:, :] = x_fin[halo:halo + tile_y, :]
+        r_out[:, :] = r[halo:halo + tile_y, :]
+
+    return kernel, n_ops
+
+
+def smooth_residual_pallas(coef, x: jnp.ndarray, b: jnp.ndarray,
+                           iters: int = 2, omega: float = 0.8,
+                           interpret: bool = False):
+    """(x_smoothed, b - A x_smoothed) in ONE haloed HBM round trip — the
+    V-cycle down leg (pre-smooth + residual) fused. Matches
+    jacobi_smooth + pressure_matvec to f32 rounding for
+    iters <= halo - 1 (the residual consumes one neighbour ring)."""
+    dtype = x.dtype
+    halo = _halo_for(dtype)
+    if iters > halo - 1:
+        raise ValueError(f"iters={iters} > halo-1={halo - 1}")
+    (x, b, c_e, c_w, c_n, c_s, diag), crop = _pad_operands(
+        (x, b, coef.c_e, coef.c_w, coef.c_n, coef.c_s, coef.diag),
+        x.shape[0], x.shape[1], dtype, diag_idx=(6,))
+    ny, nx = x.shape
+    t = _fit_tile_y(ny, nx, halo, 8, 2, jnp.dtype(dtype).itemsize)
+    if t is None:
+        raise ValueError(f"shape {(ny, nx)} exceeds scoped VMEM at the "
+                         "minimum tile; gate on pallas_available_for")
+    band = _band_spec(nx, t)
+
+    def padh(f, value=0.0):
+        return jnp.pad(f, ((halo, halo), (0, 0)), constant_values=value)
+
+    om = jnp.full((1,), omega, dtype=dtype)
+    kernel, n_ops = _make_smooth_residual_kernel(t, halo, iters, nx)
+    scratch = pltpu.VMEM((t + 2 * halo, nx), dtype)
+    x_new, r = pl.pallas_call(
+        kernel,
+        grid=(ny // t,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.HBM)] * n_ops,
+        out_specs=(band, band),
+        out_shape=(jax.ShapeDtypeStruct((ny, nx), dtype),
+                   jax.ShapeDtypeStruct((ny, nx), dtype)),
+        scratch_shapes=[scratch] * (n_ops + 1)
+        + [pltpu.SemaphoreType.DMA((n_ops,))],
+        interpret=interpret,
+    )(om, padh(x), padh(b), padh(c_e), padh(c_w), padh(c_n),
+      padh(c_s), padh(diag, value=1.0))
+    return crop(x_new), crop(r)
+
+
+def _make_corr_smooth_kernel(tile_y: int, halo: int, sweeps: int, nx: int):
+    n_ops = 8  # x, corr, b, ce, cw, cn, cs, diag
+
+    def kernel(omega_ref, xp_ref, corr_ref, b_ref, ce_ref, cw_ref, cn_ref,
+               cs_ref, diag_ref, x_out, xa, xb_, cos, bs, ces, cws, cns,
+               css, diags, sems):
+        i = pl.program_id(0)
+        row0 = pl.multiple_of(i * tile_y, halo)
+        window = pl.ds(row0, tile_y + 2 * halo)
+        hbm = (xp_ref, corr_ref, b_ref, ce_ref, cw_ref, cn_ref, cs_ref,
+               diag_ref)
+        vmem = (xa, cos, bs, ces, cws, cns, css, diags)
+        copies = [pltpu.make_async_copy(h.at[window, :], v, sems.at[j])
+                  for j, (h, v) in enumerate(zip(hbm, vmem))]
+        for c in copies:
+            c.start()
+        for c in copies:
+            c.wait()
+
+        omega = omega_ref[0]
+        b = bs[:, :]
+        ce = ces[:, :]
+        cw = cws[:, :]
+        cn = cns[:, :]
+        cs = css[:, :]
+        diag = diags[:, :]
+        n_rows = tile_y + 2 * halo
+        row = jax.lax.broadcasted_iota(jnp.int32, (n_rows, nx), 0)
+        edge = (row == 0) | (row == n_rows - 1)
+
+        # the correction add is elementwise — exact on every row, so it
+        # does not consume halo validity
+        xa[:, :] = xa[:, :] + cos[:, :]
+
+        src, dst = xa, xb_
+        for _ in range(sweeps):
+            x = src[:, :]
+            xn = jnp.concatenate([x[1:, :], x[-1:, :]], axis=0)
+            xs_ = jnp.concatenate([x[:1, :], x[:-1, :]], axis=0)
+            xe, xw = _shift_ew(x)
+            ax = diag * x - ce * xe - cw * xw - cn * xn - cs * xs_
+            y = x + omega * (b - ax) / diag
+            dst[:, :] = jnp.where(edge, x, y)
+            src, dst = dst, src
+
+        x_out[:, :] = src[halo:halo + tile_y, :]
+
+    return kernel, n_ops
+
+
+def corr_smooth_pallas(coef, x: jnp.ndarray, corr: jnp.ndarray,
+                       b: jnp.ndarray, iters: int = 2, omega: float = 0.8,
+                       interpret: bool = False) -> jnp.ndarray:
+    """post-smooth(x + corr) in ONE haloed HBM round trip — the V-cycle
+    up leg (prolonged-correction add + post-smooth) fused. Matches
+    jacobi_smooth(x + corr) for iters <= halo."""
+    dtype = x.dtype
+    halo = _halo_for(dtype)
+    if iters > halo:
+        raise ValueError(f"iters={iters} > halo={halo}")
+    (x, corr, b, c_e, c_w, c_n, c_s, diag), crop = _pad_operands(
+        (x, corr, b, coef.c_e, coef.c_w, coef.c_n, coef.c_s, coef.diag),
+        x.shape[0], x.shape[1], dtype, diag_idx=(7,))
+    ny, nx = x.shape
+    t = _fit_tile_y(ny, nx, halo, 9, 1, jnp.dtype(dtype).itemsize)
+    if t is None:
+        raise ValueError(f"shape {(ny, nx)} exceeds scoped VMEM at the "
+                         "minimum tile; gate on pallas_available_for")
+    band = _band_spec(nx, t)
+
+    def padh(f, value=0.0):
+        return jnp.pad(f, ((halo, halo), (0, 0)), constant_values=value)
+
+    om = jnp.full((1,), omega, dtype=dtype)
+    kernel, n_ops = _make_corr_smooth_kernel(t, halo, iters, nx)
+    scratch = pltpu.VMEM((t + 2 * halo, nx), dtype)
+    return crop(pl.pallas_call(
+        kernel,
+        grid=(ny // t,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [pl.BlockSpec(memory_space=pltpu.HBM)] * n_ops,
+        out_specs=band,
+        out_shape=jax.ShapeDtypeStruct((ny, nx), dtype),
+        scratch_shapes=[scratch] * (n_ops + 1)
+        + [pltpu.SemaphoreType.DMA((n_ops,))],
+        interpret=interpret,
+    )(om, padh(x), padh(corr), padh(b), padh(c_e), padh(c_w), padh(c_n),
       padh(c_s), padh(diag, value=1.0)))
 
 
