@@ -521,7 +521,18 @@ def test_force_series_checkpoint_resume_is_exact(tmp_path):
     latestTime`, controlDict:20, extended with the forceCoeffs history):
     a force-series run saved mid-way and resumed must reproduce the
     straight run exactly — same chunk boundaries, same state, bitwise-
-    equal fields and force samples."""
+    equal fields and force samples.
+
+    CONTRACT SCOPE (VERDICT r4 #7, root cause reproduced in
+    artifacts/resume_flake_probe.json): bitwise equality holds under an
+    IDENTICAL compiled program (same process, warm jit cache — this
+    test). A recompilation of the same step function on CPU (cache
+    eviction/clear, new process) is NOT bit-deterministic: XLA CPU
+    fusion choices move bf16/f32 stencil results at the ~1e-5 level
+    (measured 1/8 reps with jax.clear_caches() between the halves; same
+    mechanism as tests/test_auto_backend.py's rollout note). The
+    recompiled-resume contract is ULP-class agreement —
+    test_force_series_resume_after_recompile below."""
     from tpufoam.eval.benchmark import (load_run_state, merge_series,
                                         save_run_state)
     from tpufoam.fv.case import initial_flow
@@ -576,6 +587,57 @@ def test_force_series_checkpoint_resume_is_exact(tmp_path):
     save_run_state(path, flow_h, ser_h)
     with pytest.raises(ValueError, match="fingerprint"):
         load_run_state(path, expect_meta=meta)
+
+
+@pytest.mark.slow  # live multi-step run
+def test_force_series_resume_after_recompile(tmp_path):
+    """The RECOMPILED-resume contract (VERDICT r4 #7): resuming in a
+    fresh compilation context (new process after a relay death, evicted
+    jit cache — emulated here with jax.clear_caches()) reproduces the
+    straight run to ULP-class tolerance, with the state splice itself
+    exact. Bitwise equality across a CPU recompile is NOT promised:
+    artifacts/resume_flake_probe.json reproduces a 1e-5-level divergence
+    from recompilation alone (XLA CPU fusion variance on the stencil
+    paths) — the mechanism behind the r4 once-in-39-min flake."""
+    import jax
+
+    from tpufoam.eval.benchmark import (load_run_state, merge_series,
+                                        run_force_series, save_run_state,
+                                        schafer_turek_case)
+    from tpufoam.fv.case import initial_flow
+    from tpufoam.piso.engine import PisoConfig
+    from tpufoam.solvers.backends import MGBackend
+
+    case, u_mean = schafer_turek_case("2D-2", delta=0.41 / 24)
+    cfg = PisoConfig(max_co=0.4, max_dt=5e-3)
+    be = MGBackend(cycles=2)
+
+    def series(flow, t_end):
+        return run_force_series(case, flow, t_end, u_ref=u_mean, cfg=cfg,
+                                backend=be, sample_steps=5)
+
+    flow_a, ser_a = series(initial_flow(case, dt0=1e-3), 0.04)
+
+    flow_h, ser_h = series(initial_flow(case, dt0=1e-3), 0.02)
+    path = str(tmp_path / "run_state.npz")
+    save_run_state(path, flow_h, ser_h)
+    jax.clear_caches()   # force a fresh trace + compile for the tail
+    flow_l, ser_head = load_run_state(path)[0], load_run_state(path)[1]
+    # the state SPLICE is exact: loaded state bitwise-equals the saved one
+    np.testing.assert_array_equal(np.asarray(flow_l.u),
+                                  np.asarray(flow_h.u))
+    assert float(flow_l.t) == float(flow_h.t)
+    flow_r, ser_tail = series(flow_l, 0.04)
+    ser_b = merge_series(ser_head, ser_tail)
+
+    np.testing.assert_allclose(np.asarray(flow_a.u), np.asarray(flow_r.u),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(flow_a.p), np.asarray(flow_r.p),
+                               rtol=1e-4, atol=1e-4)
+    assert float(flow_a.t) == pytest.approx(float(flow_r.t), abs=1e-9)
+    assert ser_a.n_steps == ser_b.n_steps
+    np.testing.assert_allclose(ser_a.cd, ser_b.cd, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(ser_a.cl, ser_b.cl, rtol=1e-3, atol=1e-4)
 
 
 def test_2d2_hybrid_production_path_matches_published():
