@@ -6,11 +6,22 @@ or drifts on impulsive/ramped transients (2D-3), where the Krylov-capped
 polish (mgcg-capped: f32 MGCG rtol 1e-3 maxiter 6) is robust at ~1.5x
 step cost. An automatic switch needs a per-step discriminator: this
 experiment records the relative pressure residual LEFT BY the fixed
-polish on every corrector solve of (a) a 2D-2 shedding run (settled
-phase) and (b) a 2D-3 ramp run (the failure regime), at a CPU-feasible
-grid, and reports the two distributions. If they separate, the gate
-threshold goes between them; if they overlap, the auto design must key
-on something else.
+polish on corrector solves of (a) a 2D-2 shedding run (settled phase)
+and (b) a 2D-3 ramp run (the failure regime), and reports the two
+distributions. If they separate, the gate threshold goes between them.
+
+TWO recording modes:
+  io_callback (--record percall, CPU ONLY): every solve streamed to the
+    host. DO NOT use through the TPU tunnel: an ordered io_callback
+    inside the donated eager loop DEADLOCKED the client on the axon
+    tunnel (round 5; the chip stayed healthy — the client slept forever
+    with zero syscall traffic and had to be abandoned).
+  segment sampling (--record sample, tunnel-safe DEFAULT): step the
+    PLAIN production rollout in segments; after each segment rebuild the
+    first-corrector system from the live state host-side (exactly the
+    test_auto_backend._system construction, with the SM warm start
+    applied), apply the fixed polish once, record its residual. ~1
+    sample per `--sample-every` steps; no callbacks inside jit.
 
 Run:  python scripts/exp_auto_polish_gate.py [--delta 0.0064] [--out ...]
 """
@@ -39,6 +50,12 @@ def main():
     ap.add_argument("--max-dt", type=float, default=2e-3,
                     help="use 5e-4 on d94+ grids (stable-dt threshold "
                          "scales ~delta^2; docs/STATUS.md item 25)")
+    ap.add_argument("--record", default="sample",
+                    choices=["sample", "percall"],
+                    help="'sample' = tunnel-safe segment sampling; "
+                         "'percall' = io_callback per solve (CPU only — "
+                         "deadlocks the axon tunnel client)")
+    ap.add_argument("--sample-every", type=int, default=100)
     ap.add_argument("--out", default="artifacts/auto_gate_residuals.json")
     args = ap.parse_args()
 
@@ -47,12 +64,18 @@ def main():
         # the axon plugin ignores JAX_PLATFORMS; "tpu" means leave the
         # backend at the plugin default (docs/STATUS.md §3)
         jax.config.update("jax_platforms", "cpu")
+    if args.record == "percall" and args.platform != "cpu":
+        raise SystemExit("--record percall is CPU-only (io_callback in "
+                         "the donated eager loop deadlocks the tunnel)")
     import jax.numpy as jnp
-    from jax.experimental import io_callback
 
     from tpufoam.eval.benchmark import ramp_2d3, schafer_turek_case
     from tpufoam.fv.case import initial_flow
-    from tpufoam.fv.pressure import pressure_matvec
+    from tpufoam.fv.momentum import (h_operator, jacobi_momentum,
+                                     momentum_coeffs)
+    from tpufoam.fv.pressure import (face_fluxes_hbya, pressure_coeffs,
+                                     pressure_gradient, pressure_matvec,
+                                     pressure_rhs)
     from tpufoam.piso.engine import PisoConfig, run_piso_eager
     from tpufoam.solvers.backends import MGBackend
 
@@ -64,16 +87,14 @@ def main():
         sm_predict = make_predictor(SurrogateBundle.load(args.bundle),
                                     stitch="lstsq")
 
-    class RecordingMG:
-        """Fixed-polish backend that streams each solve's relative
-        residual to the host (io_callback; experiment-only — the
-        production backends stay pure)."""
+    fixed_be = MGBackend(cycles=2, precision="bf16")
 
-        def __init__(self):
-            self.inner = MGBackend(cycles=2, precision="bf16")
+    class RecordingMG:
+        """percall mode: every solve streamed via io_callback (CPU only)."""
 
         def __call__(self, case, coef, rhs, p_prev, aux):
-            p = self.inner(case, coef, rhs, p_prev, aux)
+            from jax.experimental import io_callback
+            p = fixed_be(case, coef, rhs, p_prev, aux)
             r = jnp.linalg.norm((rhs - pressure_matvec(coef, p))
                                 * case.fluid)
             b = jnp.linalg.norm(rhs * case.fluid)
@@ -82,6 +103,47 @@ def main():
                         ordered=True)
             return p
 
+    def _make_sampler(case, cfg, sm):
+        """jitted: live state -> relative residual the fixed polish
+        leaves on the FIRST corrector system of the next step (the exact
+        AutoBackend gate quantity), sampled without touching the rollout."""
+
+        def f(flow):
+            p, u, v = flow.p, flow.u, flow.v
+            dt = flow.dt
+            if cfg.inlet_scale_fn is not None:
+                cs = case.replace(
+                    inlet_u=case.inlet_u * cfg.inlet_scale_fn(flow.t + dt))
+            else:
+                cs = case
+            if sm is not None:
+                aux = dict(u=u, v=v, p=p, dt=dt, u_prev=flow.u_prev,
+                           v_prev=flow.v_prev, p_prev=flow.p_prev)
+                p = sm(cs, p, aux) * cs.fluid
+            g = cs.grid
+            vol = g.dx * g.dy
+            volc = cs.alpha * vol
+            gpx, gpy = pressure_gradient(cs, p)
+            coef = momentum_coeffs(cs, flow.phi_x, flow.phi_y, u, v, dt,
+                                   ddt=cfg.ddt, u_nm1=flow.u_prev,
+                                   v_nm1=flow.v_prev, dt_prev=flow.dt)
+            u2, v2 = jacobi_momentum(coef, cs, u, v, -gpx * volc,
+                                     -gpy * volc,
+                                     sweeps=cfg.momentum_sweeps)
+            rau = volc * cs.fluid / coef.a_p
+            hu, hv = h_operator(coef, u2, v2)
+            phx, phy = face_fluxes_hbya(cs, hu * cs.fluid / coef.a_p,
+                                        hv * cs.fluid / coef.a_p)
+            pcoef = pressure_coeffs(cs, rau)
+            rhs = pressure_rhs(cs, phx, phy)
+            p1 = fixed_be(cs, pcoef, rhs, p, {})
+            r = jnp.linalg.norm((rhs - pressure_matvec(pcoef, p1))
+                                * cs.fluid)
+            b = jnp.linalg.norm(rhs * cs.fluid)
+            return r / jnp.maximum(b, 1e-30)
+
+        return jax.jit(f)
+
     def run(bench, t_end, cfg_kw, flow_fn=None):
         case, _ = schafer_turek_case(bench, delta=args.delta)
         flow = initial_flow(case, dt0=2e-4 if bench == "2D-3" else 1e-3)
@@ -89,16 +151,21 @@ def main():
             flow = flow_fn(case, flow)
         cfg = PisoConfig(max_co=0.4, max_dt=args.max_dt, ddt="backward",
                          sm_safeguard=0.0, **cfg_kw)
-        be = RecordingMG()
+        be = RecordingMG() if args.record == "percall" else fixed_be
+        sampler = (None if args.record == "percall"
+                   else _make_sampler(case, cfg, sm_predict))
         t_mark = []
         while float(flow.t) < t_end:
-            n = 200
+            n = 200 if args.record == "percall" else args.sample_every
             start = len(log)
             flow = run_piso_eager(case, flow, n, cfg=cfg, backend=be,
                                   sm_predict=sm_predict)
+            if sampler is not None:
+                log.append(float(sampler(flow)))
             t_mark.append((float(flow.t), start, len(log)))
             if not np.isfinite(np.asarray(flow.u)).all():
-                print(f"  {bench} DIVERGED at t={float(flow.t):.3f}")
+                print(f"  {bench} DIVERGED at t={float(flow.t):.3f}",
+                      flush=True)
                 break
         return np.asarray(log), t_mark
 
