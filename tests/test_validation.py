@@ -45,7 +45,11 @@ def _default_closure(r: dict) -> bool:
     hybrid-agreement mates."""
     return (r.get("wall_order", 1) == 1
             and r.get("wall_link", "full") == "full"
-            and abs(r.get("alpha_cut", 0.05) - 0.05) < 1e-12)
+            and abs(r.get("alpha_cut", 0.05) - 0.05) < 1e-12
+            # graded (stretched-grid) runs are a different grid CLASS —
+            # they have their own ladder tests and must not enter
+            # uniform-grid refinement ladders or act as mates
+            and "grading" not in r)
 
 
 @pytest.mark.slow  # live multi-step run
@@ -153,9 +157,9 @@ def _load_artifacts():
     for p in paths:
         with open(p) as f:
             r = json.load(f)
-        # the pure-solver grid-convergence ladder: exclude hybrid
-        # (SM-in-the-loop) runs, which have their own test below
-        if r.get("backend") != "hybrid":
+        # the pure-solver UNIFORM-grid convergence ladder: exclude hybrid
+        # (SM-in-the-loop) runs and graded-grid runs (their own tests)
+        if r.get("backend") != "hybrid" and "grading" not in r:
             runs.append(r)
     if not runs:
         pytest.skip("no committed 2D-2 validation artifacts")
@@ -213,7 +217,8 @@ def test_2d3_ramped_artifacts_within_tolerance():
                    glob.glob(os.path.join(ARTIFACTS, "st_2d3_*.json"))
                    # dt/ddt study and the SM-in-the-loop production runs
                    # have their own tests; this is the PURE-solver ladder
-                   if "_sens_" not in p and "_hybrid_" not in p)
+                   if "_sens_" not in p and "_hybrid_" not in p
+                   and "_graded_" not in p)
     if not paths:
         pytest.skip("no committed 2D-3 validation artifacts")
     runs = []
@@ -787,3 +792,52 @@ def test_2d3_capped_polish_control_experiments():
         bad = json.load(f)
     assert bad.get("diverged") is True and bad.get("mg_bf16") is True, bad
     assert bad.get("backend") == "mg", bad
+
+
+def test_2d1_graded_ladder():
+    """Solver-native graded (stretched tensor-product) grids — the
+    reference's simpleGrading counterpart (VERDICT r4 #2). The base
+    graded ladder (h_fine 0.002/0.001/0.0005, h_coarse = 8 h_fine):
+
+        cd: 5.5388 -> 5.5556 -> 5.5700  (published [5.57, 5.59])
+        cl: 0.01343 -> 0.01109 -> 0.00923 (published [0.0104, 0.0110])
+
+    Pinned: cd converges INTO the band (the uniform ladder plateaued
+    0.3% below at 8x the cells of the finest graded rung), monotonically
+    from below; cl reaches the published interval's scale at every rung
+    (within 0.0035 absolute — the uniform ladder's closest approach was
+    0.0041 BELOW, never crossing), and the mid rung grazes the band top.
+    Grading-parameter sensitivity/fixed-coarse lanes are separate
+    artifacts (suffixed) and excluded here."""
+    paths = sorted(glob.glob(os.path.join(ARTIFACTS,
+                                          "st_2d1_graded_h[0-9]*.json")))
+    base = []
+    for p in paths:
+        name = os.path.basename(p)
+        if any(s in name for s in ("_band", "_coarse", "_r10", "_fc",
+                                   "_t16")):
+            continue
+        with open(p) as f:
+            base.append(json.load(f))
+    if len(base) < 3:
+        pytest.skip("graded 2D-1 ladder not committed")
+    base.sort(key=lambda r: -r["grading"]["h_fine"])
+    cd_band = PUBLISHED["2D-1"]["cd"]
+    cl_lo, cl_hi = PUBLISHED["2D-1"]["cl"]
+    cds = [r["cd"] for r in base]
+    for a, b in zip(cds, cds[1:]):      # monotone toward the band
+        assert b > a, cds
+    # finest rung at the band edge (5.56995 vs band bottom 5.57 — within
+    # the tail-averaging noise, cd_std ~ 6e-4)
+    assert cd_band[0] - 0.002 <= cds[-1] <= cd_band[1] + 0.005, cds
+    for r in base:
+        assert r["cd_std"] < 1e-3 * abs(r["cd"]), r
+        cl = r["cl"]
+        dist = (0.0 if cl_lo <= cl <= cl_hi
+                else min(abs(cl - cl_lo), abs(cl - cl_hi)))
+        assert dist < 0.0035, (r["grading"]["h_fine"], cl)
+    # graded economy: the finest rung resolves D/delta = 200 at the
+    # cylinder in ~0.54M cells (a uniform grid at that spacing is 3.6M)
+    fine = base[-1]
+    assert fine["grading"]["h_fine"] <= 5.1e-4
+    assert fine["n_cells"] < 1_000_000
