@@ -69,8 +69,8 @@ def main():
                          "WITHOUT the surrogate (isolates capped-polish "
                          "residual accumulation from SM bias)")
     ap.add_argument("--hybrid-solver", default="mg",
-                    choices=["mg", "mgcg", "mgcg-capped", "mg-adaptive",
-                             "auto"],
+                    choices=["mg", "mgcg", "mgcg-capped",
+                             "mgcg-capped-bf16", "mg-adaptive", "auto"],
                     help="hybrid corrector solver: 'mg' = capped bf16 "
                          "polish (production); 'mgcg' = full-tolerance "
                          "MGCG (control lane isolating SM bias from "
@@ -213,6 +213,11 @@ def main():
         backend = {
             "mgcg": MGCGBackend(rtol=1e-6),
             "mgcg-capped": MGCGBackend(rtol=1e-3, maxiter=6),
+            # the r4 cost lever: bf16 PRECONDITIONER inside the capped
+            # MGCG — the 1e-6 stall caution may not bind at rtol 1e-3
+            # (docs/STATUS.md §0.10; CG vectors stay f32)
+            "mgcg-capped-bf16": MGCGBackend(rtol=1e-3, maxiter=6,
+                                            precision="bf16"),
             "mg": MGBackend(cycles=args.mg_cycles, precision="bf16"),
             "mg-adaptive": MGBackend(cycles=args.hybrid_max_cycles,
                                      precision="bf16",
