@@ -94,6 +94,17 @@ def main():
             jnp.linalg.norm(r_f - r_x) / jnp.maximum(
                 jnp.linalg.norm(r_x), 1e-30))
 
+        # MGCG (matched-accuracy lane, VERDICT r4 #4 target >= 60 Mcells/s
+        # at 4.2M): the fused legs inside the per-iteration preconditioner
+        # — the r3 per-call-overhead loss was measured at 1M; at 8.4M the
+        # calls amortize
+        from tpufoam.solvers.multigrid import mgcg_pressure
+        for sm in ("xla", "pallas-fused"):
+            f = jax.jit(lambda bb, xx, s=sm: mgcg_pressure(
+                coef, bb, xx, rtol=1e-6, maxiter=60, smoother=s).x)
+            lane[f"mgcg_1e6_{sm}_ms"] = round(
+                med_time(f, b, x0, repeats=5, inner=3) * 1e3, 3)
+
         # in-step hybrid production A/B
         use_pallas_mom = pallas_available_for(case.fluid.shape,
                                               case.fluid.dtype,
