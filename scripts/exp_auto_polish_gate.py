@@ -167,6 +167,15 @@ def main():
                 print(f"  {bench} DIVERGED at t={float(flow.t):.3f}",
                       flush=True)
                 break
+            # a RINGING (not yet NaN) divergence self-limits through the
+            # Courant controller crushing dt (docs/STATUS.md item 25) —
+            # without this cap the loop spins near-forever at tiny dt
+            # (measured: the d94 fixed-2 ramp run, round 5)
+            if float(flow.dt) < 1e-7:
+                print(f"  {bench} dt collapsed ({float(flow.dt):.2e}) at "
+                      f"t={float(flow.t):.3f} — ringing divergence",
+                      flush=True)
+                break
         return np.asarray(log), t_mark
 
     # --- 2D-2: settled shedding (the fixed polish's home turf) ---------
