@@ -24,17 +24,22 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def med_time(fn, *args, repeats=7, inner=8):
+def med_time(fn, b, x0, repeats=7, inner=8):
+    """Median per-call time of x = fn(b, x) CHAINED through the solution
+    argument: every call depends on the previous one, so the final
+    block_until_ready provably covers all `inner` executions (defense
+    against any runtime-side dedup/async pathology — a round-5 A/B
+    window produced physically impossible sub-dispatch-floor timings
+    with independent same-argument calls through the tunnel)."""
     import jax
-    out = fn(*args)
-    jax.block_until_ready(out)
+    x = fn(b, x0)
+    jax.block_until_ready(x)
     ts = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        o = None
         for _ in range(inner):
-            o = fn(*args)
-        jax.block_until_ready(o)
+            x = fn(b, x)
+        jax.block_until_ready(x)
         ts.append((time.perf_counter() - t0) / inner)
     ts.sort()
     return ts[len(ts) // 2]
@@ -116,6 +121,7 @@ def main():
             flow2 = run_piso_eager(case, flow, args.steps, cfg=cfg,
                                    backend=be)
             jax.block_until_ready(flow2.u)
+            t_before = float(flow2.t)
             ts = []
             for _ in range(5):
                 t0 = time.perf_counter()
@@ -127,6 +133,9 @@ def main():
             lane[f"step_{sm}_ms"] = round(ts[len(ts) // 2] * 1e3, 3)
             lane[f"step_{sm}_spread_ms"] = [round(ts[0] * 1e3, 3),
                                             round(ts[-1] * 1e3, 3)]
+            # sanity: the timed windows really advanced 5*steps steps
+            lane[f"step_{sm}_t_advance"] = round(float(flow2.t) - t_before,
+                                                 6)
         lane["momentum_smoother"] = ("pallas" if use_pallas_mom else "xla")
         out["sizes"][size] = lane
         print(size, json.dumps(lane), flush=True)
