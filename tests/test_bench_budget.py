@@ -27,9 +27,13 @@ def test_bench_emits_valid_json_within_artificial_budget():
     env = dict(os.environ)
     env["TPUFOAM_BENCH_BUDGET_S"] = "60"
     env["TPUFOAM_BENCH_FORCE_CPU"] = "1"  # the suite must not touch the chip
+    # timeout margin: the parent emits at the 60 s budget, but under a
+    # fully-loaded single-core host (suite + queue jobs) interpreter
+    # startup + emission can add a minute (observed 110 s-timeout flake
+    # in the r5 full run; passed in isolation)
     p = subprocess.run(
         [sys.executable, os.path.join(ROOT, "bench.py")], cwd=ROOT,
-        env=env, capture_output=True, text=True, timeout=110)
+        env=env, capture_output=True, text=True, timeout=240)
     assert p.returncode == 0, (p.returncode, p.stderr[-2000:])
     lines = [ln for ln in p.stdout.strip().splitlines() if ln.strip()]
     assert len(lines) == 1, p.stdout  # ONE JSON line (driver contract)
