@@ -73,12 +73,14 @@ _KERNEL_BANDS = {
     "jacobi": (8, 1),        # 7 operands + 1 staging, 1 out
     "matvec": (1, 6),        # haloed-x scratch; 5 coeff bands + 1 out
     "jacobi_sweep": (1, 7),  # haloed-x scratch; 6 operand bands + 1 out
-    # the fused V-cycle legs keep 2 extra band-equivalents reserved for
-    # Mosaic temporaries (the residual/concat chains materialize more
-    # per-sweep intermediates than the plain smoother; at nx=4096 the
-    # accounting-only budget passed but the compile OOM'd scoped VMEM)
-    "smooth_residual": (10, 2),  # 7 operands + 1 staging (+2 reserve), x/r out
-    "corr_smooth": (11, 1),   # 8 operands + 1 staging (+2 reserve), 1 out
+    # the fused V-cycle legs reserve ~8 extra band-equivalents for Mosaic
+    # temporaries: the bf16 kernels' roll-based E/W shifts round-trip
+    # through f32 (2x bytes) and the residual/concat chains materialize
+    # several per-sweep intermediates — measured stack demand at bf16
+    # 2048x4096 was 19.33M vs the 16M limit with only the operand bands
+    # accounted (the reserve forces tile 32 there, which fits)
+    "smooth_residual": (18, 2),  # 7 operands + 1 staging + temp reserve, x/r out
+    "corr_smooth": (19, 1),   # 8 operands + 1 staging + temp reserve, 1 out
 }
 
 
@@ -639,7 +641,7 @@ def smooth_residual_pallas(coef, x: jnp.ndarray, b: jnp.ndarray,
         (x, b, coef.c_e, coef.c_w, coef.c_n, coef.c_s, coef.diag),
         x.shape[0], x.shape[1], dtype, diag_idx=(6,))
     ny, nx = x.shape
-    t = _fit_tile_y(ny, nx, halo, 10, 2, jnp.dtype(dtype).itemsize)
+    t = _fit_tile_y(ny, nx, halo, 18, 2, jnp.dtype(dtype).itemsize)
     if t is None:
         raise ValueError(f"shape {(ny, nx)} exceeds scoped VMEM at the "
                          "minimum tile; gate on pallas_available_for")
@@ -731,7 +733,7 @@ def corr_smooth_pallas(coef, x: jnp.ndarray, corr: jnp.ndarray,
         (x, corr, b, coef.c_e, coef.c_w, coef.c_n, coef.c_s, coef.diag),
         x.shape[0], x.shape[1], dtype, diag_idx=(7,))
     ny, nx = x.shape
-    t = _fit_tile_y(ny, nx, halo, 11, 1, jnp.dtype(dtype).itemsize)
+    t = _fit_tile_y(ny, nx, halo, 19, 1, jnp.dtype(dtype).itemsize)
     if t is None:
         raise ValueError(f"shape {(ny, nx)} exceeds scoped VMEM at the "
                          "minimum tile; gate on pallas_available_for")
